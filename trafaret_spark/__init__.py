@@ -1,0 +1,84 @@
+"""trafaret_spark — a PySpark-native schema-validation + feature-engineering engine.
+
+Re-expresses the check()/coerce contract of Deepwalker/trafaret (reference at
+/root/reference, pure-Python row-at-a-time combinators) as a vectorized,
+partition-parallel stage compiled to Spark Column expressions, feeding a
+point-in-time as-of join + windowed feature layer over conversation-transcript
+tables.
+
+Design rules (SURVEY.md §2, §4):
+  * DataFrame/columnar end-to-end; leaf guards compile to native Column
+    expressions (whole-stage codegen); Arrow pandas UDFs only for the `Call`
+    escape hatch and permissive datetime parsing; never per-row Python.
+  * Error model: per-row ``errors: array<struct<path,code,message>>`` column
+    with trafaret's stable snake_case code vocabulary (reference
+    trafaret/codes.py:1-70), accumulate-all at row scope.
+"""
+
+from trafaret_spark import codes
+from trafaret_spark.guards import (
+    Any,
+    Atom,
+    Bool,
+    Call,
+    Date,
+    DateTime,
+    DateTimeAny,
+    Email,
+    Enum,
+    Float,
+    FromBytes,
+    Guard,
+    Hex,
+    Int,
+    IP,
+    IPv4,
+    IPv6,
+    List,
+    Mapping,
+    Null,
+    OnError,
+    Regexp,
+    RegexpString,
+    String,
+    ToBool,
+    ToBytes,
+    ToDate,
+    ToDateTime,
+    ToDecimal,
+    ToFloat,
+    ToInt,
+    Tuple,
+    URL,
+    URLSafe,
+)
+from trafaret_spark.schema import (
+    DictGuard,
+    Key,
+    Schema,
+    SchemaError,
+    confirm_key,
+    construct,
+    subdict,
+    xor_key,
+)
+from trafaret_spark.validate import apply_schema, split_valid, validation_metrics
+
+__all__ = [
+    "codes",
+    # guards
+    "Guard", "Any", "Null", "Atom", "Enum", "Bool", "ToBool",
+    "Int", "ToInt", "Float", "ToFloat", "ToDecimal",
+    "String", "ToBytes", "FromBytes",
+    "Date", "ToDate", "DateTime", "ToDateTime", "DateTimeAny",
+    "Regexp", "RegexpString", "Email", "URL", "Hex", "URLSafe",
+    "IPv4", "IPv6", "IP",
+    "List", "Tuple", "Mapping", "OnError", "Call",
+    # schema
+    "Key", "Schema", "SchemaError", "DictGuard", "construct",
+    "xor_key", "confirm_key", "subdict",
+    # validate
+    "apply_schema", "split_valid", "validation_metrics",
+]
+
+__version__ = "0.1.0"
