@@ -1,38 +1,663 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+Every entry exercises the trafaret_spark library surface (SURVEY.md §2):
+validation/coercion guards (§2.1) over the driver's tables, the dataflow
+operators E4-E10 (as-of join, lag/rolling/sessionize/backfill, aggregates)
+over `events`, and the training-data ops (dedup, similarity, text analysis,
+multimodal plumbing) over `documents`/`embeddings`.
+
+Column-name and type parity with ``oracle_sql()`` is load-bearing: every
+computed column is aliased identically on both sides, doubles are rounded to
+stable precision, and int widths are pinned (BIGINT ⇔ long).
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, functions as F
 
+import trafaret_spark as ts
+from trafaret_spark.operators import dedup, features, multimodal, similarity, textstats
+from trafaret_spark.operators.asof import asof_join
+
+EVENT_TYPES = ["click", "view", "signup", "purchase"]  # 'error' fails the Enum
+_TOOLS = ["search", "code", "browse"]
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _err_code(errors_col: str = "errors"):
+    return F.element_at(F.col(errors_col), 1)["code"].alias("err_code")
+
+
+# --------------------------------------------------------------------------
+# §2.1 validation / coercion guards
+# --------------------------------------------------------------------------
+
+def q_v_enum_role(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    schema = ts.Schema(
+        ts.Key("event_id", ts.Int(gte=0)),
+        ts.Key("event_type", ts.Enum(*EVENT_TYPES)),
+        extras="ignore")
+    out = schema.apply(ev)
+    return out.select("event_id", "event_type",
+                      (F.size("errors") == 0).alias("valid"), _err_code())
+
+
+def q_v_string_len(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    schema = ts.Schema(
+        ts.Key("doc_id", ts.Int()),
+        ts.Key("text", ts.String(min_length=50, max_length=300)),
+        extras="ignore")
+    return schema.apply(docs).select("doc_id", _err_code())
+
+
+def q_v_toint(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    k_str = F.regexp_extract("props", r'"k": (\d+)', 1)
+    raw = (F.when(F.col("event_id") % 13 == 0, F.concat(k_str, F.lit(".5")))
+           .when(F.col("event_id") % 17 == 0, F.concat(F.lit("x"), k_str))
+           .otherwise(k_str))
+    df = ev.select("event_id", raw.alias("k_raw"))
+    out = ts.Schema(ts.Key("event_id", ts.Int()),
+                    ts.Key("k_raw", ts.ToInt(), to_name="k_int"),
+                    extras="ignore").apply(df)
+    return out.select("event_id", "k_int", _err_code())
+
+
+def q_v_tofloat_bounds(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    out = ts.Schema(ts.Key("event_id", ts.Int()),
+                    ts.Key("value", ts.ToFloat(gte=5.0, lte=95.0), to_name="val"),
+                    extras="ignore").apply(ev)
+    return out.select("event_id", F.round("val", 6).alias("val"), _err_code())
+
+
+def q_v_tobool(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    opts = F.array(*[F.lit(x) for x in ["true", "0", "YES", "off", "none", "bogus"]])
+    raw = F.element_at(opts, (F.col("event_id") % 6 + 1).cast("int"))
+    df = ev.select("event_id", raw.alias("raw"))
+    out = ts.Schema(ts.Key("event_id", ts.Int()),
+                    ts.Key("raw", ts.Any()),
+                    ts.Key("raw", ts.ToBool(), to_name="b"),
+                    extras="ignore").apply(df)
+    return out.select("event_id", "raw", "b", _err_code())
+
+
+def q_v_or_null(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    tool = (F.when(F.col("event_id") % 11 == 0, F.lit(None).cast("string"))
+            .when(F.col("event_id") % 11 == 1, F.lit("hammer"))
+            .otherwise(F.element_at(F.array(*[F.lit(t) for t in _TOOLS]),
+                                    (F.col("event_id") % 3 + 1).cast("int"))))
+    df = ev.select("event_id", tool.alias("tool"))
+    out = ts.Schema(ts.Key("event_id", ts.Int()),
+                    ts.Key("tool", ts.Any()),
+                    ts.Key("tool", ts.Enum(*_TOOLS) | ts.Null(), to_name="tool_checked"),
+                    extras="ignore").apply(df)
+    return out.select("event_id", "tool", "tool_checked",
+                      (F.size("errors") == 0).alias("valid"), _err_code())
+
+
+def q_v_todatetime(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    raw = (F.when(F.col("event_id") % 19 == 0, F.date_format("ts", "dd-MM-yyyy"))
+           .otherwise(F.date_format("ts", "yyyy-MM-dd HH:mm:ss")))
+    df = ev.select("event_id", raw.alias("ts_raw"))
+    out = ts.Schema(
+        ts.Key("event_id", ts.Int()),
+        ts.Key("ts_raw", ts.ToDateTime(format="%Y-%m-%d %H:%M:%S"), to_name="ts_parsed"),
+        extras="ignore").apply(df)
+    return out.select("event_id", "ts_parsed", _err_code())
+
+
+def q_v_regexp(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    out = ts.Schema(ts.Key("doc_id", ts.Int()),
+                    ts.Key("source", ts.Regexp(r"src(\d+)"), to_name="src_num"),
+                    extras="ignore").apply(docs)
+    return out.select("doc_id", "src_num", _err_code())
+
+
+def q_v_key_default(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    df = ev.select("event_id")
+    out = ts.Schema(ts.Key("event_id", ts.Int()),
+                    ts.Key("channel", ts.String(), default="web"),
+                    extras="ignore").apply(df)
+    return out.select("event_id", "channel")
+
+
+# --------------------------------------------------------------------------
+# E5-E10: windowed point-in-time features over `events`
+# (key = user_id, order = event_id — equivalent to ts order, unique)
+# --------------------------------------------------------------------------
+
+def _feat(by="user_id", order="event_id", ts_col="ts"):
+    return features.Features(by=by, order=order, ts=ts_col)
+
+
+def q_f_lag(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    out = _feat().lag("value", 1).lag("event_type", 2, name="etype_lag2").apply(ev)
+    return out.select("event_id", "user_id", "value_lag1", "etype_lag2")
+
+
+def q_f_rolling(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    out = (_feat().rolling("value", "avg", 3, name="val_avg3")
+           .rolling("value", "max", 5, name="val_max5").apply(ev))
+    return out.select("event_id", F.round("val_avg3", 6).alias("val_avg3"),
+                      F.round("val_max5", 6).alias("val_max5"))
+
+
+def q_f_rolling_time(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    out = _feat().rolling_time("value", "sum", 3600, name="val_sum1h").apply(ev)
+    return out.select("event_id", F.round("val_sum1h", 6).alias("val_sum1h"))
+
+
+def q_f_cum(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    out = (_feat().cum("value", "sum", name="val_cumsum")
+           .cum("value", "count", name="n_seen").apply(ev))
+    return out.select("event_id", F.round("val_cumsum", 6).alias("val_cumsum"),
+                      F.col("n_seen").cast("long").alias("n_seen"))
+
+
+def q_f_sessionize(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    out = _feat().session_id(1800, name="session_id").apply(ev)
+    return out.select("event_id", "user_id",
+                      F.col("session_id").cast("long").alias("session_id"))
+
+
+def q_f_backfill(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    df = ev.withColumn("purchase_value",
+                       F.when(F.col("event_type") == "purchase", F.col("value")))
+    out = _feat().backfill("purchase_value", name="last_purchase").apply(df)
+    return out.select("event_id", F.round("last_purchase", 6).alias("last_purchase"))
+
+
+def q_f_session_stats(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    sess = _feat().session_id(1800, name="session_id").apply(ev)
+    out = features.session_stats(sess, by="user_id", session_col="session_id", ts="ts")
+    return out.select("user_id", F.col("session_id").cast("long").alias("session_id"),
+                      F.col("n_turns").cast("long").alias("n_turns"),
+                      "session_start", "session_end",
+                      F.col("duration_us").cast("long").alias("duration_us"))
+
+
+# --------------------------------------------------------------------------
+# E4: as-of joins (left = view events, right = purchase events, by user)
+# --------------------------------------------------------------------------
+
+def _asof_sides(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    left = ev.filter(F.col("event_type") == "view") \
+        .select("event_id", "user_id", "ts", "value")
+    right = ev.filter(F.col("event_type") == "purchase") \
+        .select("user_id", "ts", "value")
+    return left, right
+
+
+def q_asof_backward(spark, sf_dir):
+    left, right = _asof_sides(spark, sf_dir)
+    out = asof_join(left, right, on="ts", by="user_id",
+                    direction="backward", suffix="_r")
+    return out.select("event_id", F.round("value_r", 6).alias("value_r"))
+
+
+def q_asof_forward(spark, sf_dir):
+    left, right = _asof_sides(spark, sf_dir)
+    out = asof_join(left, right, on="ts", by="user_id",
+                    direction="forward", suffix="_r")
+    return out.select("event_id", F.round("value_r", 6).alias("value_r"))
+
+
+def q_asof_tolerance(spark, sf_dir):
+    left, right = _asof_sides(spark, sf_dir)
+    out = asof_join(left, right, on="ts", by="user_id",
+                    direction="backward", tolerance=1800.0, suffix="_r")
+    return out.select("event_id", F.round("value_r", 6).alias("value_r"))
+
+
+def q_asof_broadcast(spark, sf_dir):
+    left, right = _asof_sides(spark, sf_dir)
+    out = asof_join(left, right, on="ts", by="user_id",
+                    direction="backward", suffix="_r", strategy="broadcast")
+    return out.select("event_id", F.round("value_r", 6).alias("value_r"))
+
+
+# --------------------------------------------------------------------------
+# training-data ops: dedup / text / similarity / multimodal
+# --------------------------------------------------------------------------
+
+def q_dedup_exact(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    out = dedup.exact_dedup(docs)
+    return out.select("doc_id", "dup_group",
+                      F.col("group_size").cast("long").alias("group_size"),
+                      "is_canonical")
+
+
+def q_dedup_minhash(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    out = dedup.minhash_dedup(docs, threshold=0.3)
+    return out.select("a", "b", F.round("jaccard", 6).alias("jaccard"))
+
+
+def q_dedup_simhash(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    out = dedup.simhash_dedup(docs).filter(F.col("hamming") <= 2)
+    return out.select("a", "b", F.col("hamming").cast("int").alias("hamming"))
+
+
+def q_text_quality(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    out = textstats.quality_features(docs)
+    return out.select(
+        "doc_id",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.round("avg_token_len", 6).alias("avg_token_len"),
+        F.round("alpha_ratio", 6).alias("alpha_ratio"),
+        F.round("digit_ratio", 6).alias("digit_ratio"),
+        F.round("stopword_ratio", 6).alias("stopword_ratio"))
+
+
+def q_text_lang_id(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return textstats.lang_id(docs).select("doc_id", "lang_pred")
+
+
+def q_text_tokens(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        textstats.token_count(F.col("text")).cast("long").alias("n_ws_tokens"),
+        textstats.bpe_ish_token_count(F.col("text")).cast("long").alias("n_bpe_tokens"))
+
+
+def q_text_fingerprint(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return textstats.fingerprint(docs).select("doc_id", "fingerprint")
+
+
+def q_knn_cosine(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings") \
+        .select("vec_id", F.col("embedding").cast("array<double>").alias("embedding"))
+    q = emb.filter(F.col("vec_id") < 5) \
+        .select(F.col("vec_id").alias("query_id"), "embedding")
+    out = similarity.cosine_topk(emb, q, k=5)
+    return out.select("query_id", "vec_id", F.round("sim", 4).alias("sim"),
+                      F.col("rank").cast("int").alias("rank"))
+
+
+def q_knn_lsh(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings") \
+        .select("vec_id", F.col("embedding").cast("array<double>").alias("embedding"))
+    q = emb.filter(F.col("vec_id") < 5) \
+        .select(F.col("vec_id").alias("query_id"), "embedding")
+    out = similarity.lsh_cosine_topk(emb, q, k=5, nbits=8, bands=4)
+    return out.select("query_id", "vec_id", F.round("sim", 4).alias("sim"),
+                      F.col("rank").cast("int").alias("rank"))
+
+
+def q_mm_video_frames(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents") \
+        .select("doc_id", F.encode("text", "utf-8").alias("payload"))
+    out = multimodal.sample_video_frames(docs, id_col="doc_id", fake=True,
+                                         every_ms=1000, fake_duration_ms=5000)
+    return out.select("doc_id", "frame_idx", "frame_ts_ms")
+
+
+def q_mm_image_decode(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents") \
+        .select("doc_id", F.encode("text", "utf-8").alias("payload"))
+    out = multimodal.decode_image_features(docs, id_col="doc_id", dim=16, fake=True)
+    return out.select("doc_id", "decode_ok",
+                      F.size("img_features").alias("feat_dim"))
+
+
+# --------------------------------------------------------------------------
+# driver API
+# --------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: validate `events` as a transcript-shaped table, as-of join
+    the latest prior purchase, add point-in-time window features."""
+    sf_dir = "/root/testdata/sf0.001"
+    ev = _t(spark, sf_dir, "events")
+    schema = ts.Schema(
+        ts.Key("event_id", ts.Int(gte=0)),
+        ts.Key("user_id", ts.Int(gte=0)),
+        ts.Key("event_type", ts.Enum(*(EVENT_TYPES + ["error"]))),
+        ts.Key("value", ts.ToFloat()),
+        ts.Key("ts", ts.Any()),
+        ts.Key("props", ts.String()),
+    )
+    validated = ts.apply_schema(ev, schema)
+    valid, _quarantine = ts.split_valid(validated)
+    right = valid.filter(F.col("event_type") == "purchase") \
+        .select("user_id", "ts", F.col("value").alias("purchase_value"))
+    joined = asof_join(valid, right, on="ts", by="user_id",
+                       direction="backward", tolerance=7 * 86400.0)
+    out = (features.Features(by="user_id", order="event_id", ts="ts")
+           .lag("value", 1)
+           .rolling("value", "avg", 5, name="val_avg5")
+           .session_id(1800)
+           .backfill("purchase_value", name="last_purchase")
+           .apply(joined))
+    return out
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        # §2.1 guards
+        "v_enum_role": q_v_enum_role,
+        "v_string_len": q_v_string_len,
+        "v_toint": q_v_toint,
+        "v_tofloat_bounds": q_v_tofloat_bounds,
+        "v_tobool": q_v_tobool,
+        "v_or_null": q_v_or_null,
+        "v_todatetime": q_v_todatetime,
+        "v_regexp": q_v_regexp,
+        "v_key_default": q_v_key_default,
+        # E5-E10 features
+        "f_lag": q_f_lag,
+        "f_rolling": q_f_rolling,
+        "f_rolling_time": q_f_rolling_time,
+        "f_cum": q_f_cum,
+        "f_sessionize": q_f_sessionize,
+        "f_backfill": q_f_backfill,
+        "f_session_stats": q_f_session_stats,
+        # E4 as-of
+        "asof_backward": q_asof_backward,
+        "asof_forward": q_asof_forward,
+        "asof_tolerance": q_asof_tolerance,
+        "asof_broadcast": q_asof_broadcast,
+        # training-data ops
+        "dedup_exact": q_dedup_exact,
+        "dedup_minhash": q_dedup_minhash,
+        "dedup_simhash": q_dedup_simhash,
+        "text_quality": q_text_quality,
+        "text_lang_id": q_text_lang_id,
+        "text_tokens": q_text_tokens,
+        "text_fingerprint": q_text_fingerprint,
+        "knn_cosine": q_knn_cosine,
+        "knn_lsh": q_knn_lsh,
+        "mm_video_frames": q_mm_video_frames,
+        "mm_image_decode": q_mm_image_decode,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+_EV_LIST = "('click', 'view', 'signup', 'purchase')"
+_TRUE_LIST = "('t','true','y','yes','on','1','1.0')"
+_FALSE_LIST = "('false','n','no','off','0','none','0.0')"
+_EN_STOP = "('the','of','and','to','a','in','is','that','for','it')"
+_DE_STOP = "('der','die','das','und','ist','nicht','ein','mit','zu','ich')"
+_FR_STOP = "('le','la','les','et','est','une','pour','que','dans','des')"
+_ES_STOP = "('el','la','los','y','es','una','por','que','en','con')"
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "v_enum_role": f"""
+            SELECT event_id, event_type,
+                   event_type IN {_EV_LIST} AS valid,
+                   CASE WHEN event_type IN {_EV_LIST} THEN NULL
+                        ELSE 'does_not_match_any' END AS err_code
+            FROM events""",
+        "v_string_len": """
+            SELECT doc_id,
+                   CASE WHEN length(text) < 50 THEN 'short_string'
+                        WHEN length(text) > 300 THEN 'long_string' END AS err_code
+            FROM documents""",
+        "v_toint": r"""
+            WITH raw AS (
+              SELECT event_id,
+                     CASE WHEN event_id % 13 = 0
+                            THEN regexp_extract(props, '"k": (\d+)', 1) || '.5'
+                          WHEN event_id % 17 = 0
+                            THEN 'x' || regexp_extract(props, '"k": (\d+)', 1)
+                          ELSE regexp_extract(props, '"k": (\d+)', 1) END AS k_raw
+              FROM events)
+            SELECT event_id,
+                   CASE WHEN event_id % 13 = 0 OR event_id % 17 = 0 THEN NULL
+                        ELSE CAST(k_raw AS BIGINT) END AS k_int,
+                   CASE WHEN event_id % 13 = 0 OR event_id % 17 = 0
+                        THEN 'is_not_a_number' END AS err_code
+            FROM raw""",
+        "v_tofloat_bounds": """
+            SELECT event_id,
+                   CASE WHEN value >= 5.0 AND value <= 95.0
+                        THEN round(value, 6) END AS val,
+                   CASE WHEN value < 5.0 THEN 'too_small'
+                        WHEN value > 95.0 THEN 'too_big' END AS err_code
+            FROM events""",
+        "v_tobool": f"""
+            WITH raw AS (
+              SELECT event_id,
+                     ['true','0','YES','off','none','bogus'][(event_id % 6 + 1)::INT] AS raw
+              FROM events)
+            SELECT event_id, raw,
+                   CASE WHEN lower(raw) IN {_TRUE_LIST} THEN TRUE
+                        WHEN lower(raw) IN {_FALSE_LIST} THEN FALSE END AS b,
+                   CASE WHEN lower(raw) NOT IN {_TRUE_LIST}
+                         AND lower(raw) NOT IN {_FALSE_LIST}
+                        THEN 'is_not_convertible_to_bool' END AS err_code
+            FROM raw""",
+        "v_or_null": """
+            WITH raw AS (
+              SELECT event_id,
+                     CASE WHEN event_id % 11 = 0 THEN NULL
+                          WHEN event_id % 11 = 1 THEN 'hammer'
+                          ELSE ['search','code','browse'][(event_id % 3 + 1)::INT]
+                     END AS tool
+              FROM events)
+            SELECT event_id, tool,
+                   CASE WHEN tool IN ('search','code','browse') THEN tool
+                   END AS tool_checked,
+                   (tool IS NULL OR tool IN ('search','code','browse')) AS valid,
+                   CASE WHEN tool IS NOT NULL
+                         AND tool NOT IN ('search','code','browse')
+                        THEN 'nothing_match' END AS err_code
+            FROM raw""",
+        "v_todatetime": """
+            SELECT event_id,
+                   CASE WHEN event_id % 19 = 0 THEN NULL
+                        ELSE date_trunc('second', ts) END AS ts_parsed,
+                   CASE WHEN event_id % 19 = 0
+                        THEN 'does_not_match_format' END AS err_code
+            FROM events""",
+        "v_regexp": r"""
+            SELECT doc_id, regexp_extract(source, '^src(\d+)', 0) AS src_num,
+                   CAST(NULL AS VARCHAR) AS err_code
+            FROM documents""",
+        "v_key_default": """
+            SELECT event_id, 'web' AS channel FROM events""",
+        "f_lag": """
+            SELECT event_id, user_id,
+                   lag(value, 1) OVER w AS value_lag1,
+                   lag(event_type, 2) OVER w AS etype_lag2
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY event_id)""",
+        "f_rolling": """
+            SELECT event_id,
+                   round(avg(value) OVER (PARTITION BY user_id ORDER BY event_id
+                         ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 6) AS val_avg3,
+                   round(max(value) OVER (PARTITION BY user_id ORDER BY event_id
+                         ROWS BETWEEN 4 PRECEDING AND CURRENT ROW), 6) AS val_max5
+            FROM events""",
+        "f_rolling_time": """
+            SELECT event_id,
+                   round(sum(value) OVER (PARTITION BY user_id ORDER BY ts
+                         RANGE BETWEEN INTERVAL 3600 SECONDS PRECEDING
+                               AND CURRENT ROW), 6) AS val_sum1h
+            FROM events""",
+        "f_cum": """
+            SELECT event_id,
+                   round(sum(value) OVER w, 6) AS val_cumsum,
+                   count(value) OVER w AS n_seen
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)""",
+        "f_sessionize": """
+            WITH g AS (
+              SELECT event_id, user_id,
+                     CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER
+                            (PARTITION BY user_id ORDER BY event_id)
+                            > 1800 * 1000000 THEN 1 ELSE 0 END AS is_new
+              FROM events)
+            SELECT event_id, user_id,
+                   CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+                     AS session_id
+            FROM g""",
+        "f_backfill": """
+            SELECT event_id,
+                   round(last_value(CASE WHEN event_type = 'purchase' THEN value END
+                         IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6)
+                     AS last_purchase
+            FROM events""",
+        "f_session_stats": """
+            WITH g AS (
+              SELECT *, CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER
+                          (PARTITION BY user_id ORDER BY event_id)
+                          > 1800 * 1000000 THEN 1 ELSE 0 END AS is_new
+              FROM events),
+            s AS (
+              SELECT *, sum(is_new) OVER (PARTITION BY user_id ORDER BY event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                     AS session_id
+              FROM g)
+            SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+                   count(*) AS n_turns,
+                   min(ts) AS session_start, max(ts) AS session_end,
+                   epoch_us(max(ts)) - epoch_us(min(ts)) AS duration_us
+            FROM s GROUP BY user_id, session_id""",
+        "asof_backward": """
+            SELECT l.event_id, round(r.value, 6) AS value_r
+            FROM (SELECT * FROM events WHERE event_type = 'view') l
+            ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') r
+              ON l.user_id = r.user_id AND l.ts >= r.ts""",
+        "asof_forward": """
+            SELECT l.event_id, round(r.value, 6) AS value_r
+            FROM (SELECT * FROM events WHERE event_type = 'view') l
+            ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') r
+              ON l.user_id = r.user_id AND l.ts <= r.ts""",
+        "asof_tolerance": """
+            SELECT l.event_id,
+                   CASE WHEN epoch_us(l.ts) - epoch_us(r.ts) <= 1800 * 1000000
+                        THEN round(r.value, 6) END AS value_r
+            FROM (SELECT * FROM events WHERE event_type = 'view') l
+            ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') r
+              ON l.user_id = r.user_id AND l.ts >= r.ts""",
+        "asof_broadcast": """
+            SELECT l.event_id, round(r.value, 6) AS value_r
+            FROM (SELECT * FROM events WHERE event_type = 'view') l
+            ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') r
+              ON l.user_id = r.user_id AND l.ts >= r.ts""",
+        "dedup_exact": r"""
+            WITH k AS (
+              SELECT doc_id,
+                     md5(trim(regexp_replace(lower(text), '[^\p{L}\p{N}]+', ' ', 'g')))
+                       AS dup_group
+              FROM documents),
+            g AS (
+              SELECT dup_group, count(*) AS group_size, min(doc_id) AS canon
+              FROM k GROUP BY dup_group)
+            SELECT k.doc_id, k.dup_group, g.group_size,
+                   k.doc_id = g.canon AS is_canonical
+            FROM k JOIN g USING (dup_group)""",
+        "text_quality": rf"""
+            WITH t AS (
+              SELECT doc_id, text,
+                     CASE WHEN trim(text) = '' THEN 0
+                          ELSE len(string_split_regex(trim(text), '\s+')) END AS n_tok,
+                     string_split_regex(trim(lower(text)), '\s+') AS toks,
+                     length(text) AS n_chars
+              FROM documents)
+            SELECT doc_id, CAST(n_tok AS BIGINT) AS n_tokens,
+                   round(greatest(n_chars, 1)::DOUBLE / greatest(n_tok, 1), 6)
+                     AS avg_token_len,
+                   round(length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
+                         / greatest(n_chars, 1)::DOUBLE, 6) AS alpha_ratio,
+                   round(length(regexp_replace(text, '[^0-9]', '', 'g'))
+                         / greatest(n_chars, 1)::DOUBLE, 6) AS digit_ratio,
+                   round(len(list_filter(toks, x -> x IN {_EN_STOP}))
+                         / greatest(n_tok, 1)::DOUBLE, 6) AS stopword_ratio
+            FROM t""",
+        "text_lang_id": rf"""
+            WITH t AS (
+              SELECT doc_id,
+                     string_split_regex(trim(lower(text)), '\s+') AS toks
+              FROM documents),
+            s AS (
+              SELECT doc_id,
+                     len(list_filter(toks, x -> x IN {_EN_STOP}))
+                       / greatest(len(toks), 1)::DOUBLE AS s_en,
+                     len(list_filter(toks, x -> x IN {_DE_STOP}))
+                       / greatest(len(toks), 1)::DOUBLE AS s_de,
+                     len(list_filter(toks, x -> x IN {_FR_STOP}))
+                       / greatest(len(toks), 1)::DOUBLE AS s_fr,
+                     len(list_filter(toks, x -> x IN {_ES_STOP}))
+                       / greatest(len(toks), 1)::DOUBLE AS s_es
+              FROM t)
+            SELECT doc_id,
+                   CASE WHEN greatest(s_en, s_de, s_fr, s_es) <= 0 THEN 'und'
+                        WHEN s_fr >= s_en AND s_fr >= s_de AND s_fr >= s_es THEN 'fr'
+                        WHEN s_es >= s_en AND s_es >= s_de THEN 'es'
+                        WHEN s_en >= s_de THEN 'en'
+                        ELSE 'de' END AS lang_pred
+            FROM s""",
+        "text_tokens": r"""
+            WITH p AS (
+              SELECT doc_id,
+                     CASE WHEN trim(text) = '' THEN 0
+                          ELSE len(string_split_regex(trim(text), '\s+')) END AS n_ws,
+                     regexp_extract_all(text,
+                       '([A-Za-z]+|[0-9]|[^A-Za-z0-9\s]|\s+)', 1) AS pieces
+              FROM documents)
+            SELECT doc_id, CAST(n_ws AS BIGINT) AS n_ws_tokens,
+                   CAST(coalesce(list_sum(list_transform(pieces,
+                        x -> CASE WHEN trim(x) = '' THEN 0
+                                  ELSE greatest(1, CAST(floor(length(x) / 4) AS INT))
+                             END)), 0) AS BIGINT) AS n_bpe_tokens
+            FROM p""",
+        "knn_cosine": """
+            WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qe
+                       FROM embeddings WHERE vec_id < 5),
+            scored AS (
+              SELECT q.query_id, c.vec_id,
+                     list_sum(list_transform(list_zip(q.qe, c.embedding::DOUBLE[]),
+                              x -> x[1] * x[2]))
+                     / (sqrt(list_sum(list_transform(q.qe, x -> x * x)))
+                        * sqrt(list_sum(list_transform(c.embedding::DOUBLE[],
+                                                       x -> x * x)))) AS rawsim
+              FROM q CROSS JOIN embeddings c),
+            ranked AS (
+              SELECT query_id, vec_id, round(rawsim, 4) AS sim,
+                     row_number() OVER (PARTITION BY query_id
+                                        ORDER BY rawsim DESC, vec_id) AS rank
+              FROM scored)
+            SELECT query_id, vec_id, sim, CAST(rank AS INT) AS rank
+            FROM ranked WHERE rank <= 5""",
+        "mm_video_frames": """
+            SELECT doc_id, CAST(t.range AS INT) AS frame_idx,
+                   CAST(t.range * 1000 AS BIGINT) AS frame_ts_ms
+            FROM documents CROSS JOIN range(5) t""",
+        # dedup_minhash / dedup_simhash / text_fingerprint / knn_* /
+        # mm_image_decode are hash- or UDF-defined (xxhash64 / sha256 seeds
+        # have no DuckDB equivalent) → rows-only driver check; their exact
+        # semantics are pytest-verified against Python oracles in tests/.
+    }

@@ -41,8 +41,8 @@ def _as_list(x) -> list:
 
 def _on_numeric(col: Column, dtype: T.DataType) -> Column:
     """Monotone numeric image of the `on` column for tolerance arithmetic."""
-    if isinstance(dtype, T.TimestampType):
-        return F.unix_micros(col).cast("double") / 1e6
+    if isinstance(dtype, (T.TimestampType, T.TimestampNTZType)):
+        return F.unix_micros(col.cast("timestamp")).cast("double") / 1e6
     if isinstance(dtype, T.DateType):
         return F.unix_date(col).cast("double") * 86400.0
     return col.cast("double")

@@ -105,7 +105,6 @@ class Features:
                 "only for offline label construction")
 
         w_row = Window.partitionBy(*self.by).orderBy(self.order)
-        ts_sec = F.unix_micros(F.col(self.ts)).cast("double") / 1e6
 
         exprs: list[Column] = [F.col(c) for c in df.columns]
         for s in self.specs:
@@ -117,7 +116,7 @@ class Features:
                 e = _AGG[s.fn](s.col).over(
                     w_row.rowsBetween(-(s.k - 1), Window.currentRow))
             elif s.kind == "rolling_time":
-                ts_us = F.unix_micros(F.col(self.ts))
+                ts_us = F.unix_micros(F.col(self.ts).cast("timestamp"))
                 w_rng = (Window.partitionBy(*self.by).orderBy(ts_us)
                          .rangeBetween(-int(s.seconds * 1e6), 0))
                 e = _AGG[s.fn](s.col).over(w_rng)
@@ -125,8 +124,11 @@ class Features:
                 e = _AGG[s.fn](s.col).over(
                     w_row.rowsBetween(Window.unboundedPreceding, Window.currentRow))
             elif s.kind == "session":
-                gap = ts_sec - F.lag(ts_sec).over(w_row)
-                is_new = F.when(gap > F.lit(float(s.seconds)), 1).otherwise(0)
+                # integer-microsecond gap: exact boundary semantics (a double
+                # division could flip `gap > threshold` at representation edges)
+                ts_us = F.unix_micros(F.col(self.ts).cast("timestamp"))
+                gap = ts_us - F.lag(ts_us).over(w_row)
+                is_new = F.when(gap > F.lit(int(s.seconds * 1_000_000)), 1).otherwise(0)
                 e = F.sum(is_new).over(
                     w_row.rowsBetween(Window.unboundedPreceding, Window.currentRow))
             elif s.kind == "backfill":
@@ -161,5 +163,6 @@ def session_stats(df_with_sessions: DataFrame, by="conv_id",
             .agg(F.count(F.lit(1)).alias("n_turns"),
                  F.min(ts).alias("session_start"),
                  F.max(ts).alias("session_end"),
-                 (F.unix_micros(F.max(ts)) - F.unix_micros(F.min(ts)))
+                 (F.unix_micros(F.max(ts).cast("timestamp"))
+                  - F.unix_micros(F.min(ts).cast("timestamp")))
                  .cast("double").alias("duration_us")))

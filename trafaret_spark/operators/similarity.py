@@ -1,0 +1,115 @@
+"""Approximate-nearest-neighbor search over an embedding column.
+
+Two paths over ``array<float>`` embeddings:
+
+  * ``cosine_topk``      — brute-force exact top-k. Query side is broadcast
+                           (queries are always the small side); the corpus is
+                           never shuffled — dot products run scan-side as
+                           native ``zip_with``/``aggregate`` expressions and
+                           top-k is a per-query window. Baseline + oracle.
+  * ``lsh_cosine_topk``  — random-hyperplane LSH: sign-bit bucket key, join
+                           within buckets only (multi-probe via bands), then
+                           exact re-rank inside the candidate set. The scale
+                           path: shuffle is on uniform bucket hashes, corpus
+                           scanned once.
+
+Both keep everything JVM-side. The hyperplanes are deterministic
+(xxhash64-derived pseudo-gaussians) so results are seed-stable with no
+driver-side randomness and no broadcast of a plane matrix.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = ["dot", "l2_norm", "cosine", "cosine_topk", "lsh_cosine_topk"]
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Dot product of two array<numeric> columns (native, codegen'd)."""
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y),
+                       F.lit(0.0), lambda acc, v: acc + v)
+
+
+def l2_norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v * v))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (l2_norm(a) * l2_norm(b))
+
+
+def cosine_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
+                id_col: str = "vec_id", vec_col: str = "embedding",
+                query_id_col: str = "query_id") -> DataFrame:
+    """Exact top-k cosine neighbors for each query vector.
+
+    queries(query_id, embedding) × corpus(vec_id, embedding) →
+    (query_id, vec_id, sim, rank). Query side broadcast; ties broken by
+    vec_id so output is deterministic. Self-matches (same id) are kept —
+    filter upstream if undesired.
+    """
+    q = queries.select(F.col(query_id_col), F.col(vec_col).alias("__qv"))
+    c = corpus.select(F.col(id_col), F.col(vec_col).alias("__cv"))
+    scored = (c.join(F.broadcast(q))
+              .withColumn("sim", cosine(F.col("__qv"), F.col("__cv")))
+              .drop("__qv", "__cv"))
+    w = Window.partitionBy(query_id_col).orderBy(F.desc("sim"), F.asc(id_col))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k))
+
+
+def _hyperplane_sign(vec: Column, plane: int, seed: int) -> Column:
+    """Sign of <v, h_plane> where h_plane[i] is a deterministic pseudo-gaussian
+    from xxhash64(plane, i, seed) — computed inline against the vector, no
+    materialized plane matrix."""
+    idx = F.transform(vec, lambda _, i: i)  # positional index array
+    proj = F.aggregate(
+        F.zip_with(
+            vec, idx,
+            lambda v, i: v * ((F.pmod(F.xxhash64(F.lit(plane), i, F.lit(seed)),
+                                      F.lit(100003)).cast("double") / 50001.5) - 1.0)),
+        F.lit(0.0), lambda acc, x: acc + x)
+    return F.when(proj >= 0, F.lit(1)).otherwise(F.lit(0))
+
+
+def lsh_bucket(vec: Column, nbits: int = 12, seed: int = 7, band: int = 0) -> Column:
+    """Random-hyperplane sign bucket: nbits-bit key per band."""
+    bits = [_hyperplane_sign(vec, band * nbits + p, seed) for p in range(nbits)]
+    key = F.lit(0).cast("long")
+    for b in bits:
+        key = F.shiftleft(key, 1).bitwiseOR(b.cast("long"))
+    return key
+
+
+def lsh_cosine_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
+                    id_col: str = "vec_id", vec_col: str = "embedding",
+                    query_id_col: str = "query_id", nbits: int = 10,
+                    bands: int = 4, seed: int = 7) -> DataFrame:
+    """Approximate top-k: bucket corpus + queries by ``bands`` independent
+    sign-hash keys, join on (band, bucket), exact re-rank in-bucket.
+
+    Recall grows with ``bands`` (multi-probe); shuffle key is uniform by
+    construction. Output schema matches ``cosine_topk`` (rank may have < k
+    rows for low-recall queries — by design for ANN).
+    """
+    def banded(df, idc):
+        return df.select(
+            F.col(idc), F.col(vec_col).alias("__v_" + idc),
+            F.posexplode(F.array(*[
+                lsh_bucket(F.col(vec_col), nbits, seed, band=b)
+                for b in range(bands)])).alias("band", "bucket"))
+
+    c = banded(corpus, id_col)
+    q = banded(queries, query_id_col)
+    cand = (c.join(q, ["band", "bucket"])
+            .select(query_id_col, id_col,
+                    F.col("__v_" + query_id_col).alias("__qv"),
+                    F.col("__v_" + id_col).alias("__cv"))
+            .dropDuplicates([query_id_col, id_col]))
+    scored = (cand.withColumn("sim", cosine(F.col("__qv"), F.col("__cv")))
+              .drop("__qv", "__cv"))
+    w = Window.partitionBy(query_id_col).orderBy(F.desc("sim"), F.asc(id_col))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k))

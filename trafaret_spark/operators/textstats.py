@@ -1,0 +1,121 @@
+"""Text analysis for training-data curation: token counting, quality
+scoring, language ID, document fingerprinting.
+
+Everything is native Column expressions (regex + array ops inside
+whole-stage codegen); nothing shuffles — these are per-row scan-side
+transforms that pipeline into the dedup / validation stages.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = [
+    "token_count", "bpe_ish_token_count", "quality_features",
+    "quality_score", "lang_id", "fingerprint",
+]
+
+# tiny per-language stopword marker sets for the n-gram heuristic
+_LANG_MARKERS = {
+    "en": ("the", "of", "and", "to", "a", "in", "is", "that", "for", "it"),
+    "de": ("der", "die", "das", "und", "ist", "nicht", "ein", "mit", "zu", "ich"),
+    "fr": ("le", "la", "les", "et", "est", "une", "pour", "que", "dans", "des"),
+    "es": ("el", "la", "los", "y", "es", "una", "por", "que", "en", "con"),
+}
+
+
+def token_count(col: Column) -> Column:
+    """Whitespace token count; empty/blank text → 0."""
+    t = F.trim(col)
+    return F.when(t == "", F.lit(0)).otherwise(F.size(F.split(t, r"\s+")))
+
+
+def bpe_ish_token_count(col: Column) -> Column:
+    """BPE-flavored token estimate: split on word / number / single-symbol
+    boundaries (the GPT-2 pre-tokenizer regex family, simplified to what
+    Spark's RE2-ish engine supports)."""
+    pieces = F.regexp_extract_all(
+        col, F.lit(r"([A-Za-z]+|[0-9]|[^A-Za-z0-9\s]|\s+)"), 1)
+    # whitespace runs count 0; ~4 chars/token for long words
+    return F.aggregate(
+        pieces, F.lit(0),
+        lambda acc, p: acc + F.when(F.trim(p) == "", F.lit(0))
+        .otherwise(F.greatest(F.lit(1), (F.length(p) / 4).cast("int"))))
+
+
+def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Adds the standard curation signals: n_chars_norm, n_tokens,
+    avg_token_len, alpha_ratio, punct_ratio, digit_ratio, upper_ratio,
+    stopword_ratio, max_word_repeat_ratio."""
+    t = F.col(text_col)
+    n_chars = F.length(t)
+    toks = F.split(F.trim(F.lower(t)), r"\s+")
+    n_tok = token_count(t)
+    safe_tok = F.greatest(n_tok, F.lit(1)).cast("double")
+    safe_chars = F.greatest(n_chars, F.lit(1)).cast("double")
+    stop = F.array(*[F.lit(w) for w in _LANG_MARKERS["en"]])
+    n_stop = F.size(F.filter(toks, lambda w: F.array_contains(stop, w)))
+    top_word = F.array_max(F.transform(
+        F.array_distinct(toks),
+        lambda w: F.size(F.filter(toks, lambda x: x == w))))
+    return df.select(
+        "*",
+        n_chars.alias("n_chars_norm"),
+        n_tok.alias("n_tokens"),
+        (safe_chars / safe_tok).alias("avg_token_len"),
+        (F.length(F.regexp_replace(t, r"[^A-Za-z]", "")) / safe_chars).alias("alpha_ratio"),
+        (F.length(F.regexp_replace(t, r"[^.,;:!?'\"()\[\]{}-]", "")) / safe_chars).alias("punct_ratio"),
+        (F.length(F.regexp_replace(t, r"[^0-9]", "")) / safe_chars).alias("digit_ratio"),
+        (F.length(F.regexp_replace(t, r"[^A-Z]", "")) / safe_chars).alias("upper_ratio"),
+        (n_stop / safe_tok).alias("stopword_ratio"),
+        (F.when(n_tok > 0, top_word / safe_tok).otherwise(F.lit(1.0))
+         ).alias("max_word_repeat_ratio"),
+    )
+
+
+def quality_score(df: DataFrame, text_col: str = "text",
+                  name: str = "quality") -> DataFrame:
+    """Scalar [0,1] quality score from the standard signals (Gopher-rule
+    flavored: penalize too-short, non-alpha, repetitive docs)."""
+    feat = quality_features(df, text_col)
+    s = (
+        F.when(F.col("n_tokens").between(5, 100000), 0.25).otherwise(0.0)
+        + F.when(F.col("avg_token_len").between(2.0, 12.0), 0.25).otherwise(0.0)
+        + F.when(F.col("alpha_ratio") >= 0.6, 0.25).otherwise(0.0)
+        + F.when(F.col("max_word_repeat_ratio") <= 0.2, 0.25).otherwise(0.0)
+    )
+    return feat.withColumn(name, s)
+
+
+def lang_id(df: DataFrame, text_col: str = "text",
+            name: str = "lang_pred") -> DataFrame:
+    """Marker-word language ID: score each language by stopword hit rate,
+    argmax with 'und' (undetermined) when no marker fires. Pure isin/filter
+    expressions — a cheap first-pass router before a real classifier."""
+    toks = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    scores = []
+    for lang, words in _LANG_MARKERS.items():
+        arr = F.array(*[F.lit(w) for w in words])
+        scores.append(F.struct(
+            (F.size(F.filter(toks, lambda w: F.array_contains(arr, w)))
+             .cast("double") / F.greatest(F.size(toks), F.lit(1))).alias("score"),
+            F.lit(lang).alias("lang")))
+    best = F.array_max(F.array(*scores))  # struct compare: score then lang
+    pred = F.when(best["score"] > 0, best["lang"]).otherwise(F.lit("und"))
+    return df.withColumn(name, pred)
+
+
+def fingerprint(df: DataFrame, text_col: str = "text",
+                name: str = "fingerprint") -> DataFrame:
+    """Order-sensitive rolling-hash document fingerprint (polynomial over
+    token xxhashes mod 2^61-1): robust to whitespace/punct jitter, cheap
+    equality key for near-exact dedup."""
+    m = (1 << 61) - 1
+    toks = F.split(F.trim(F.lower(F.regexp_replace(
+        F.col(text_col), r"[^\p{L}\p{N}]+", " "))), r"\s+")
+    fp = F.aggregate(
+        toks, F.lit(0).cast("long"),
+        lambda acc, t: F.pmod(acc * F.lit(1000003) + F.pmod(F.xxhash64(t), F.lit(m)),
+                              F.lit(m)))
+    return df.withColumn(name, fp)
