@@ -1,0 +1,85 @@
+"""ANN / similarity search vs a numpy brute-force oracle."""
+
+import numpy as np
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from trafaret_spark.operators import similarity
+
+DIM, N = 16, 60
+
+
+def _vecs():
+    rng = np.random.RandomState(7)
+    v = rng.randn(N, DIM)
+    v[1] = v[0] + 0.01 * rng.randn(DIM)   # near-dup of 0
+    v[2] = -v[0]                          # anti-correlated
+    return v
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    v = _vecs()
+    return spark.createDataFrame(
+        [Row(vec_id=i, embedding=[float(x) for x in v[i]]) for i in range(N)])
+
+
+def _oracle_topk(v, qid, k):
+    sims = v @ v[qid] / (np.linalg.norm(v, axis=1) * np.linalg.norm(v[qid]))
+    order = np.lexsort((np.arange(N), -sims))   # sim desc, id asc
+    return [(int(i), float(sims[i])) for i in order[:k]]
+
+
+class TestCosineTopK:
+    def test_matches_numpy(self, corpus):
+        v = _vecs()
+        q = corpus.filter(F.col("vec_id") < 3) \
+            .select(F.col("vec_id").alias("query_id"), "embedding")
+        got = similarity.cosine_topk(corpus, q, k=5).collect()
+        by_q = {}
+        for r in got:
+            by_q.setdefault(r.query_id, []).append((r.rank, r.vec_id, r.sim))
+        for qid in range(3):
+            mine = sorted(by_q[qid])
+            expect = _oracle_topk(v, qid, 5)
+            assert [m[1] for m in mine] == [e[0] for e in expect]
+            for (_, _, s), (_, es) in zip(mine, expect):
+                assert abs(s - es) < 1e-9
+
+    def test_self_is_rank1(self, corpus):
+        q = corpus.filter(F.col("vec_id") == 0) \
+            .select(F.col("vec_id").alias("query_id"), "embedding")
+        top = similarity.cosine_topk(corpus, q, k=2).orderBy("rank").collect()
+        assert top[0].vec_id == 0 and abs(top[0].sim - 1.0) < 1e-9
+        assert top[1].vec_id == 1  # the planted near-dup
+
+
+class TestLshTopK:
+    def test_recall_of_planted_near_dup(self, corpus):
+        q = corpus.filter(F.col("vec_id") == 0) \
+            .select(F.col("vec_id").alias("query_id"), "embedding")
+        got = similarity.lsh_cosine_topk(corpus, q, k=3, nbits=6, bands=6) \
+            .orderBy("rank").collect()
+        ids = [r.vec_id for r in got]
+        assert 0 in ids        # self always shares every bucket
+        assert 1 in ids        # near-identical vector shares sign buckets
+        assert got[0].vec_id == 0
+
+    def test_subset_of_exact_scores(self, corpus):
+        v = _vecs()
+        q = corpus.filter(F.col("vec_id") < 2) \
+            .select(F.col("vec_id").alias("query_id"), "embedding")
+        for r in similarity.lsh_cosine_topk(corpus, q, k=5, nbits=4, bands=3).collect():
+            exact = float(v[r.query_id] @ v[r.vec_id]
+                          / (np.linalg.norm(v[r.query_id]) * np.linalg.norm(v[r.vec_id])))
+            assert abs(r.sim - exact) < 1e-9
+
+
+class TestPrimitives:
+    def test_dot_and_norm(self, spark):
+        df = spark.createDataFrame([Row(a=[1.0, 2.0, 3.0], b=[4.0, 5.0, 6.0])])
+        r = df.select(similarity.dot(F.col("a"), F.col("b")).alias("d"),
+                      similarity.l2_norm(F.col("a")).alias("n")).collect()[0]
+        assert r.d == 32.0
+        assert abs(r.n - 14 ** 0.5) < 1e-12
