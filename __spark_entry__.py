@@ -261,6 +261,28 @@ def q_dedup_simhash(spark, sf_dir):
     return out.select("a", "b", F.col("hamming").cast("int").alias("hamming"))
 
 
+def q_dedup_ngram_jaccard(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    out = dedup.ngram_jaccard_pairs(docs, block_cols=["lang"],
+                                    threshold=0.9, n=1)
+    return out.select("a", "b", F.round("jaccard", 6).alias("jaccard"))
+
+
+def q_dedup_embedding(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings") \
+        .select("vec_id", "label",
+                F.col("embedding").cast("array<double>").alias("embedding"))
+    out = similarity.cosine_neardup(emb, threshold=0.3, block_cols=["label"])
+    return out.select("a", "b", F.round("sim", 4).alias("sim"))
+
+
+def q_dedup_embedding_lsh(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings") \
+        .select("vec_id", F.col("embedding").cast("array<double>").alias("embedding"))
+    out = similarity.cosine_neardup(emb, threshold=0.3, nbits=6, bands=8)
+    return out.select("a", "b", F.round("sim", 4).alias("sim"))
+
+
 def q_text_quality(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     out = textstats.quality_features(docs)
@@ -388,6 +410,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": q_dedup_exact,
         "dedup_minhash": q_dedup_minhash,
         "dedup_simhash": q_dedup_simhash,
+        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+        "dedup_embedding": q_dedup_embedding,
+        "dedup_embedding_lsh": q_dedup_embedding_lsh,
         "text_quality": q_text_quality,
         "text_lang_id": q_text_lang_id,
         "text_tokens": q_text_tokens,
@@ -579,6 +604,33 @@ def oracle_sql() -> dict[str, str]:
             SELECT k.doc_id, k.dup_group, g.group_size,
                    k.doc_id = g.canon AS is_canonical
             FROM k JOIN g USING (dup_group)""",
+        "dedup_ngram_jaccard": r"""
+            WITH t AS (
+              SELECT doc_id, lang,
+                     list_distinct(string_split_regex(trim(regexp_replace(
+                       lower(text), '[^\p{L}\p{N}]+', ' ', 'g')), '\s+')) AS toks
+              FROM documents),
+            p AS (
+              SELECT l.doc_id AS a, r.doc_id AS b,
+                     len(list_intersect(l.toks, r.toks)) AS i,
+                     len(l.toks) + len(r.toks)
+                       - len(list_intersect(l.toks, r.toks)) AS u
+              FROM t l JOIN t r ON l.lang = r.lang AND l.doc_id < r.doc_id)
+            SELECT a, b, round(i::DOUBLE / u, 6) AS jaccard
+            FROM p WHERE i::DOUBLE / u >= 0.9""",
+        "dedup_embedding": """
+            WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v
+                       FROM embeddings),
+            p AS (
+              SELECT l.vec_id AS a, r.vec_id AS b,
+                     list_sum(list_transform(list_zip(l.v, r.v),
+                              x -> x[1] * x[2]))
+                     / (sqrt(list_sum(list_transform(l.v, x -> x * x)))
+                        * sqrt(list_sum(list_transform(r.v, x -> x * x))))
+                       AS rawsim
+              FROM e l JOIN e r ON l.label = r.label AND l.vec_id < r.vec_id)
+            SELECT a, b, round(rawsim, 4) AS sim
+            FROM p WHERE rawsim >= 0.3""",
         "text_quality": rf"""
             WITH t AS (
               SELECT doc_id, text,

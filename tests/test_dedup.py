@@ -122,3 +122,26 @@ class TestSimhash:
             assert got[(3, 4)] == 0
         # oriented pairs only
         assert all(a < b for a, b in got)
+
+
+class TestNgramJaccardPairs:
+    def test_blocked_pairs_match_python_oracle(self, spark):
+        rows = [Row(doc_id=i, text=t, grp=g) for i, (_, t) in enumerate(DOCS)
+                for g in [["x", "y"][i % 2]]]
+        df = spark.createDataFrame(rows)
+        got = {(r.a, r.b): r.jaccard for r in dedup.ngram_jaccard_pairs(
+            df, block_cols=["grp"], threshold=0.0, n=1).collect()}
+        # every oriented same-block pair present, value == python set jaccard
+        for a in range(len(DOCS)):
+            for b in range(a + 1, len(DOCS)):
+                if a % 2 != b % 2:
+                    assert (a, b) not in got
+                    continue
+                assert abs(got[(a, b)] - _jac(DOCS[a][1], DOCS[b][1], n=1)) < 1e-9
+
+    def test_threshold_filters(self, spark, docs):
+        df = docs.withColumn("grp", F.lit("all"))
+        got = {(r.a, r.b) for r in dedup.ngram_jaccard_pairs(
+            df, block_cols=["grp"], threshold=0.9, n=1).collect()}
+        assert (0, 1) in got and (3, 4) in got
+        assert (0, 5) not in got

@@ -83,3 +83,35 @@ class TestPrimitives:
                       similarity.l2_norm(F.col("a")).alias("n")).collect()[0]
         assert r.d == 32.0
         assert abs(r.n - 14 ** 0.5) < 1e-12
+
+
+class TestCosineNeardup:
+    def test_blocked_matches_numpy(self, spark):
+        v = _vecs()
+        df = spark.createDataFrame(
+            [Row(vec_id=i, label=i % 3, embedding=[float(x) for x in v[i]])
+             for i in range(N)])
+        got = {(r.a, r.b): r.sim for r in similarity.cosine_neardup(
+            df, threshold=0.5, block_cols=["label"]).collect()}
+        norms = np.linalg.norm(v, axis=1)
+        expect = {}
+        for a in range(N):
+            for b in range(a + 1, N):
+                if a % 3 != b % 3:
+                    continue
+                s = float(v[a] @ v[b] / (norms[a] * norms[b]))
+                if s >= 0.5:
+                    expect[(a, b)] = s
+        assert set(got) == set(expect)
+        for k in got:
+            assert abs(got[k] - expect[k]) < 1e-9
+        assert (0, 1) not in got  # near-dup planted in different labels (0 vs 1)
+
+    def test_lsh_finds_planted_near_dup(self, spark):
+        v = _vecs()
+        df = spark.createDataFrame(
+            [Row(vec_id=i, embedding=[float(x) for x in v[i]]) for i in range(N)])
+        got = {(r.a, r.b): r.sim for r in similarity.cosine_neardup(
+            df, threshold=0.9, nbits=6, bands=8).collect()}
+        assert (0, 1) in got and got[(0, 1)] > 0.99
+        assert all(s >= 0.9 for s in got.values())

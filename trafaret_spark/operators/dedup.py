@@ -35,7 +35,7 @@ from pyspark.sql import functions as F
 __all__ = [
     "normalize_text", "shingles", "exact_dedup",
     "minhash_signature", "minhash_lsh_candidates", "minhash_dedup",
-    "simhash", "simhash_dedup", "jaccard",
+    "simhash", "simhash_dedup", "jaccard", "ngram_jaccard_pairs",
 ]
 
 _MERSENNE = (1 << 61) - 1
@@ -222,6 +222,39 @@ def minhash_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     cands = minhash_lsh_candidates(df, text_col, id_col, num_hashes, bands, n, seed)
     verified = jaccard(cands, df, text_col, id_col, n)
     return verified.filter(F.col("jaccard") >= threshold)
+
+
+def ngram_jaccard_pairs(df: DataFrame, block_cols: Sequence[str],
+                        text_col: str = "text", id_col: str = "doc_id",
+                        threshold: float = 0.8, n: int = 1) -> DataFrame:
+    """Exact n-gram Jaccard near-dup pairs within blocking-key groups.
+
+    The standalone (non-minhash) Jaccard family: candidate pairs are every
+    oriented (a < b) pair sharing ``block_cols`` (e.g. a language or a
+    length bucket); similarity is exact set Jaccard over distinct word
+    n-gram *strings* — integer arithmetic, bit-for-bit reproducible against
+    any SQL oracle. Per-block pair count is quadratic, so blocks must be
+    bounded (at 100 TB use :func:`minhash_dedup`, whose LSH banding IS the
+    blocking; this operator is its verify stage exposed standalone).
+
+    The self-join shuffles both sides once on ``block_cols``; shingle
+    arrays are materialized scan-side before the join so each document is
+    shingled once, not once per pair.
+    """
+    blocks = [F.col(c) for c in block_cols]
+    sh = df.select(F.col(id_col), *blocks,
+                   shingles(F.col(text_col), n=n).alias("__sh"))
+    a = sh.select(F.col(id_col).alias("a"), *blocks,
+                  F.col("__sh").alias("__sa"))
+    b = sh.select(F.col(id_col).alias("b"), *blocks,
+                  F.col("__sh").alias("__sb"))
+    pairs = a.join(b, list(block_cols)).filter(F.col("a") < F.col("b"))
+    inter = pairs.select("a", "b", "__sa", "__sb",
+                         F.size(F.array_intersect("__sa", "__sb")).alias("__i"))
+    union = F.size("__sa") + F.size("__sb") - F.col("__i")
+    return (inter.withColumn("jaccard", F.col("__i").cast("double") / union)
+            .filter(F.col("jaccard") >= threshold)
+            .drop("__sa", "__sb", "__i"))
 
 
 def simhash(col: Column, bits: int = 32, n: int = 1, seed: int = 99) -> Column:

@@ -23,7 +23,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["dot", "l2_norm", "cosine", "cosine_topk", "lsh_cosine_topk"]
+__all__ = ["dot", "l2_norm", "cosine", "cosine_topk", "lsh_cosine_topk",
+           "cosine_neardup"]
 
 
 def dot(a: Column, b: Column) -> Column:
@@ -58,6 +59,44 @@ def cosine_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
     w = Window.partitionBy(query_id_col).orderBy(F.desc("sim"), F.asc(id_col))
     return (scored.withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= k))
+
+
+def cosine_neardup(df: DataFrame, threshold: float = 0.9,
+                   id_col: str = "vec_id", vec_col: str = "embedding",
+                   block_cols=None, nbits: int = 8, bands: int = 4,
+                   seed: int = 7) -> DataFrame:
+    """Embedding near-duplicate pairs: oriented (a, b, sim) with
+    cosine(a, b) >= threshold.
+
+    Candidate generation is either explicit blocking (``block_cols``, e.g. a
+    cluster label — exact within blocks, SQL-oracle-checkable) or, when
+    ``block_cols`` is None, random-hyperplane LSH banding (the 100 TB path:
+    high-cosine pairs agree on sign bits with probability 1 - θ/π per bit,
+    so near-dups collide in some band; shuffle key is the uniform bucket
+    hash, never an all-pairs cross join). Both paths verify candidates with
+    the exact cosine before thresholding.
+    """
+    if block_cols:
+        blocks = [F.col(c) for c in block_cols]
+        v = df.select(F.col(id_col), *blocks, F.col(vec_col).alias("__v"))
+        a = v.select(F.col(id_col).alias("a"), *blocks, F.col("__v").alias("__va"))
+        b = v.select(F.col(id_col).alias("b"), *blocks, F.col("__v").alias("__vb"))
+        pairs = a.join(b, list(block_cols)).filter(F.col("a") < F.col("b"))
+    else:
+        banded = df.select(
+            F.col(id_col), F.col(vec_col).alias("__v"),
+            F.posexplode(F.array(*[
+                lsh_bucket(F.col(vec_col), nbits, seed, band=bd)
+                for bd in range(bands)])).alias("band", "bucket"))
+        a = banded.select(F.col(id_col).alias("a"), F.col("__v").alias("__va"),
+                          "band", "bucket")
+        b = banded.select(F.col(id_col).alias("b"), F.col("__v").alias("__vb"),
+                          "band", "bucket")
+        pairs = (a.join(b, ["band", "bucket"]).filter(F.col("a") < F.col("b"))
+                 .dropDuplicates(["a", "b"]).drop("band", "bucket"))
+    return (pairs.withColumn("sim", cosine(F.col("__va"), F.col("__vb")))
+            .filter(F.col("sim") >= threshold)
+            .drop("__va", "__vb"))
 
 
 def _hyperplane_sign(vec: Column, plane: int, seed: int) -> Column:
