@@ -18,9 +18,12 @@ Design rules (SURVEY.md §2, §4):
 from trafaret_spark import codes
 from trafaret_spark.guards import (
     Any,
+    AnyString,
     Atom,
     Bool,
+    Bytes,
     Call,
+    Callable,
     Date,
     DateTime,
     DateTimeAny,
@@ -36,11 +39,13 @@ from trafaret_spark.guards import (
     IPv6,
     List,
     Mapping,
+    MongoId,
     Null,
     OnError,
     Regexp,
     RegexpString,
     String,
+    Subclass,
     ToBool,
     ToBytes,
     ToDate,
@@ -49,12 +54,18 @@ from trafaret_spark.guards import (
     ToFloat,
     ToInt,
     Tuple,
+    Type,
     URL,
     URLSafe,
+    WithRepr,
 )
+from trafaret_spark.reshape import fold, unfold
 from trafaret_spark.schema import (
     DictGuard,
+    DictKeys,
+    Forward,
     Key,
+    KeysSubset,
     Schema,
     SchemaError,
     confirm_key,
@@ -62,23 +73,35 @@ from trafaret_spark.schema import (
     subdict,
     xor_key,
 )
-from trafaret_spark.validate import apply_schema, split_valid, validation_metrics
+from trafaret_spark.validate import (
+    GuardError,
+    apply_schema,
+    errors_as_map,
+    errors_json,
+    guard,
+    split_valid,
+    validation_metrics,
+)
 
 __all__ = [
     "codes",
     # guards
     "Guard", "Any", "Null", "Atom", "Enum", "Bool", "ToBool",
     "Int", "ToInt", "Float", "ToFloat", "ToDecimal",
-    "String", "ToBytes", "FromBytes",
+    "String", "Bytes", "AnyString", "ToBytes", "FromBytes",
     "Date", "ToDate", "DateTime", "ToDateTime", "DateTimeAny",
     "Regexp", "RegexpString", "Email", "URL", "Hex", "URLSafe",
-    "IPv4", "IPv6", "IP",
-    "List", "Tuple", "Mapping", "OnError", "Call",
+    "IPv4", "IPv6", "IP", "MongoId",
+    "List", "Tuple", "Mapping", "OnError", "WithRepr", "Call",
+    "Callable", "Type", "Subclass",
     # schema
-    "Key", "Schema", "SchemaError", "DictGuard", "construct",
-    "xor_key", "confirm_key", "subdict",
+    "Key", "Schema", "SchemaError", "DictGuard", "DictKeys", "construct",
+    "xor_key", "confirm_key", "subdict", "KeysSubset", "Forward",
     # validate
     "apply_schema", "split_valid", "validation_metrics",
+    "errors_json", "errors_as_map", "guard", "GuardError",
+    # reshape
+    "unfold", "fold",
 ]
 
 __version__ = "0.1.0"

@@ -36,6 +36,14 @@ DOES_NOT_MATCH_ANY = "does_not_match_any"
 TRAFARET_IS_NOT_SET = "trafaret_is_not_set"
 IS_NOT_CALLABLE = "is_not_callable"
 
+# type assertions (trafaret/base.py:249-266 doctest codes)
+IS_NOT_INSTANCE = "is_not_instance"
+IS_NOT_SUBCLASS = "is_not_subclass"
+
+# contrib MongoId (trafaret/contrib/object_id.py:36-43 literal codes)
+EMPTY_VALUE = "empty_value"
+INVALID_OBJECTID = "invalid_objectid"
+
 # bytes
 IS_NOT_BYTES = "is_not_bytes"
 CANNOT_BE_DECODED = "cannot_be_decoded"

@@ -31,7 +31,7 @@ from __future__ import annotations
 
 import dataclasses
 import re
-from typing import Callable, Optional, Sequence
+from typing import Callable as PyCallable, Optional, Sequence
 
 from pyspark.sql import Column
 from pyspark.sql import functions as F
@@ -43,13 +43,14 @@ __all__ = [
     "Compiled", "Guard", "PlanTimeError",
     "Any", "Null", "Atom", "Enum", "Bool", "ToBool",
     "Int", "ToInt", "Float", "ToFloat", "ToDecimal",
-    "String", "ToBytes", "FromBytes",
+    "String", "Bytes", "AnyString", "ToBytes", "FromBytes",
     "Date", "ToDate", "DateTime", "ToDateTime", "DateTimeAny",
     "Regexp", "RegexpString",
-    "Email", "URL", "Hex", "URLSafe", "IPv4", "IPv6", "IP",
+    "Email", "URL", "Hex", "URLSafe", "IPv4", "IPv6", "IP", "MongoId",
     "List", "Tuple", "Mapping",
-    "And", "Or", "OnError", "Call",
-    "ensure_guard", "err_struct", "ERROR_ENTRY_TYPE",
+    "And", "Or", "OnError", "WithRepr", "Call", "Callable",
+    "Type", "Subclass",
+    "ensure_guard", "err_struct", "ERROR_ENTRY_TYPE", "let",
 ]
 
 
@@ -77,11 +78,32 @@ def _null_err() -> Column:
     return F.lit(None).cast(_ERR_TYPE)
 
 
+def let(expr: Column, body: PyCallable[[Column], Column]) -> Column:
+    """Single-evaluation binding — Spark SQL's missing LET.
+
+    Wraps ``expr`` in a one-element array and binds it to a higher-order-
+    function lambda variable; every reference inside ``body`` is a cheap
+    NamedLambdaVariable lookup instead of a *textual copy* of the expression
+    tree. Without this, nested container guards re-inline their child
+    compile per reference — exponential in nesting depth (a depth-3
+    recursive schema produced an 11 MB expression and a driver OOM).
+    """
+    return F.element_at(F.transform(F.array(expr), body), 1)
+
+
 @dataclasses.dataclass
 class Compiled:
     value: Column
     error: Column          # struct<code,message> or NULL
     dtype: T.DataType
+    # struct<v,e> single-expression form; containers set this so parents can
+    # consume (value, error) through ONE reference (see `let`)
+    packed: Optional[Column] = None
+
+    def as_packed(self) -> Column:
+        if self.packed is not None:
+            return self.packed
+        return F.struct(self.value.alias("v"), self.error.alias("e"))
 
 
 _NUMERIC_TYPES = (
@@ -93,6 +115,23 @@ _INTEGRAL_TYPES = (T.ByteType, T.ShortType, T.IntegerType, T.LongType)
 
 def _is_numeric(dt: T.DataType) -> bool:
     return isinstance(dt, _NUMERIC_TYPES)
+
+
+# output-dtype probe memo: probing (compiling against a NULL literal just to
+# learn the output type) is otherwise re-run per nesting level — exponential
+# Python time for recursive schemas. Keyed by guard identity + input dtype +
+# a generation counter that Forward.provide bumps (a provide can change any
+# downstream output type). Guard refs are pinned so ids stay stable.
+_PROBE_MEMO: dict = {}
+_PROBE_GEN = [0]
+
+
+def probe_dtype(guard: "Guard", dtype: T.DataType) -> T.DataType:
+    key = (id(guard), dtype.simpleString(), _PROBE_GEN[0])
+    if key not in _PROBE_MEMO:
+        _PROBE_MEMO[key] = (
+            guard.compile(F.lit(None).cast(dtype), dtype).dtype, guard)
+    return _PROBE_MEMO[key][0]
 
 
 class Guard:
@@ -396,6 +435,48 @@ class String(Guard):
                 F.length(col) > self.max_length,
                 err_struct(codes.LONG_STRING, f"String is longer than {self.max_length} characters")))
         return Compiled(col, e, dtype)
+
+
+class Bytes(String):
+    """bytes with the String blank/length policy (trafaret/base.py:680-684:
+    ``Bytes(String)`` with ``str_type = (bytes,)``)."""
+
+    def compile(self, col, dtype):
+        if not isinstance(dtype, T.BinaryType):
+            return Compiled(col, err_struct(
+                codes.IS_NOT_A_BYTES_STRING, "value is not a bytes string"), dtype)
+        e = _null_err()
+        if not self.allow_blank:
+            e = F.coalesce(e, F.when(
+                F.length(col) == 0,
+                err_struct(codes.EMPTY_STRING, "blank value is not allowed")))
+        if self.min_length is not None:
+            e = F.coalesce(e, F.when(
+                F.length(col) < self.min_length,
+                err_struct(codes.SHORT_STRING,
+                           f"String is shorter than {self.min_length} characters")))
+        if self.max_length is not None:
+            e = F.coalesce(e, F.when(
+                F.length(col) > self.max_length,
+                err_struct(codes.LONG_STRING,
+                           f"String is longer than {self.max_length} characters")))
+        return Compiled(col, e, dtype)
+
+
+class AnyString(String):
+    """str OR bytes with the String policy (trafaret/base.py:715-716:
+    ``str_type = (bytes, str)``). Dispatches on the column dtype at plan
+    time — the one place the reference's per-value isinstance union becomes
+    a static branch."""
+
+    def compile(self, col, dtype):
+        if isinstance(dtype, T.BinaryType):
+            return Bytes(self.allow_blank, self.min_length,
+                         self.max_length).compile(col, dtype)
+        if isinstance(dtype, T.StringType):
+            return super().compile(col, dtype)
+        return Compiled(col, err_struct(
+            codes.IS_NOT_A_STRING, "value is not a string"), dtype)
 
 
 class ToBytes(Guard):
@@ -703,32 +784,41 @@ class List(Guard):
         if not isinstance(dtype, T.ArrayType):
             return Compiled(col, err_struct(codes.IS_NOT_A_LIST, "value is not a list"), dtype)
         elem_dt = dtype.elementType
-        probe = self.elem.compile(F.lit(None).cast(elem_dt), elem_dt)
-        out_elem_dt = probe.dtype
+        out_elem_dt = probe_dtype(self.elem, elem_dt)
 
-        values = F.transform(col, lambda x: self.elem.compile(x, elem_dt).value)
-        elem_errs = F.zip_with(
-            F.transform(col, lambda x: self.elem.compile(x, elem_dt).error),
-            F.sequence(F.lit(0), F.greatest(F.size(col) - 1, F.lit(0))),
-            lambda e, i: F.when(e.isNotNull(),
-                                F.concat(i.cast("string"), F.lit(": "), e["code"])),
-        )
-        bad = F.array_compact(elem_errs)
+        # the element compiles ONCE (as_packed), and every downstream
+        # reference goes through `let` lambda variables — see `let`
+        inner = F.transform(col, lambda x: self.elem.compile(x, elem_dt).as_packed())
 
-        e = _null_err()
-        if self.min_length:
+        def build(P: Column) -> Column:
+            values = F.transform(P, lambda p: p["v"])
+            elem_errs = F.zip_with(
+                P,
+                F.sequence(F.lit(0), F.greatest(F.size(P) - 1, F.lit(0))),
+                lambda p, i: F.when(p["e"].isNotNull(),
+                                    F.concat(i.cast("string"), F.lit(": "),
+                                             p["e"]["code"])),
+            )
+            bad = F.array_compact(elem_errs)
+            e = _null_err()
+            if self.min_length:
+                e = F.coalesce(e, F.when(
+                    F.size(P) < self.min_length,
+                    err_struct(codes.TOO_SHORT,
+                               f"list length is less than {self.min_length}")))
+            if self.max_length is not None:
+                e = F.coalesce(e, F.when(
+                    F.size(P) > self.max_length,
+                    err_struct(codes.TOO_LONG,
+                               f"list length is greater than {self.max_length}")))
             e = F.coalesce(e, F.when(
-                F.size(col) < self.min_length,
-                err_struct(codes.TOO_SHORT, f"list length is less than {self.min_length}")))
-        if self.max_length is not None:
-            e = F.coalesce(e, F.when(
-                F.size(col) > self.max_length,
-                err_struct(codes.TOO_LONG, f"list length is greater than {self.max_length}")))
-        e = F.coalesce(e, F.when(
-            col.isNotNull() & (F.size(bad) > 0),
-            err_struct(codes.SOME_ELEMENTS_DID_NOT_MATCH, F.concat_ws("; ", bad))))
-        value = F.when(e.isNull(), values)
-        return Compiled(value, e, T.ArrayType(out_elem_dt))
+                P.isNotNull() & (F.size(bad) > 0),
+                err_struct(codes.SOME_ELEMENTS_DID_NOT_MATCH, F.concat_ws("; ", bad))))
+            return F.struct(F.when(e.isNull(), values).alias("v"), e.alias("e"))
+
+        packed = let(inner, build)
+        return Compiled(packed["v"], packed["e"], T.ArrayType(out_elem_dt),
+                        packed=packed)
 
 
 class Tuple(Guard):
@@ -744,40 +834,62 @@ class Tuple(Guard):
         if isinstance(dtype, T.ArrayType):
             elem_dt = dtype.elementType
             compiled = [g.compile(col[i], elem_dt) for i, g in enumerate(self.guards)]
-            arity_err = F.when(
-                col.isNull() | (F.size(col) != n),
-                err_struct(codes.TUPLE_LIKE, f"value must contain {n} items"))
-            pos_errs = [
-                F.when(c.error.isNotNull(),
-                       F.concat(F.lit(f"{i}: "), c.error["code"]))
-                for i, c in enumerate(compiled)
-            ]
-            bad = F.array_compact(F.array(*pos_errs))
-            e = F.coalesce(arity_err, F.when(
-                F.size(bad) > 0,
-                err_struct(codes.SOME_ELEMENTS_DID_NOT_MATCH, F.concat_ws("; ", bad))))
             out_elem = _common_type([c.dtype for c in compiled])
-            value = F.when(e.isNull(),
-                           F.array(*[c.value.cast(out_elem) for c in compiled]))
-            return Compiled(value, e, T.ArrayType(out_elem))
+            # arity predicate bound into the let input — outer attribute
+            # refs inside HOF lambdas resolve late (see schema.Key note)
+            kids = F.struct(
+                (col.isNull() | (F.size(col) != n)).alias("bad_arity"),
+                *[c.as_packed().alias(f"k{i}") for i, c in enumerate(compiled)])
+
+            def build(K: Column) -> Column:
+                pos_errs = [
+                    F.when(K[f"k{i}"]["e"].isNotNull(),
+                           F.concat(F.lit(f"{i}: "), K[f"k{i}"]["e"]["code"]))
+                    for i in range(n)
+                ]
+                bad = F.array_compact(F.array(*pos_errs))
+                arity_err = F.when(K["bad_arity"], err_struct(
+                    codes.TUPLE_LIKE, f"value must contain {n} items"))
+                e = F.coalesce(arity_err, F.when(
+                    F.size(bad) > 0,
+                    err_struct(codes.SOME_ELEMENTS_DID_NOT_MATCH,
+                               F.concat_ws("; ", bad))))
+                value = F.when(e.isNull(), F.array(*[
+                    K[f"k{i}"]["v"].cast(out_elem) for i in range(n)]))
+                return F.struct(value.alias("v"), e.alias("e"))
+
+            packed = let(kids, build)
+            return Compiled(packed["v"], packed["e"], T.ArrayType(out_elem),
+                            packed=packed)
         if isinstance(dtype, T.StructType):
             if len(dtype.fields) != n:
                 return Compiled(col, err_struct(codes.TUPLE_LIKE, f"value must contain {n} items"), dtype)
             compiled = [g.compile(col[f.name], f.dataType)
                         for g, f in zip(self.guards, dtype.fields)]
-            pos_errs = [
-                F.when(c.error.isNotNull(), F.concat(F.lit(f"{i}: "), c.error["code"]))
-                for i, c in enumerate(compiled)
-            ]
-            bad = F.array_compact(F.array(*pos_errs))
-            e = F.when(col.isNull(), err_struct(codes.TUPLE_LIKE, f"value must contain {n} items"))
-            e = F.coalesce(e, F.when(F.size(bad) > 0, err_struct(
-                codes.SOME_ELEMENTS_DID_NOT_MATCH, F.concat_ws("; ", bad))))
-            value = F.when(e.isNull(), F.struct(*[
-                c.value.alias(f.name) for c, f in zip(compiled, dtype.fields)]))
             out = T.StructType([T.StructField(f.name, c.dtype)
                                 for c, f in zip(compiled, dtype.fields)])
-            return Compiled(value, e, out)
+            kids = F.struct(col.isNull().alias("nil"),
+                            *[c.as_packed().alias(f"k{i}")
+                              for i, c in enumerate(compiled)])
+            fields = [f.name for f in dtype.fields]
+
+            def build(K: Column) -> Column:
+                pos_errs = [
+                    F.when(K[f"k{i}"]["e"].isNotNull(),
+                           F.concat(F.lit(f"{i}: "), K[f"k{i}"]["e"]["code"]))
+                    for i in range(n)
+                ]
+                bad = F.array_compact(F.array(*pos_errs))
+                null_err = F.when(K["nil"], err_struct(
+                    codes.TUPLE_LIKE, f"value must contain {n} items"))
+                e = F.coalesce(null_err, F.when(F.size(bad) > 0, err_struct(
+                    codes.SOME_ELEMENTS_DID_NOT_MATCH, F.concat_ws("; ", bad))))
+                value = F.when(e.isNull(), F.struct(*[
+                    K[f"k{i}"]["v"].alias(fields[i]) for i in range(n)]))
+                return F.struct(value.alias("v"), e.alias("e"))
+
+            packed = let(kids, build)
+            return Compiled(packed["v"], packed["e"], out, packed=packed)
         return Compiled(col, err_struct(codes.TUPLE_LIKE, "value must be convertable to tuple"), dtype)
 
 
@@ -792,25 +904,36 @@ class Mapping(Guard):
         if not isinstance(dtype, T.MapType):
             return Compiled(col, err_struct(codes.IS_NOT_A_DICT, "value is not a dict"), dtype)
         kd, vd = dtype.keyType, dtype.valueType
-        k_out = self.key.compile(F.lit(None).cast(kd), kd).dtype
-        v_out = self.value.compile(F.lit(None).cast(vd), vd).dtype
+        k_out = probe_dtype(self.key, kd)
+        v_out = probe_dtype(self.value, vd)
 
-        entries = F.map_entries(col)
-        bad = F.array_compact(F.transform(entries, lambda kv: F.coalesce(
-            F.when(self.key.compile(kv["key"], kd).error.isNotNull(),
-                   F.concat(kv["key"].cast("string"), F.lit(": key: "),
-                            self.key.compile(kv["key"], kd).error["code"])),
-            F.when(self.value.compile(kv["value"], vd).error.isNotNull(),
-                   F.concat(kv["key"].cast("string"), F.lit(": value: "),
-                            self.value.compile(kv["value"], vd).error["code"])),
-        )))
-        e = F.when(col.isNotNull() & (F.size(bad) > 0),
-                   err_struct(codes.MAPPING_FAILED, F.concat_ws("; ", bad)))
-        value = F.when(e.isNull(), F.map_from_arrays(
-            F.transform(F.map_keys(col), lambda k: self.key.compile(k, kd).value),
-            F.transform(F.map_values(col), lambda v: self.value.compile(v, vd).value),
-        ))
-        return Compiled(value, e, T.MapType(k_out, v_out))
+        # one compile per k/v guard, entries packed once, all references
+        # through `let` lambda variables
+        def _pack(kv):
+            return F.struct(kv["key"].cast("string").alias("ks"),
+                            self.key.compile(kv["key"], kd).as_packed().alias("k"),
+                            self.value.compile(kv["value"], vd).as_packed().alias("w"))
+
+        inner = F.transform(F.map_entries(col), _pack)
+
+        def build(P: Column) -> Column:
+            bad = F.array_compact(F.transform(P, lambda p: F.coalesce(
+                F.when(p["k"]["e"].isNotNull(),
+                       F.concat(p["ks"], F.lit(": key: "), p["k"]["e"]["code"])),
+                F.when(p["w"]["e"].isNotNull(),
+                       F.concat(p["ks"], F.lit(": value: "), p["w"]["e"]["code"])),
+            )))
+            e = F.when(P.isNotNull() & (F.size(bad) > 0),
+                       err_struct(codes.MAPPING_FAILED, F.concat_ws("; ", bad)))
+            value = F.when(e.isNull(), F.map_from_arrays(
+                F.transform(P, lambda p: p["k"]["v"]),
+                F.transform(P, lambda p: p["w"]["v"]),
+            ))
+            return F.struct(value.alias("v"), e.alias("e"))
+
+        packed = let(inner, build)
+        return Compiled(packed["v"], packed["e"], T.MapType(k_out, v_out),
+                        packed=packed)
 
 
 # --------------------------------------------------------------------------
@@ -831,10 +954,20 @@ class And(Guard):
 
     def compile(self, col, dtype):
         c1 = self.left.compile(col, dtype)
-        c2 = self.right.compile(c1.value, c1.dtype)
-        error = F.coalesce(c1.error, c2.error)
-        value = F.when(error.isNull(), c2.value)
-        return Compiled(value, error, c2.dtype)
+        out_dtype = probe_dtype(self.right, c1.dtype)
+
+        def build1(p1: Column) -> Column:
+            c2 = self.right.compile(p1["v"], c1.dtype)
+
+            def build2(p2: Column) -> Column:
+                error = F.coalesce(p1["e"], p2["e"])
+                return F.struct(F.when(error.isNull(), p2["v"]).alias("v"),
+                                error.alias("e"))
+
+            return let(c2.as_packed(), build2)
+
+        packed = let(c1.as_packed(), build1)
+        return Compiled(packed["v"], packed["e"], out_dtype, packed=packed)
 
     def describe(self):
         return f"{self.left.describe()} & {self.right.describe()}"
@@ -870,16 +1003,26 @@ class Or(Guard):
     def compile(self, col, dtype):
         compiled = [g.compile(col, dtype) for g in self.guards]
         out = _common_type([c.dtype for c in compiled])
-        value = F.lit(None).cast(out)
-        for c in reversed(compiled):
-            value = F.when(c.error.isNull(), c.value.cast(out)).otherwise(value)
-        all_fail = compiled[0].error.isNotNull()
-        for c in compiled[1:]:
-            all_fail = all_fail & c.error.isNotNull()
-        msg = F.concat_ws("; ", *[
-            F.concat(F.lit(f"{i}: "), c.error["code"]) for i, c in enumerate(compiled)])
-        e = F.when(all_fail, err_struct(codes.NOTHING_MATCH, msg))
-        return Compiled(value, e, out)
+        n = len(compiled)
+        kids = F.struct(*[c.as_packed().alias(f"b{i}")
+                          for i, c in enumerate(compiled)])
+
+        def build(K: Column) -> Column:
+            value = F.lit(None).cast(out)
+            for i in reversed(range(n)):
+                value = F.when(K[f"b{i}"]["e"].isNull(),
+                               K[f"b{i}"]["v"].cast(out)).otherwise(value)
+            all_fail = K["b0"]["e"].isNotNull()
+            for i in range(1, n):
+                all_fail = all_fail & K[f"b{i}"]["e"].isNotNull()
+            msg = F.concat_ws("; ", *[
+                F.concat(F.lit(f"{i}: "), K[f"b{i}"]["e"]["code"])
+                for i in range(n)])
+            e = F.when(all_fail, err_struct(codes.NOTHING_MATCH, msg))
+            return F.struct(value.alias("v"), e.alias("e"))
+
+        packed = let(kids, build)
+        return Compiled(packed["v"], packed["e"], out, packed=packed)
 
     def describe(self):
         return " | ".join(g.describe() for g in self.guards)
@@ -899,11 +1042,129 @@ class OnError(Guard):
 
     def compile(self, col, dtype):
         c = self.guard.compile(col, dtype)
-        e = F.when(c.error.isNotNull(),
-                   err_struct(self.code, self.message) if self.code
-                   else F.struct(c.error["code"].alias("code"),
-                                 F.lit(self.message).alias("message")))
-        return Compiled(c.value, e, c.dtype)
+
+        def build(p: Column) -> Column:
+            e = F.when(p["e"].isNotNull(),
+                       err_struct(self.code, self.message) if self.code
+                       else F.struct(p["e"]["code"].alias("code"),
+                                     F.lit(self.message).alias("message")))
+            return F.struct(p["v"].alias("v"), e.alias("e"))
+
+        packed = let(c.as_packed(), build)
+        return Compiled(packed["v"], packed["e"], c.dtype, packed=packed)
+
+
+class WithRepr(Guard):
+    """Cosmetic repr override around an inner guard (trafaret/base.py:173-182)."""
+
+    def __init__(self, guard, repr_: str):
+        self.guard = ensure_guard(guard)
+        self.repr_ = repr_
+
+    @property
+    def accepts_null(self):
+        return self.guard.accepts_null
+
+    def compile(self, col, dtype):
+        return self.guard.compile(col, dtype)
+
+    def describe(self):
+        return self.repr_
+
+
+class Callable(Guard):
+    """Value-is-callable check (trafaret/base.py:1308-1328). No Spark column
+    can hold a callable, so in the data plane this is a constant failure —
+    kept for API parity; use it only in driver-side ``guard`` schemas where
+    it is checked against real Python values at plan time."""
+
+    def compile(self, col, dtype):
+        return Compiled(col, err_struct(
+            codes.IS_NOT_CALLABLE, "value is not callable"), dtype)
+
+
+_PYTYPE_TO_SPARK = {
+    int: _INTEGRAL_TYPES,
+    float: (T.FloatType, T.DoubleType),
+    str: (T.StringType,),
+    bool: (T.BooleanType,),
+    bytes: (T.BinaryType,),
+    list: (T.ArrayType,),
+    tuple: (T.ArrayType, T.StructType),
+    dict: (T.MapType, T.StructType),
+}
+
+
+class Type(Guard):
+    """isinstance check, decided from the column dtype at plan time
+    (trafaret/base.py:249-266). Accepts a Python type (mapped to its Spark
+    dtype family) or a ``pyspark.sql.types`` DataType class. Mismatch
+    compiles to a constant per-row error — the whole column is the wrong
+    type, so every row fails, mirroring the reference's per-value check."""
+
+    failure_message = "value is not %s"
+    code = codes.IS_NOT_INSTANCE
+
+    def __class_getitem__(cls, type_):
+        return cls(type_)
+
+    def __init__(self, type_):
+        self.type_ = type_
+        if isinstance(type_, type) and issubclass(type_, T.DataType):
+            self._spark_types = (type_,)
+            self._name = type_.__name__
+        elif type_ in _PYTYPE_TO_SPARK:
+            self._spark_types = _PYTYPE_TO_SPARK[type_]
+            self._name = type_.__name__
+        else:
+            raise PlanTimeError(f"Type() cannot map {type_!r} to a Spark dtype")
+
+    def _matches(self, dtype) -> bool:
+        return isinstance(dtype, self._spark_types)
+
+    def compile(self, col, dtype):
+        if self._matches(dtype):
+            return Compiled(col, _null_err(), dtype)
+        return Compiled(col, err_struct(
+            self.code, self.failure_message % self._name), dtype)
+
+    def describe(self):
+        return f"{type(self).__name__}({self._name})"
+
+
+class Subclass(Type):
+    """Dtype-family subclass check (trafaret/base.py:231-246). In the data
+    plane the class hierarchy that exists is the Spark dtype tree, so
+    ``Subclass[T.NumericType]`` passes any numeric column."""
+
+    failure_message = "value is not subclass of %s"
+    code = codes.IS_NOT_SUBCLASS
+
+
+class MongoId(Guard):
+    """BSON ObjectId as its canonical 24-hex-char string
+    (trafaret/contrib/object_id.py:8-43). Coerces to lowercase hex.
+    Delta vs the reference: ``allow_blank=True`` passes NULL through
+    instead of generating a fresh ObjectId (non-deterministic driver-side
+    generation has no place in a distributed plan)."""
+
+    def __init__(self, allow_blank: bool = False):
+        self.allow_blank = allow_blank
+
+    @property
+    def accepts_null(self):
+        return self.allow_blank
+
+    def compile(self, col, dtype):
+        s = F.lower(col.cast("string"))
+        ok = s.rlike(r"^[0-9a-f]{24}$")
+        e = F.when(col.isNull(),
+                   _null_err() if self.allow_blank else err_struct(
+                       codes.EMPTY_VALUE, "blank value is not allowed")) \
+            .otherwise(F.when(~ok, err_struct(
+                codes.INVALID_OBJECTID,
+                "value must be a 24-character hex string")))
+        return Compiled(F.when(ok, s), e, T.StringType())
 
 
 class Call(Guard):
@@ -916,7 +1177,7 @@ class Call(Guard):
     Spark type of the returned values.
     """
 
-    def __init__(self, fn: Callable, return_type, code: str = "call_failed"):
+    def __init__(self, fn: PyCallable, return_type, code: str = "call_failed"):
         self.fn = fn
         self.return_type = (return_type if isinstance(return_type, T.DataType)
                             else T._parse_datatype_string(return_type))

@@ -41,11 +41,13 @@ from trafaret_spark.guards import (
     _null_err,
     ensure_guard,
     err_struct,
+    let,
 )
 
 __all__ = [
     "Key", "Schema", "SchemaError", "DictGuard", "construct",
     "xor_key", "confirm_key", "subdict", "CompiledKey",
+    "Forward", "DictKeys", "KeysSubset",
 ]
 
 _EMPTY = object()
@@ -71,6 +73,17 @@ class CompiledKey:
     dtype: T.DataType
     entry: Column          # struct<path,code,message> or NULL
     touched: tuple         # source columns consumed
+    # struct<v,e> single-expression form (see guards.let); e is the raw
+    # struct<code,message> without the path
+    packed: Optional[Column] = None
+
+    def as_packed(self) -> Column:
+        if self.packed is not None:
+            return self.packed
+        e = F.when(self.entry.isNotNull(), F.struct(
+            self.entry["code"].alias("code"),
+            self.entry["message"].alias("message")))
+        return F.struct(self.value.alias("v"), e.alias("e"))
 
 
 class Key:
@@ -112,19 +125,31 @@ class Key:
         if has_default:
             src = F.coalesce(src, F.lit(default_val).cast(dtype))
         c = self.guard.compile(src, dtype)
-        if self.guard.accepts_null or has_default:
-            entry = _entry(out, c.error)
-            value = c.value
-        elif self.optional:
-            # null = absent: skip the guard, emit null, no error
-            entry = _entry(out, F.when(src.isNotNull(), c.error))
-            value = F.when(src.isNotNull(), c.value)
-        else:
-            required = F.when(src.isNull(),
-                              err_struct(codes.REQUIRED, "is required"))
-            entry = _entry(out, F.coalesce(required, c.error))
-            value = c.value
-        return CompiledKey(out, value, c.dtype, entry, (self.name,))
+
+        # src-dependent conditions are BOUND INTO the let input: an outer
+        # attribute referenced inside a HOF lambda body resolves late, and
+        # if the enclosing select aliases an output column to the same name
+        # the lambda binds to the (coerced) output instead of the input
+        inner = F.struct(c.as_packed().alias("p"), src.isNull().alias("nil"))
+
+        def build(b: Column) -> Column:
+            p, src_null = b["p"], b["nil"]
+            if self.guard.accepts_null or has_default:
+                e, value = p["e"], p["v"]
+            elif self.optional:
+                # null = absent: skip the guard, emit null, no error
+                e = F.when(~src_null, p["e"])
+                value = F.when(~src_null, p["v"])
+            else:
+                required = F.when(src_null,
+                                  err_struct(codes.REQUIRED, "is required"))
+                e = F.coalesce(required, p["e"])
+                value = p["v"]
+            return F.struct(value.alias("v"), e.alias("e"))
+
+        pk = let(inner, build)
+        return CompiledKey(out, pk["v"], c.dtype, _entry(out, pk["e"]),
+                           (self.name,), packed=pk)
 
 
 class _CrossFieldKey:
@@ -202,6 +227,94 @@ class subdict(_CrossFieldKey):
         touched = tuple(t for p in parts for t in p.touched)
         return [CompiledKey(self.name, F.when(child_err.isNull(), value),
                             self.dtype, _entry(self.name, child_err), touched)]
+
+
+class KeysSubset(_CrossFieldKey):
+    """Multi-key cross-field rule emitting reshaped output keys
+    (trafaret/keys.py:5-40): consume ``names`` source columns, emit the
+    columns returned by ``transform``.
+
+    ``transform(*source_cols)`` returns ``{out_name: Column}`` or
+    ``{out_name: (Column, error_Column)}`` where the error Column is a
+    ``err_struct(...)``-shaped struct (NULL = pass) — the engine analogue of
+    the reference's yield-a-DataError-per-key protocol. ``dtypes`` maps
+    out_name → Spark type (default string).
+    """
+
+    def __init__(self, *names: str, transform: Callable[..., dict],
+                 dtypes: Optional[dict] = None):
+        self.names = names
+        self.transform = transform
+        self.dtypes = dtypes or {}
+
+    def compile(self, columns, get):
+        srcs = [get(n) if n in columns else F.lit(None).cast("string")
+                for n in self.names]
+        touched = tuple(n for n in self.names if n in columns)
+        out = self.transform(*srcs)
+        result = []
+        for name, v in out.items():
+            value, err = v if isinstance(v, tuple) else (v, _null_err_struct())
+            dt = self.dtypes.get(name, "string")
+            dt = dt if isinstance(dt, T.DataType) else T._parse_datatype_string(dt)
+            result.append(CompiledKey(name, F.when(err.isNull(), value), dt,
+                                      _entry(name, err), touched))
+        return result
+
+
+def _null_err_struct() -> Column:
+    return F.lit(None).cast("struct<code:string,message:string>")
+
+
+class Forward(Guard):
+    """Recursive schema reference (trafaret/base.py:1369-1418):
+    ``node << DictGuard(name=String(), children=List(node))``.
+
+    Recursion is bounded by the *input dtype* — Spark struct types are
+    finite trees, so compilation unrolls exactly as deep as the column's
+    actual type and stops where the nested field is absent (the reference
+    unrolls per-value at runtime instead). ``max_depth`` is a safety cap
+    for pathological plans.
+    """
+
+    def __init__(self, max_depth: int = 24):
+        self.guard: Optional[Guard] = None
+        self.max_depth = max_depth
+        self._depth = 0
+
+    def __lshift__(self, guard):
+        self.provide(guard)
+
+    def provide(self, guard):
+        if self.guard is not None:
+            raise PlanTimeError("guard for Forward is already specified")
+        self.guard = ensure_guard(guard)
+        from trafaret_spark.guards import _PROBE_GEN
+        _PROBE_GEN[0] += 1  # downstream probe dtypes may have changed
+
+    def compile(self, col, dtype):
+        if self.guard is None:
+            return Compiled(col, err_struct(
+                codes.TRAFARET_IS_NOT_SET, "trafaret not set yet"), dtype)
+        if self._depth >= self.max_depth:
+            raise SchemaError(
+                f"Forward recursion exceeds max_depth={self.max_depth}")
+        self._depth += 1
+        try:
+            return self.guard.compile(col, dtype)
+        finally:
+            self._depth -= 1
+
+    def describe(self):
+        return "Forward(...)" if self._depth else \
+            f"Forward({self.guard.describe() if self.guard else None})"
+
+
+def DictKeys(names: Sequence[str]) -> "Schema":
+    """Require exactly this column set, values unchecked
+    (trafaret/base.py:1224-1232): missing → 'required', extra → plan-time
+    NOT_ALLOWED via the default extras='raise' policy."""
+    return Schema(*[Key(n) for n in names], extras="raise")
 
 
 class Schema:
@@ -294,17 +407,29 @@ class DictGuard(Guard):
             if got is None:
                 continue
             compiled.extend(got if isinstance(got, (list, tuple)) else [got])
-        bad = F.array_compact(F.array(*[
-            F.when(ck.entry.isNotNull(),
-                   F.concat(ck.entry["path"], F.lit(": "), ck.entry["code"]))
-            for ck in compiled]))
-        e = F.when(col.isNull(), err_struct(codes.IS_NOT_A_DICT, "value is not a dict"))
-        e = F.coalesce(e, F.when(F.size(bad) > 0, err_struct(
-            codes.SOME_ELEMENTS_DID_NOT_MATCH, F.concat_ws("; ", bad))))
-        value = F.when(e.isNull(), F.struct(*[
-            ck.value.cast(ck.dtype).alias(ck.out_name) for ck in compiled]))
         out = T.StructType([T.StructField(ck.out_name, ck.dtype) for ck in compiled])
-        return Compiled(value, e, out)
+        # col.isNull() is bound into the let input (see Key.compile note on
+        # late attribute resolution inside HOF lambdas)
+        kids = F.struct(col.isNull().alias("nil"),
+                        *[ck.as_packed().alias(f"f{i}")
+                          for i, ck in enumerate(compiled)])
+
+        def build(K: Column) -> Column:
+            bad = F.array_compact(F.array(*[
+                F.when(K[f"f{i}"]["e"].isNotNull(),
+                       F.concat(F.lit(f"{ck.out_name}: "), K[f"f{i}"]["e"]["code"]))
+                for i, ck in enumerate(compiled)]))
+            null_err = F.when(K["nil"], err_struct(
+                codes.IS_NOT_A_DICT, "value is not a dict"))
+            e = F.coalesce(null_err, F.when(F.size(bad) > 0, err_struct(
+                codes.SOME_ELEMENTS_DID_NOT_MATCH, F.concat_ws("; ", bad))))
+            value = F.when(e.isNull(), F.struct(*[
+                K[f"f{i}"]["v"].cast(ck.dtype).alias(ck.out_name)
+                for i, ck in enumerate(compiled)]))
+            return F.struct(value.alias("v"), e.alias("e"))
+
+        packed = let(kids, build)
+        return Compiled(packed["v"], packed["e"], out, packed=packed)
 
 
 def construct(arg, top: bool = True):

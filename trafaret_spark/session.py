@@ -24,6 +24,9 @@ ENGINE_CONF = {
     "spark.sql.execution.arrow.pyspark.enabled": "true",
     # generous broadcast ceiling for dimension tables; AQE may still demote
     "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
+    # deep nested-schema compiles produce large expression trees; the JVM
+    # default 1g driver heap is the binding constraint, not the data
+    "spark.driver.memory": "8g",
     "spark.ui.enabled": "false",
 }
 

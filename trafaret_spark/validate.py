@@ -8,14 +8,17 @@ per bad value (trafaret/dataerror.py:4-63), every row carries an
 
 from __future__ import annotations
 
+import functools
+import inspect
 from typing import Tuple as TupleT
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from trafaret_spark.schema import Schema
+from trafaret_spark.schema import Key, Schema
 
-__all__ = ["apply_schema", "split_valid", "validation_metrics", "is_valid_col"]
+__all__ = ["apply_schema", "split_valid", "validation_metrics", "is_valid_col",
+           "errors_json", "errors_as_map", "guard", "GuardError"]
 
 
 def apply_schema(df: DataFrame, schema: Schema, errors_col: str = "errors") -> DataFrame:
@@ -61,3 +64,73 @@ def validation_metrics(validated: DataFrame, errors_col: str = "errors") -> Data
     ).select(F.expr(
         "stack(2, '', '_total_', total, '', '_valid_', valid) AS (path, code, n_rows)"))
     return per_code.unionByName(totals)
+
+
+def errors_json(errors_col: str = "errors") -> Column:
+    """JSON serialization of the per-row errors array — the engine's
+    ``DataError.to_struct()`` (trafaret/dataerror.py:41-53): a
+    machine-readable {path, code, message} list per row."""
+    return F.to_json(F.col(errors_col))
+
+
+def errors_as_map(errors_col: str = "errors") -> Column:
+    """map<path, struct<code,message>> view of the errors array — the
+    engine's ``DataError.as_dict()`` (trafaret/dataerror.py:55-63)."""
+    e = F.col(errors_col)
+    return F.map_from_entries(F.transform(
+        e, lambda x: F.struct(
+            x["path"].alias("key"),
+            F.struct(x["code"].alias("code"),
+                     x["message"].alias("message")).alias("value"))))
+
+
+class GuardError(ValueError):
+    """Raised by ``guard``-protected functions on invalid kwargs
+    (trafaret/base.py:1421-1427). ``errors`` maps arg name → (code, message)."""
+
+    def __init__(self, errors: dict):
+        self.errors = errors
+        super().__init__(str(errors))
+
+
+def guard(schema: Schema = None, **kw_guards):
+    """Decorator validating/coercing function kwargs through a Schema
+    (trafaret/base.py:1430-1502) — the driver-side configuration-validation
+    surface (job params, not the data plane). Evaluates the compiled Column
+    expressions on a one-row local-relation DataFrame: no job is launched
+    (Catalyst folds a single-row LocalRelation on the driver), and the guard
+    semantics are byte-identical to the data-plane stage because it IS the
+    data-plane stage.
+
+    >>> @guard(path=ts.String(), n=ts.ToInt(gte=1))
+    ... def run(path, n="8"): ...
+    """
+    if schema is not None and kw_guards:
+        raise RuntimeError("choose one way of initialization, schema or kwargs")
+    sch = schema or Schema(*[Key(n, g) for n, g in kw_guards.items()],
+                           extras="allow")
+
+    def wrapper(fn):
+        sig = inspect.signature(fn)
+
+        @functools.wraps(fn)
+        def decor(*args, **kwargs):
+            bound = sig.bind(*args, **kwargs)
+            bound.apply_defaults()
+            call_args = dict(bound.arguments)
+            spark = SparkSession.getActiveSession()
+            if spark is None:
+                raise RuntimeError("guard() needs an active SparkSession")
+            df = spark.createDataFrame([tuple(call_args.values())],
+                                       list(call_args))
+            row = apply_schema(df, sch).collect()[0]
+            errs = {e["path"]: (e["code"], e["message"]) for e in row["errors"]}
+            if errs:
+                raise GuardError(errs)
+            converted = {k: v for k, v in row.asDict().items() if k != "errors"}
+            return fn(**converted)
+
+        decor.__doc__ = (f"guarded with {sch!r}\n\n" + (fn.__doc__ or ""))
+        return decor
+
+    return wrapper
