@@ -134,6 +134,117 @@ def q_v_key_default(spark, sf_dir):
     return out.select("event_id", "channel")
 
 
+def q_v_list(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    df = ev.select("event_id",
+                   F.sequence(F.lit(1), (F.col("event_id") % 5 + 1).cast("int"))
+                   .cast("array<bigint>").alias("xs"))
+    out = ts.Schema(ts.Key("event_id", ts.Int()),
+                    ts.Key("xs", ts.List(ts.Int(lte=3), max_length=4))).apply(df)
+    return out.select(
+        "event_id",
+        F.when(F.col("xs").isNotNull(), F.size("xs")).alias("n_xs"),
+        _err_code())
+
+
+def q_v_tuple(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    df = ev.select("event_id", F.struct("user_id", "event_type").alias("pair"))
+    out = ts.Schema(
+        ts.Key("event_id", ts.Int()),
+        ts.Key("pair", ts.Tuple(ts.Int(gte=0), ts.Enum(*EVENT_TYPES)))).apply(df)
+    return out.select("event_id",
+                      F.col("pair")["user_id"].alias("uid"),
+                      F.col("pair")["event_type"].alias("etype"), _err_code())
+
+
+def q_v_mapping(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    df = ev.select("event_id", F.create_map("event_type", "value").alias("m"))
+    out = ts.Schema(ts.Key("event_id", ts.Int()),
+                    ts.Key("m", ts.Mapping(ts.String(), ts.Float(lte=100.0)))).apply(df)
+    return out.select("event_id", F.element_at(F.map_keys("m"), 1).alias("mkey"), _err_code())
+
+
+def q_v_email(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    addr = (F.when(F.col("event_id") % 7 == 0, F.lit("not an email"))
+            .otherwise(F.concat(F.lit("user"), F.col("event_id"),
+                                F.lit("@example.com"))))
+    df = ev.select("event_id", addr.alias("addr"))
+    out = ts.Schema(ts.Key("event_id", ts.Int()),
+                    ts.Key("addr", ts.Email())).apply(df)
+    return out.select("event_id", "addr", _err_code())
+
+
+def q_v_atom_onerror(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    chan = F.when(F.col("event_id") % 4 == 0, F.lit("app")).otherwise(F.lit("web"))
+    df = ev.select("event_id", chan.alias("chan"))
+    out = ts.Schema(
+        ts.Key("event_id", ts.Int()),
+        ts.Key("chan", ts.OnError(ts.Atom("web"), "must be web",
+                                  code="bad_channel"))).apply(df)
+    return out.select("event_id", "chan", _err_code())
+
+
+def q_v_construct(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    df = ev.select("event_id", F.col("value").cast("string").alias("value"),
+                   "event_type")
+    schema = ts.construct({"event_id": int, "value": float, "event_type": str})
+    out = schema.apply(df)
+    return out.select("event_id", F.round("value", 6).alias("value"),
+                      "event_type", _err_code())
+
+
+def q_v_xor_key(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    a = F.when(F.col("event_id") % 3 == 0, F.col("value"))
+    b = F.when(F.col("event_id") % 2 == 0, F.col("value") * 2)
+    df = ev.select("event_id", a.alias("a"), b.alias("b"))
+    out = ts.Schema(ts.Key("event_id", ts.Int()),
+                    ts.xor_key("a", "b", ts.Float(), to_name="ab")).apply(df)
+    return out.select("event_id", F.round("ab", 6).alias("ab"), _err_code())
+
+
+def q_v_keyssubset(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    df = ev.select("event_id",
+                   F.concat(F.lit("u"), F.col("user_id")).alias("first"),
+                   F.concat(F.lit("x"), F.col("event_id")).alias("last"))
+    out = ts.Schema(
+        ts.Key("event_id", ts.Int()),
+        ts.KeysSubset("first", "last",
+                      transform=lambda f, l: {"name": F.concat_ws(" ", f, l)})
+    ).apply(df)
+    return out.select("event_id", "name")
+
+
+def q_v_mongoid(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    raw = (F.when(F.col("event_id") % 13 == 0, F.lit("not-hex"))
+           .otherwise(F.substring(F.md5(F.col("event_id").cast("string")), 1, 24)))
+    df = ev.select("event_id", raw.alias("oid"))
+    out = ts.Schema(ts.Key("event_id", ts.Int()),
+                    ts.Key("oid", ts.MongoId())).apply(df)
+    return out.select("event_id", "oid", _err_code())
+
+
+def q_v_bytes(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    out = ts.Schema(ts.Key("doc_id", ts.Int()),
+                    ts.Key("text", ts.ToBytes(), to_name="payload"),
+                    extras="ignore").apply(docs)
+    return out.select("doc_id", F.length("payload").alias("n_bytes"), _err_code())
+
+
+def q_reshape_unfold(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    nested = docs.select("doc_id", F.struct("lang", "source").alias("meta"))
+    return ts.unfold(nested)
+
+
 # --------------------------------------------------------------------------
 # E5-E10: windowed point-in-time features over `events`
 # (key = user_id, order = event_id — equivalent to ts order, unique)
@@ -393,6 +504,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "v_todatetime": q_v_todatetime,
         "v_regexp": q_v_regexp,
         "v_key_default": q_v_key_default,
+        "v_list": q_v_list,
+        "v_tuple": q_v_tuple,
+        "v_mapping": q_v_mapping,
+        "v_email": q_v_email,
+        "v_atom_onerror": q_v_atom_onerror,
+        "v_construct": q_v_construct,
+        "v_xor_key": q_v_xor_key,
+        "v_keyssubset": q_v_keyssubset,
+        "v_mongoid": q_v_mongoid,
+        "v_bytes": q_v_bytes,
+        "reshape_unfold": q_reshape_unfold,
         # E5-E10 features
         "f_lag": q_f_lag,
         "f_rolling": q_f_rolling,
@@ -436,7 +558,9 @@ _ES_STOP = "('el','la','los','y','es','una','por','que','en','con')"
 def oracle_sql() -> dict[str, str]:
     return {
         "v_enum_role": f"""
-            SELECT event_id, event_type,
+            SELECT event_id,
+                   CASE WHEN event_type IN {_EV_LIST}
+                        THEN event_type END AS event_type,
                    event_type IN {_EV_LIST} AS valid,
                    CASE WHEN event_type IN {_EV_LIST} THEN NULL
                         ELSE 'does_not_match_any' END AS err_code
@@ -509,6 +633,71 @@ def oracle_sql() -> dict[str, str]:
             FROM documents""",
         "v_key_default": """
             SELECT event_id, 'web' AS channel FROM events""",
+        "v_list": """
+            WITH g AS (SELECT event_id, event_id % 5 + 1 AS n FROM events)
+            SELECT event_id,
+                   CASE WHEN n <= 3 THEN n END AS n_xs,
+                   CASE WHEN n > 4 THEN 'too_long'
+                        WHEN n = 4 THEN 'some_elements_did_not_match'
+                   END AS err_code
+            FROM g""",
+        "v_tuple": """
+            SELECT event_id,
+                   CASE WHEN event_type IN ('click','view','signup','purchase')
+                        THEN user_id END AS uid,
+                   CASE WHEN event_type IN ('click','view','signup','purchase')
+                        THEN event_type END AS etype,
+                   CASE WHEN event_type NOT IN ('click','view','signup','purchase')
+                        THEN 'some_elements_did_not_match' END AS err_code
+            FROM events""",
+        "v_mapping": """
+            SELECT event_id,
+                   CASE WHEN value <= 100.0 THEN event_type END AS mkey,
+                   CASE WHEN value > 100.0 THEN 'mapping_failed' END AS err_code
+            FROM events""",
+        "v_email": """
+            SELECT event_id,
+                   CASE WHEN event_id % 7 = 0 THEN NULL
+                        ELSE 'user' || event_id || '@example.com' END AS addr,
+                   CASE WHEN event_id % 7 = 0
+                        THEN 'is_not_valid_email' END AS err_code
+            FROM events""",
+        "v_atom_onerror": """
+            SELECT event_id,
+                   CASE WHEN event_id % 4 = 0 THEN NULL ELSE 'web' END AS chan,
+                   CASE WHEN event_id % 4 = 0 THEN 'bad_channel' END AS err_code
+            FROM events""",
+        "v_construct": """
+            SELECT event_id, round(value, 6) AS value, event_type,
+                   CAST(NULL AS VARCHAR) AS err_code
+            FROM events""",
+        "v_xor_key": """
+            SELECT event_id,
+                   CASE WHEN event_id % 6 = 0 THEN NULL
+                        WHEN event_id % 3 = 0 THEN round(value, 6)
+                        WHEN event_id % 2 = 0 THEN round(value * 2, 6)
+                   END AS ab,
+                   CASE WHEN event_id % 6 = 0 THEN 'only_one_must_be_defined'
+                        WHEN event_id % 3 != 0 AND event_id % 2 != 0
+                        THEN 'one_is_required' END AS err_code
+            FROM events""",
+        "v_keyssubset": """
+            SELECT event_id, 'u' || user_id || ' ' || 'x' || event_id AS name
+            FROM events""",
+        "v_mongoid": """
+            SELECT event_id,
+                   CASE WHEN event_id % 13 = 0 THEN NULL
+                        ELSE substr(md5(event_id::VARCHAR), 1, 24) END AS oid,
+                   CASE WHEN event_id % 13 = 0
+                        THEN 'invalid_objectid' END AS err_code
+            FROM events""",
+        "v_bytes": """
+            SELECT doc_id, octet_length(encode(text)) AS n_bytes,
+                   CAST(NULL AS VARCHAR) AS err_code
+            FROM documents""",
+        "reshape_unfold": """
+            SELECT doc_id, lang AS meta__lang, source AS meta__source
+            FROM documents""",
         "f_lag": """
             SELECT event_id, user_id,
                    lag(value, 1) OVER w AS value_lag1,

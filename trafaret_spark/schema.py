@@ -145,7 +145,11 @@ class Key:
                                   err_struct(codes.REQUIRED, "is required"))
                 e = F.coalesce(required, p["e"])
                 value = p["v"]
-            return F.struct(value.alias("v"), e.alias("e"))
+            # engine-wide convention: a key's output value is NULL whenever
+            # that key has an error entry (trafaret raises instead — the
+            # failed value is never observable, so null is the faithful
+            # columnar recast; guards themselves are inconsistent about it)
+            return F.struct(F.when(e.isNull(), value).alias("v"), e.alias("e"))
 
         pk = let(inner, build)
         return CompiledKey(out, pk["v"], c.dtype, _entry(out, pk["e"]),
