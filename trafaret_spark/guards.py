@@ -621,7 +621,23 @@ class DateTimeAny(Guard):
         if not isinstance(dtype, T.StringType):
             return Compiled(col.cast("timestamp"),
                             err_struct(codes.NOT_DATETIME, "value is not datetime"), out)
-        parsed = F.coalesce(*[F.to_timestamp(F.trim(col), f) for f in self.FORMATS])
+        c = F.trim(col)
+        # fast path: the native string→timestamp cast is a single hand-written
+        # exception-free parser covering every ISO-8601-ish shape ('T' or
+        # space, optional fraction, optional zone offset, date-only). A
+        # to_timestamp(fmt) try-cascade costs a thrown-caught exception per
+        # failed format per row — measured 2.7× slower on the validation
+        # stage. Non-ISO shapes are gated behind cheap charset probes so
+        # their formatter only ever runs on rows the cast missed.
+        parsed = F.coalesce(
+            c.cast("timestamp"),
+            F.when(c.contains("/"),
+                   F.coalesce(F.to_timestamp(c, "yyyy/MM/dd HH:mm:ss"),
+                              F.to_timestamp(c, "yyyy/MM/dd"))),
+            F.when(c.rlike(r"^\d{2}\.\d{2}\.\d{4}"),
+                   F.coalesce(F.to_timestamp(c, "dd.MM.yyyy HH:mm:ss"),
+                              F.to_timestamp(c, "dd.MM.yyyy"))),
+        )
         e = F.when(col.isNotNull() & parsed.isNull(),
                    err_struct(codes.NOT_DATETIME, "value is not datetime"))
         return Compiled(parsed, e, out)
@@ -954,6 +970,16 @@ class And(Guard):
 
     def compile(self, col, dtype):
         c1 = self.left.compile(col, dtype)
+        # leaf children (no packed form) compose as plain codegen-able
+        # expressions — duplication is a bounded constant. Only container
+        # children (packed set) pay the HOF `let` (which drops that subtree
+        # out of whole-stage codegen but keeps it single-copy).
+        if c1.packed is None:
+            c2 = self.right.compile(c1.value, c1.dtype)
+            if c2.packed is None:
+                error = F.coalesce(c1.error, c2.error)
+                value = F.when(error.isNull(), c2.value)
+                return Compiled(value, error, c2.dtype)
         out_dtype = probe_dtype(self.right, c1.dtype)
 
         def build1(p1: Column) -> Column:
@@ -1004,6 +1030,19 @@ class Or(Guard):
         compiled = [g.compile(col, dtype) for g in self.guards]
         out = _common_type([c.dtype for c in compiled])
         n = len(compiled)
+        if all(c.packed is None for c in compiled):
+            # leaf branches: plain when-chain, stays in codegen (see And)
+            value = F.lit(None).cast(out)
+            for c in reversed(compiled):
+                value = F.when(c.error.isNull(), c.value.cast(out)).otherwise(value)
+            all_fail = compiled[0].error.isNotNull()
+            for c in compiled[1:]:
+                all_fail = all_fail & c.error.isNotNull()
+            msg = F.concat_ws("; ", *[
+                F.concat(F.lit(f"{i}: "), c.error["code"])
+                for i, c in enumerate(compiled)])
+            e = F.when(all_fail, err_struct(codes.NOTHING_MATCH, msg))
+            return Compiled(value, e, out)
         kids = F.struct(*[c.as_packed().alias(f"b{i}")
                           for i, c in enumerate(compiled)])
 
@@ -1042,6 +1081,12 @@ class OnError(Guard):
 
     def compile(self, col, dtype):
         c = self.guard.compile(col, dtype)
+        if c.packed is None:
+            e = F.when(c.error.isNotNull(),
+                       err_struct(self.code, self.message) if self.code
+                       else F.struct(c.error["code"].alias("code"),
+                                     F.lit(self.message).alias("message")))
+            return Compiled(c.value, e, c.dtype)
 
         def build(p: Column) -> Column:
             e = F.when(p["e"].isNotNull(),

@@ -126,10 +126,31 @@ class Key:
             src = F.coalesce(src, F.lit(default_val).cast(dtype))
         c = self.guard.compile(src, dtype)
 
-        # src-dependent conditions are BOUND INTO the let input: an outer
-        # attribute referenced inside a HOF lambda body resolves late, and
-        # if the enclosing select aliases an output column to the same name
-        # the lambda binds to the (coerced) output instead of the input
+        if c.packed is None:
+            # leaf guard: plain codegen-able composition (bounded duplication)
+            if self.guard.accepts_null or has_default:
+                e, value = c.error, c.value
+            elif self.optional:
+                # null = absent: skip the guard, emit null, no error
+                e = F.when(src.isNotNull(), c.error)
+                value = F.when(src.isNotNull(), c.value)
+            else:
+                required = F.when(src.isNull(),
+                                  err_struct(codes.REQUIRED, "is required"))
+                e = F.coalesce(required, c.error)
+                value = c.value
+            # engine-wide convention: a key's output value is NULL whenever
+            # that key has an error entry (trafaret raises instead — the
+            # failed value is never observable, so null is the faithful
+            # columnar recast; guards themselves are inconsistent about it)
+            return CompiledKey(out, F.when(e.isNull(), value), c.dtype,
+                               _entry(out, e), (self.name,))
+
+        # container/composed guard: single-copy via `let`. src-dependent
+        # conditions are BOUND INTO the let input: an outer attribute
+        # referenced inside a HOF lambda body resolves late, and if the
+        # enclosing select aliases an output column to the same name the
+        # lambda binds to the (coerced) output instead of the input
         inner = F.struct(c.as_packed().alias("p"), src.isNull().alias("nil"))
 
         def build(b: Column) -> Column:
@@ -137,7 +158,6 @@ class Key:
             if self.guard.accepts_null or has_default:
                 e, value = p["e"], p["v"]
             elif self.optional:
-                # null = absent: skip the guard, emit null, no error
                 e = F.when(~src_null, p["e"])
                 value = F.when(~src_null, p["v"])
             else:
@@ -145,10 +165,6 @@ class Key:
                                   err_struct(codes.REQUIRED, "is required"))
                 e = F.coalesce(required, p["e"])
                 value = p["v"]
-            # engine-wide convention: a key's output value is NULL whenever
-            # that key has an error entry (trafaret raises instead — the
-            # failed value is never observable, so null is the faithful
-            # columnar recast; guards themselves are inconsistent about it)
             return F.struct(F.when(e.isNull(), value).alias("v"), e.alias("e"))
 
         pk = let(inner, build)

@@ -27,6 +27,13 @@ ENGINE_CONF = {
     # deep nested-schema compiles produce large expression trees; the JVM
     # default 1g driver heap is the binding constraint, not the data
     "spark.driver.memory": "8g",
+    # wide generated validation projections can fill the default 240 MB JIT
+    # code cache; when it fills, HotSpot silently disables compilation and
+    # every task thread drops to the interpreter (measured 10× slowdowns
+    # with wild run-to-run variance). Size it up and let it flush.
+    "spark.driver.extraJavaOptions":
+        "-XX:ReservedCodeCacheSize=512m -XX:+UseCodeCacheFlushing "
+        "-XX:-DontCompileHugeMethods",
     "spark.ui.enabled": "false",
 }
 
