@@ -402,8 +402,19 @@ class Schema:
         array (the vectorized analogue of Dict.transform's error dict,
         trafaret/base.py:1132-1179)."""
         compiled, keep_extra = self.compile(df)
-        entries = F.array_compact(F.array(*[ck.entry for ck in compiled])) \
-            if compiled else F.array().cast(T.ArrayType(ERROR_ENTRY_TYPE))
+        # concat-of-conditional-arrays, NOT array_compact: array_compact
+        # desugars to a higher-order function (CodegenFallback), and one
+        # CodegenFallback expression disqualifies the WHOLE projection from
+        # whole-stage codegen — measured interpreted-mode validation
+        empty = F.array().cast(T.ArrayType(ERROR_ENTRY_TYPE))
+        if compiled:
+            entries = F.concat(*[
+                F.when(ck.entry.isNotNull(),
+                       F.array(ck.entry).cast(T.ArrayType(ERROR_ENTRY_TYPE)))
+                .otherwise(empty)
+                for ck in compiled])
+        else:
+            entries = empty
         cols = [ck.value.cast(ck.dtype).alias(ck.out_name) for ck in compiled]
         cols += [F.col(c) for c in keep_extra]
         cols.append(entries.cast(T.ArrayType(ERROR_ENTRY_TYPE)).alias(errors_col))
