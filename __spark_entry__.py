@@ -307,6 +307,23 @@ def q_f_session_stats(spark, sf_dir):
                       F.col("duration_us").cast("long").alias("duration_us"))
 
 
+def q_f_salted_agg(spark, sf_dir):
+    from trafaret_spark import partitioning
+    ev = _t(spark, sf_dir, "events")
+    out = partitioning.salted_agg(
+        ev, "user_id",
+        {"n_events": ("count", "event_id"),
+         "val_sum": ("sum", "value"),
+         "val_max": ("max", "value"),
+         "val_avg": ("avg", "value")},
+        buckets=8)
+    return out.select("user_id",
+                      F.col("n_events").cast("long").alias("n_events"),
+                      F.round("val_sum", 4).alias("val_sum"),
+                      F.round("val_max", 6).alias("val_max"),
+                      F.round("val_avg", 4).alias("val_avg"))
+
+
 # --------------------------------------------------------------------------
 # E4: as-of joins (left = view events, right = purchase events, by user)
 # --------------------------------------------------------------------------
@@ -523,6 +540,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "f_sessionize": q_f_sessionize,
         "f_backfill": q_f_backfill,
         "f_session_stats": q_f_session_stats,
+        "f_salted_agg": q_f_salted_agg,
         # E4 as-of
         "asof_backward": q_asof_backward,
         "asof_forward": q_asof_forward,
@@ -759,6 +777,12 @@ def oracle_sql() -> dict[str, str]:
                    min(ts) AS session_start, max(ts) AS session_end,
                    epoch_us(max(ts)) - epoch_us(min(ts)) AS duration_us
             FROM s GROUP BY user_id, session_id""",
+        "f_salted_agg": """
+            SELECT user_id, count(event_id) AS n_events,
+                   round(sum(value), 4) AS val_sum,
+                   round(max(value), 6) AS val_max,
+                   round(avg(value), 4) AS val_avg
+            FROM events GROUP BY user_id""",
         "asof_backward": """
             SELECT l.event_id, round(r.value, 6) AS value_r
             FROM (SELECT * FROM events WHERE event_type = 'view') l
