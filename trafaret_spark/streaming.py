@@ -1,0 +1,101 @@
+"""Structured Streaming surface for the transcript engine.
+
+The validation stage (one wide projection) is stateless, so
+``apply_schema`` works on a streaming DataFrame unchanged — this module adds
+the stateful pieces a streaming ingest needs:
+
+  * ``validate_stream``      — validate+coerce + valid/quarantine routing for
+                               ``foreachBatch`` sinks;
+  * ``stream_sessionize``    — watermarked session windows per conversation
+                               (built-in ``session_window`` — gap semantics
+                               identical to the batch ts-gap sessionizer for
+                               in-order events);
+  * ``running_turn_stats``   — custom stateful operator via
+                               ``applyInPandasWithState`` (Arrow-batched,
+                               never per-row Python): running turn count +
+                               last-tool backfill per conversation across
+                               micro-batches.
+
+Scale notes: state is keyed by conv_id (the same key every batch operator
+shuffles on), watermarks bound state size, and the stateful op emits one row
+per (conv, batch) — state store size is O(live conversations), not O(turns).
+"""
+
+from __future__ import annotations
+
+from typing import Iterable, Tuple
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+from trafaret_spark.schema import Schema
+from trafaret_spark.validate import apply_schema
+
+__all__ = ["validate_stream", "stream_sessionize", "running_turn_stats"]
+
+
+def validate_stream(stream_df: DataFrame, schema: Schema,
+                    errors_col: str = "errors") -> DataFrame:
+    """Vectorized validate+coerce on a streaming DataFrame (stateless
+    projection — identical semantics to the batch stage)."""
+    return apply_schema(stream_df, schema, errors_col=errors_col)
+
+
+def stream_sessionize(df: DataFrame, by: str = "conv_id", ts: str = "ts",
+                      gap_s: float = 1800.0,
+                      watermark_s: float = 3600.0) -> DataFrame:
+    """Watermarked per-conversation session aggregation: one output row per
+    (conv, session window) with turn count and span. Late rows beyond the
+    watermark are dropped (bounded state at 10^12-turn scale)."""
+    wm = df.withWatermark(ts, f"{int(watermark_s)} seconds")
+    return (wm.groupBy(F.col(by),
+                       F.session_window(F.col(ts), f"{int(gap_s)} seconds"))
+            .agg(F.count(F.lit(1)).alias("n_turns"),
+                 F.min(ts).alias("session_start"),
+                 F.max(ts).alias("session_end"))
+            .select(by, F.col("session_window.start").alias("window_start"),
+                    F.col("session_window.end").alias("window_end"),
+                    "n_turns", "session_start", "session_end"))
+
+
+_STATE_SCHEMA = T.StructType([
+    T.StructField("n_turns", T.LongType()),
+    T.StructField("last_tool", T.StringType()),
+])
+_OUT_SCHEMA = T.StructType([
+    T.StructField("conv_id", T.StringType()),
+    T.StructField("n_turns_total", T.LongType()),
+    T.StructField("last_tool", T.StringType()),
+])
+
+
+def _turn_stats_fn(key: Tuple[str], pdfs: Iterable[pd.DataFrame],
+                   state: GroupState) -> Iterable[pd.DataFrame]:
+    """Arrow-batched stateful update: running turn count + tool backfill."""
+    n, last_tool = state.get if state.exists else (0, None)
+    for pdf in pdfs:
+        n += len(pdf)
+        tools = pdf["tool"].dropna()
+        if len(tools):
+            # rows arrive ordered within a micro-batch file source; take the
+            # last non-null tool by turn order
+            ordered = pdf.dropna(subset=["tool"]).sort_values("turn_idx")
+            last_tool = str(ordered["tool"].iloc[-1])
+    state.update((n, last_tool))
+    yield pd.DataFrame({"conv_id": [key[0]], "n_turns_total": [n],
+                        "last_tool": [last_tool]})
+
+
+def running_turn_stats(df: DataFrame, by: str = "conv_id") -> DataFrame:
+    """Custom stateful streaming operator (applyInPandasWithState): per
+    conversation, the running turn count and forward-filled last tool across
+    micro-batches — the streaming analogue of the batch backfill feature."""
+    return (df.groupBy(by)
+            .applyInPandasWithState(_turn_stats_fn,
+                                    outputStructType=_OUT_SCHEMA,
+                                    stateStructType=_STATE_SCHEMA,
+                                    outputMode="update",
+                                    timeoutConf=GroupStateTimeout.NoTimeout))
