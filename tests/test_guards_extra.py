@@ -262,3 +262,52 @@ class TestReshape:
     def test_unfold_prefix(self, spark):
         df = spark.createDataFrame([(1,)], "a int")
         assert ts.unfold(df, prefix="form").columns == ["form__a"]
+
+
+class TestDateTimeAny:
+    """Engine DateTimeAny vs the reference contrib RFC-3339 DateTime
+    (dateutil-based). The engine covers the ISO/slash/dotted matrix as
+    native expressions; dateutil's long tail ('March 1 2026', fuzzy parses)
+    is a documented non-goal (SURVEY.md §2.1 #20)."""
+
+    SUPPORTED = [
+        "2026-03-01T10:00:00.123456",
+        "2026-03-01T10:00:00",
+        "2026-03-01 10:00:00.123456",
+        "2026-03-01 10:00:00",
+        "2026-03-01 10:00",
+        "2026-03-01",
+        "2026/03/01 10:00:00",
+        "2026/03/01",
+    ]
+    # accepted by both, but dotted dates are day-first in the engine
+    # (dd.MM.yyyy) vs dateutil's US month-first default — documented delta
+    AMBIGUOUS = ["01.03.2026 10:00:00", "01.03.2026"]
+    REJECTED = ["garbage", "", "32.13.2026"]
+
+    def test_supported_matrix_parity(self, spark):
+        from trafaret.contrib.rfc_3339 import DateTime as RefDT
+        got = one_col(spark, self.SUPPORTED, "string", ts.DateTimeAny())
+        ref = RefDT()
+        for raw, (acc, val) in zip(self.SUPPORTED, got):
+            assert acc, raw
+            expected = ref.check(raw)
+            assert val.replace(tzinfo=None) == expected.replace(tzinfo=None), \
+                (raw, val, expected)
+
+    def test_ambiguous_dotted_dates_day_first(self, spark):
+        import datetime as dt
+        got = one_col(spark, self.AMBIGUOUS, "string", ts.DateTimeAny())
+        assert all(acc for acc, _ in got)
+        assert got[1][1] == dt.datetime(2026, 3, 1)  # day-first
+
+    def test_rejections(self, spark):
+        got = one_col(spark, self.REJECTED, "string", ts.DateTimeAny())
+        for raw, (acc, code) in zip(self.REJECTED, got):
+            assert not acc and code in ("not_datetime", "empty_string"), (raw, code)
+
+    def test_passthrough_on_timestamp_dtype(self, spark):
+        import datetime as dt
+        got = one_col(spark, [dt.datetime(2026, 3, 1, 10)], "timestamp",
+                      ts.DateTimeAny())
+        assert got[0] == (True, dt.datetime(2026, 3, 1, 10))
