@@ -239,6 +239,17 @@ def q_v_bytes(spark, sf_dir):
     return out.select("doc_id", F.length("payload").alias("n_bytes"), _err_code())
 
 
+def q_v_metrics(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    schema = ts.Schema(
+        ts.Key("event_id", ts.Int(gte=0)),
+        ts.Key("event_type", ts.Enum(*EVENT_TYPES)),
+        ts.Key("value", ts.ToFloat(gte=5.0)),
+        extras="ignore")
+    out = ts.validation_metrics(ts.apply_schema(ev, schema))
+    return out.select("path", "code", F.col("n_rows").cast("long").alias("n_rows"))
+
+
 def q_reshape_unfold(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     nested = docs.select("doc_id", F.struct("lang", "source").alias("meta"))
@@ -531,6 +542,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "v_keyssubset": q_v_keyssubset,
         "v_mongoid": q_v_mongoid,
         "v_bytes": q_v_bytes,
+        "v_metrics": q_v_metrics,
         "reshape_unfold": q_reshape_unfold,
         # E5-E10 features
         "f_lag": q_f_lag,
@@ -713,6 +725,24 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, octet_length(encode(text)) AS n_bytes,
                    CAST(NULL AS VARCHAR) AS err_code
             FROM documents""",
+        "v_metrics": f"""
+            WITH e AS (
+              SELECT CASE WHEN event_type NOT IN {_EV_LIST}
+                          THEN 'does_not_match_any' END AS etype_err,
+                     CASE WHEN value < 5.0 THEN 'too_small' END AS val_err
+              FROM events)
+            SELECT * FROM (
+              SELECT 'event_type' AS path, etype_err AS code,
+                     count(*) AS n_rows
+              FROM e WHERE etype_err IS NOT NULL GROUP BY etype_err
+              UNION ALL
+              SELECT 'value' AS path, val_err AS code, count(*) AS n_rows
+              FROM e WHERE val_err IS NOT NULL GROUP BY val_err
+              UNION ALL
+              SELECT '' AS path, '_total_' AS code, count(*) AS n_rows FROM e
+              UNION ALL
+              SELECT '' AS path, '_valid_' AS code, count(*) AS n_rows
+              FROM e WHERE etype_err IS NULL AND val_err IS NULL)""",
         "reshape_unfold": """
             SELECT doc_id, lang AS meta__lang, source AS meta__source
             FROM documents""",

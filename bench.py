@@ -116,6 +116,14 @@ def main() -> None:
     def dedup_minhash():
         _sink(dedup.minhash_dedup(docs_pq, threshold=0.5))
 
+    def dedup_ngram_jaccard():
+        _sink(dedup.ngram_jaccard_pairs(docs_pq, block_cols=["lang"],
+                                        threshold=0.9, n=1))
+
+    def embedding_neardup():
+        _sink(similarity.cosine_neardup(emb_pq, threshold=0.3,
+                                        nbits=6, bands=8))
+
     def knn_cosine():
         q = emb_pq.filter(F.col("vec_id") < 20) \
             .select(F.col("vec_id").alias("query_id"), "embedding")
@@ -129,6 +137,8 @@ def main() -> None:
         "window_suite": window_suite,
         "asof_events": asof_events,
         "dedup_minhash": dedup_minhash,
+        "dedup_ngram_jaccard": dedup_ngram_jaccard,
+        "embedding_neardup": embedding_neardup,
         "knn_cosine": knn_cosine,
     }
 

