@@ -29,6 +29,8 @@ from __future__ import annotations
 
 from typing import Optional, Sequence
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -132,16 +134,43 @@ def _coeffs(num_hashes: int, seed: int) -> list:
 
 def minhash_from_hashes(hs: Column, num_hashes: int = 64,
                         seed: int = 17) -> Column:
-    """K affine-permutation minima over a *materialized* hash array column.
-    Pass an attribute (not a nested expression): each of the K perms
-    references ``hs``, so an inlined expression would be evaluated K times.
-    """
-    def perm(a: int, b: int) -> Column:
-        return F.array_min(F.transform(
-            hs, lambda h: F.pmod(F.pmod(h, F.lit(_M31)) * F.lit(a) + F.lit(b),
-                                 F.lit(_M31))))
+    """K affine-permutation minima over a hash array column → array<long>.
 
-    return F.array(*[perm(a, b) for a, b in _coeffs(num_hashes, seed)])
+    Arrow-batched numpy kernel: the K permutations broadcast over the
+    flattened batch ``(a[:,None]*h + b[:,None]) % M31`` with per-row
+    ``minimum.reduceat`` segments. The previous per-perm Column transform
+    evaluated K·|shingles| interpreted HOF lambdas per row (~50M evals for
+    5k docs × 64 perms — the dominant cost of the minhash pass). int64 is
+    exact: h < 2^31 after the mod, a < 2^31, so a·h < 2^62.
+    """
+    coeffs = _coeffs(num_hashes, seed)
+    A = np.array([a for a, _ in coeffs], dtype=np.int64)
+    B = np.array([b for _, b in coeffs], dtype=np.int64)
+    PERM_CHUNK = 16  # bound the K×total_hashes broadcast to ~100 MB/batch
+
+    @F.pandas_udf("array<long>")
+    def _sig(col: pd.Series) -> pd.Series:
+        n = len(col)
+        if n == 0:
+            return pd.Series([], dtype=object)
+        raw = col.tolist()
+        null_mask = [a is None or len(a) == 0 for a in raw]
+        arrs = [np.array([0], dtype=np.int64) if m else
+                np.asarray(a, dtype=np.int64) for a, m in zip(raw, null_mask)]
+        lens = np.array([len(a) for a in arrs], dtype=np.int64)
+        flat = np.concatenate(arrs) if len(arrs) else np.empty(0, np.int64)
+        hm = flat % _M31
+        starts = np.zeros(n, dtype=np.int64)
+        np.cumsum(lens[:-1], out=starts[1:])
+        out = np.empty((num_hashes, n), dtype=np.int64)
+        for lo in range(0, num_hashes, PERM_CHUNK):
+            hi = min(lo + PERM_CHUNK, num_hashes)
+            p = (A[lo:hi, None] * hm[None, :] + B[lo:hi, None]) % _M31
+            out[lo:hi] = np.minimum.reduceat(p, starts, axis=1)
+        return pd.Series([None if null_mask[i] else out[:, i]
+                          for i in range(n)])
+
+    return _sig(hs)
 
 
 def minhash_lsh_candidates(df: DataFrame, text_col: str = "text",
