@@ -54,11 +54,12 @@ def test_asof_matches_pandas_merge_asof(spark, case):
         tolerance=pd.Timedelta(seconds=tolerance) if tolerance else None,
         allow_exact_matches=exact)
 
-    # pandas picks the LAST right row among exact-ts ties; our window picks
-    # the one latest in (ts, side) order — same choice for rv values only if
-    # tie rows agree. To keep the property exact, collapse right-side ts ties
-    # to their last row (pandas semantics) before feeding Spark.
-    rpd_dedup = rpd.groupby(["conv_id", "ts"], as_index=False).last()
+    # among exact-ts right ties pandas picks the LAST row for backward and
+    # the FIRST for forward; our window's pick among ties is tie-order
+    # dependent. To keep the property exact, collapse right-side ts ties to
+    # the row pandas would choose before feeding Spark.
+    pick = "last" if direction == "backward" else "first"
+    rpd_dedup = rpd.groupby(["conv_id", "ts"], as_index=False).agg(pick)
 
     ldf = spark.createDataFrame(lpd)
     rdf = spark.createDataFrame(rpd_dedup,
