@@ -75,3 +75,36 @@ def test_asof_matches_pandas_merge_asof(spark, case):
         e, g = expect["rv"].iloc[i], got["rv_r"].iloc[i]
         assert (pd.isna(e) and pd.isna(g)) or e == g, \
             (i, e, g, direction, tolerance, exact)
+
+
+@pytest.mark.usefixtures("spark")
+@settings(max_examples=15, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture,
+                                 HealthCheck.too_slow])
+@given(make_strategy())
+def test_tie_break_reproduces_pandas_exactly(spark, case):
+    """With tie_break = input-order index, the engine matches merge_asof on
+    DUPLICATED right timestamps too (no collapsing needed)."""
+    lrows, rrows, direction, tolerance, exact = case
+    lpd = to_pandas(lrows, "lv").sort_values("ts").reset_index(drop=True)
+    rpd = to_pandas(rrows, "rv").sort_values("ts").reset_index(drop=True)
+    lpd["rid"] = range(len(lpd))
+    rpd["tb"] = range(len(rpd))  # merge_asof tie rule = input order
+
+    expect = pd.merge_asof(
+        lpd, rpd.drop(columns=["tb"]), on="ts", by="conv_id",
+        direction=direction,
+        tolerance=pd.Timedelta(seconds=tolerance) if tolerance else None,
+        allow_exact_matches=exact)
+
+    ldf = spark.createDataFrame(lpd)
+    rdf = spark.createDataFrame(rpd, "conv_id string, ts timestamp, rv long, tb long")
+    got = asof_join(ldf, rdf, on="ts", by="conv_id", direction=direction,
+                    tolerance=tolerance, suffix="_r",
+                    allow_exact_matches=exact, tie_break="tb").toPandas()
+    got = got.sort_values("rid").reset_index(drop=True)
+    expect = expect.sort_values("rid").reset_index(drop=True)
+    for i in range(len(expect)):
+        e, g = expect["rv"].iloc[i], got["rv_r"].iloc[i]
+        assert (pd.isna(e) and pd.isna(g)) or e == g, \
+            (i, e, g, direction, tolerance, exact)

@@ -58,12 +58,20 @@ def asof_join(
     suffix: str = "",
     allow_exact_matches: bool = True,
     strategy: str = "sort",
+    tie_break: Optional[str] = None,
 ) -> DataFrame:
     """As-of join `right` onto `left`.
 
     tolerance: max |l.on - r.on| in seconds (for timestamp `on`) or in the
     column's own units (numeric `on`). Matches outside tolerance null out,
     like pandas.merge_asof.
+
+    tie_break: optional right-side column that makes the pick among right
+    rows with EQUAL `on` values deterministic — the row with the greatest
+    tie_break wins for backward, the least for forward (pandas.merge_asof
+    picks the last/first *input-order* tied row; pass an input-order index
+    to reproduce it exactly). Without it the choice among exact ties is
+    partition-order dependent.
     """
     if direction not in ("backward", "forward"):
         raise ValueError(f"direction must be backward|forward, got {direction!r}")
@@ -76,15 +84,19 @@ def asof_join(
     if clash:
         raise ValueError(f"output columns {sorted(clash)} clash with left; pass a suffix")
 
+    if tie_break is not None and tie_break not in right.columns:
+        raise ValueError(f"tie_break column {tie_break!r} not on right side")
     if strategy == "broadcast":
         return _asof_broadcast(left, right, on, by, direction, tolerance,
-                               payload_cols, out_names, allow_exact_matches)
+                               payload_cols, out_names, allow_exact_matches,
+                               tie_break)
     return _asof_sort(left, right, on, by, direction, tolerance,
-                      payload_cols, out_names, allow_exact_matches)
+                      payload_cols, out_names, allow_exact_matches, tie_break)
 
 
 def _asof_sort(left, right, on, by, direction, tolerance,
-               payload_cols, out_names, allow_exact_matches) -> DataFrame:
+               payload_cols, out_names, allow_exact_matches,
+               tie_break=None) -> DataFrame:
     on_dtype = dict(zip(left.columns, [f.dataType for f in left.schema.fields]))[on]
 
     r2 = right.select(
@@ -104,8 +116,16 @@ def _asof_sort(left, right, on, by, direction, tolerance,
     # running last()); non-exact → left first (right at equal ts invisible)
     side_order = F.col(_SIDE).asc() if allow_exact_matches else F.col(_SIDE).desc()
     on_order = F.col(on).asc() if direction == "backward" else F.col(on).desc()
+    order_cols = [on_order, side_order]
+    if tie_break is not None:
+        # running last() keeps the final tied right row it sees: ascending
+        # tie puts the greatest last (backward = pandas 'last tied row'),
+        # descending puts the least last (forward = pandas 'first tied row')
+        tb = F.col(_PAYLOAD)[tie_break]
+        order_cols.append(tb.asc_nulls_first() if direction == "backward"
+                          else tb.desc_nulls_first())
     w = (Window.partitionBy(*by)
-         .orderBy(on_order, side_order)
+         .orderBy(*order_cols)
          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
     matched = F.last(_PAYLOAD, ignorenulls=True).over(w)
 
@@ -125,7 +145,8 @@ def _asof_sort(left, right, on, by, direction, tolerance,
 
 
 def _asof_broadcast(left, right, on, by, direction, tolerance,
-                    payload_cols, out_names, allow_exact_matches) -> DataFrame:
+                    payload_cols, out_names, allow_exact_matches,
+                    tie_break=None) -> DataFrame:
     on_dtype = dict(zip(left.columns, [f.dataType for f in left.schema.fields]))[on]
     # NOTE: monotonically_increasing_id is stable within one action but not
     # across task retries; the sort strategy is the default for exactly-once
@@ -149,7 +170,12 @@ def _asof_broadcast(left, right, on, by, direction, tolerance,
     payload = F.struct(r_on.alias(_RON),
                        *[F.col(f"__r.{c}") for c in payload_cols])
     joined = l2.join(F.broadcast(right.alias("__r")), cond, "left")
-    pick = F.max_by(payload, r_on) if direction == "backward" else F.min_by(payload, r_on)
+    # lexicographic struct ordering: (on, tie_break) — max_by picks the last
+    # tied row (backward/pandas), min_by the first (forward/pandas)
+    pick_key = r_on if tie_break is None else \
+        F.struct(r_on, F.col(f"__r.{tie_break}"))
+    pick = F.max_by(payload, pick_key) if direction == "backward" \
+        else F.min_by(payload, pick_key)
     best = (joined.groupBy(_LID)
             .agg(*[F.first(F.col(f"__l.{c}"), ignorenulls=False).alias(c)
                    for c in left.columns],
