@@ -298,20 +298,38 @@ def simhash(col: Column, bits: int = 32, n: int = 1, seed: int = 99) -> Column:
 
 
 def simhash_from_hashes(toks: Column, bits: int = 32) -> Column:
-    """Sign-vote fold over a materialized token-hash array column (pass an
-    attribute — each bit's vote references ``toks``)."""
-    def _vote(b: int):
-        return lambda acc, h: acc + F.when(
-            F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1,
-            F.lit(1)).otherwise(F.lit(-1))
+    """Per-bit sign-vote over a token-hash array column → bigint fingerprint.
 
-    fp = F.lit(0).cast("long")
-    for b in range(bits):
-        vote = F.aggregate(toks, F.lit(0), _vote(b))
-        fp = fp.bitwiseOR(
-            F.when(vote > 0, F.shiftleft(F.lit(1).cast("long"), b))
-            .otherwise(F.lit(0).cast("long")))
-    return fp
+    Arrow-batched numpy kernel (same rationale as ``minhash_from_hashes``:
+    a per-bit Column fold costs bits·|tokens| interpreted HOF lambda evals
+    per row): flattened-batch bit extraction + per-row ``add.reduceat``
+    vote sums, sign-packed into one long.
+    """
+    shifts = np.arange(bits, dtype=np.int64)
+    packer = (np.int64(1) << shifts)
+
+    @F.pandas_udf("long")
+    def _fp(col: pd.Series) -> pd.Series:
+        n = len(col)
+        if n == 0:
+            return pd.Series([], dtype="int64")
+        raw = col.tolist()
+        null_mask = [a is None or len(a) == 0 for a in raw]
+        arrs = [np.array([0], dtype=np.int64) if m else
+                np.asarray(a, dtype=np.int64) for a, m in zip(raw, null_mask)]
+        lens = np.array([len(a) for a in arrs], dtype=np.int64)
+        flat = np.concatenate(arrs)
+        starts = np.zeros(n, dtype=np.int64)
+        np.cumsum(lens[:-1], out=starts[1:])
+        # votes[r, b] = sum over row r tokens of ±1 for bit b
+        bitvals = ((flat[:, None] >> shifts[None, :]) & 1) * 2 - 1  # total×bits
+        votes = np.add.reduceat(bitvals, starts, axis=0)            # n×bits
+        fp = ((votes > 0) * packer).sum(axis=1)
+        return pd.Series(
+            [pd.NA if null_mask[i] else fp[i] for i in range(n)],
+            dtype="Int64")
+
+    return _fp(toks)
 
 
 def simhash_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
