@@ -311,3 +311,18 @@ class TestDateTimeAny:
         got = one_col(spark, [dt.datetime(2026, 3, 1, 10)], "timestamp",
                       ts.DateTimeAny())
         assert got[0] == (True, dt.datetime(2026, 3, 1, 10))
+
+
+class TestSchemaMerge:
+    def test_merge_key_union(self, spark):
+        df = spark.createDataFrame([(1, "a")], "k long, v string")
+        s1 = ts.Schema(ts.Key("k", ts.Int()))
+        s2 = ts.Schema(ts.Key("v", ts.String()))
+        merged = s1 + s2
+        out = ts.apply_schema(df, merged)
+        row = out.collect()[0]
+        assert row["errors"] == [] and row["k"] == 1 and row["v"] == "a"
+        # reference parity: Dict merge is key-set union (base.py:1200-1221)
+        import trafaret as t
+        ref = t.Dict(k=t.Int) + t.Dict(v=t.String)
+        assert ref.check({"k": 1, "v": "a"}) == {"k": 1, "v": "a"}
