@@ -56,9 +56,18 @@ def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     safe_chars = F.greatest(n_chars, F.lit(1)).cast("double")
     stop = F.array(*[F.lit(w) for w in _LANG_MARKERS["en"]])
     n_stop = F.size(F.filter(toks, lambda w: F.array_contains(stop, w)))
-    top_word = F.array_max(F.transform(
-        F.array_distinct(toks),
-        lambda w: F.size(F.filter(toks, lambda x: x == w))))
+    # max token multiplicity == longest equal run in the SORTED array —
+    # one O(T log T) pass. (A filter-count per distinct token is O(T²) per
+    # row: the same trap dedup._ngram_fold documents.)
+    acc0 = F.struct(F.lit("").alias("prev"), F.lit(0).alias("run"),
+                    F.lit(0).alias("best"))
+
+    def _run(acc, w):
+        run = F.when(w == acc["prev"], acc["run"] + 1).otherwise(F.lit(1))
+        return F.struct(w.alias("prev"), run.alias("run"),
+                        F.greatest(acc["best"], run).alias("best"))
+
+    top_word = F.aggregate(F.array_sort(toks), acc0, _run, lambda a: a["best"])
     return df.select(
         "*",
         n_chars.alias("n_chars_norm"),
