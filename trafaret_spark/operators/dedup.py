@@ -27,7 +27,7 @@ Scale notes (100 TB design):
 
 from __future__ import annotations
 
-from typing import Optional, Sequence
+from typing import Sequence
 
 import numpy as np
 import pandas as pd
