@@ -1,7 +1,9 @@
 """Document deduplication operators for training-data pipelines.
 
-Four dedup families, all expressed as native Column expressions (zero Python
-in the hot path) so they whole-stage-codegen and scale to 10^9+ documents:
+Four dedup families. Tokenize/shingle/hash/join stages are native Column
+expressions (whole-stage codegen); the two per-row reduction kernels that
+would otherwise be interpreted HOF folds (minhash K-perm minima, simhash
+bit votes) are Arrow-batched numpy `reduceat` ops — see SCALE.md §5.
 
   * exact        — hash-groupBy on normalized text (one shuffle on the hash).
   * minhash_lsh  — shingle → K minhashes → B bands → bucket self-join →
@@ -15,8 +17,7 @@ in the hot path) so they whole-stage-codegen and scale to 10^9+ documents:
 
 Scale notes (100 TB design):
   * Normalization + shingling are per-row `transform`/`regexp_replace` — no
-    shuffle. Minhash is `F.aggregate` over the shingle array (array<long>
-    accumulator) — still per-row.
+    shuffle. Minhash minima run per Arrow batch — still per-row, no shuffle.
   * The only shuffles are the band-bucket exchange (keys are ~uniform by
     construction: xxhash64 buckets) and the final group-id agg. Hot buckets
     (boilerplate text) are capped via `max_bucket_size` before the self-join
