@@ -30,7 +30,10 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def _err_code(errors_col: str = "errors"):
-    return F.element_at(F.col(errors_col), 1)["code"].alias("err_code")
+    # try_element_at: the errors array is EMPTY for valid rows, and the
+    # driver session may run with spark.sql.ansi.enabled=true (Spark 4
+    # default), where plain element_at throws on out-of-bounds
+    return F.try_element_at(F.col(errors_col), F.lit(1))["code"].alias("err_code")
 
 
 # --------------------------------------------------------------------------
@@ -163,7 +166,9 @@ def q_v_mapping(spark, sf_dir):
     df = ev.select("event_id", F.create_map("event_type", "value").alias("m"))
     out = ts.Schema(ts.Key("event_id", ts.Int()),
                     ts.Key("m", ts.Mapping(ts.String(), ts.Float(lte=100.0)))).apply(df)
-    return out.select("event_id", F.element_at(F.map_keys("m"), 1).alias("mkey"), _err_code())
+    return out.select("event_id",
+                      F.try_element_at(F.map_keys("m"), F.lit(1)).alias("mkey"),
+                      _err_code())
 
 
 def q_v_email(spark, sf_dir):
@@ -319,20 +324,25 @@ def q_f_session_stats(spark, sf_dir):
 
 
 def q_f_salted_agg(spark, sf_dir):
+    # the value is summed as DECIMAL so the two-phase (salted) sum is EXACT
+    # and independent of partial-agg grouping order — double addition is
+    # non-associative and a re-salted sum can land on the other side of a
+    # round() boundary vs the oracle (observed: 58.5557 vs 58.5558)
     from trafaret_spark import partitioning
-    ev = _t(spark, sf_dir, "events")
+    ev = _t(spark, sf_dir, "events") \
+        .withColumn("value", F.col("value").cast("decimal(18,6)"))
     out = partitioning.salted_agg(
         ev, "user_id",
         {"n_events": ("count", "event_id"),
          "val_sum": ("sum", "value"),
-         "val_max": ("max", "value"),
-         "val_avg": ("avg", "value")},
+         "val_max": ("max", "value")},
         buckets=8)
     return out.select("user_id",
                       F.col("n_events").cast("long").alias("n_events"),
-                      F.round("val_sum", 4).alias("val_sum"),
-                      F.round("val_max", 6).alias("val_max"),
-                      F.round("val_avg", 4).alias("val_avg"))
+                      F.round(F.col("val_sum").cast("double"), 4).alias("val_sum"),
+                      F.round(F.col("val_max").cast("double"), 6).alias("val_max"),
+                      F.round(F.col("val_sum").cast("double")
+                              / F.col("n_events"), 4).alias("val_avg"))
 
 
 # --------------------------------------------------------------------------
@@ -389,14 +399,16 @@ def q_dedup_exact(spark, sf_dir):
 
 
 def q_dedup_minhash(spark, sf_dir):
+    # portable=True: md5/mod-M31 hash family (operators/hashing.py) so the
+    # DuckDB oracle reproduces signatures, buckets and jaccards bit-for-bit
     docs = _t(spark, sf_dir, "documents")
-    out = dedup.minhash_dedup(docs, threshold=0.3)
+    out = dedup.minhash_dedup(docs, threshold=0.3, portable=True)
     return out.select("a", "b", F.round("jaccard", 6).alias("jaccard"))
 
 
 def q_dedup_simhash(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
-    out = dedup.simhash_dedup(docs).filter(F.col("hamming") <= 2)
+    out = dedup.simhash_dedup(docs, portable=True).filter(F.col("hamming") <= 2)
     return out.select("a", "b", F.col("hamming").cast("int").alias("hamming"))
 
 
@@ -449,7 +461,7 @@ def q_text_tokens(spark, sf_dir):
 
 def q_text_fingerprint(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
-    return textstats.fingerprint(docs).select("doc_id", "fingerprint")
+    return textstats.fingerprint(docs, portable=True).select("doc_id", "fingerprint")
 
 
 def q_knn_cosine(spark, sf_dir):
@@ -574,6 +586,202 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mm_video_frames": q_mm_video_frames,
         "mm_image_decode": q_mm_image_decode,
     }
+
+
+# ---- portable-hash oracle fragments -----------------------------------
+# The dedup/fingerprint queries run with portable=True (md5-derived hashes
+# mod M31, Rademacher integer LSH planes — see trafaret_spark/operators/
+# hashing.py), which DuckDB reproduces exactly. These helpers emit the SQL.
+
+_M31 = (1 << 31) - 1
+_NORM_TOKS = (r"string_split_regex(trim(regexp_replace(lower({src}), "
+              r"'[^\p{{L}}\p{{N}}]+', ' ', 'g')), '\s+')")
+
+
+def _sql_tok31(expr: str) -> str:
+    return (f"(CAST(concat('0x', substr(md5({expr}), 1, 15)) AS BIGINT) "
+            f"% {_M31})")
+
+
+def _sql_hash60(expr: str) -> str:
+    return f"CAST(concat('0x', substr(md5({expr}), 1, 15)) AS BIGINT)"
+
+
+def _sql_gram31(th: str = "th", n: int = 3) -> str:
+    """DuckDB expression: distinct n-gram hashes over token-hash list ``th``
+    (mirrors dedup.shingle_hashes portable path: polynomial combine mod M31,
+    whole-text fold when shorter than n tokens)."""
+    gram = "th[i+1]"
+    for j in range(2, n + 1):
+        gram = f"(({gram}) * 1000003 + th[i+{j}]) % {_M31}"
+    fold = (f"list_reduce(list_prepend(CAST(0 AS BIGINT), {th}), "
+            f"(a, b) -> (a * 1000003 + b) % {_M31})")
+    return (f"list_distinct(CASE WHEN len({th}) >= {n} THEN "
+            f"list_transform(range(len({th}) - {n - 1}), i -> {gram}) "
+            f"ELSE [{fold}] END)")
+
+
+def _minhash_oracle() -> str:
+    from trafaret_spark.operators.dedup import _coeffs
+    coeffs = _coeffs(64, 17)
+    a_lit = "([" + ",".join(str(a) for a, _ in coeffs) + "]::BIGINT[])"
+    b_lit = "([" + ",".join(str(b) for _, b in coeffs) + "]::BIGINT[])"
+    toks = _NORM_TOKS.format(src="text")
+    return f"""
+        WITH toks AS (
+          SELECT doc_id,
+                 list_transform({toks}, t -> {_sql_tok31('t')}) AS th
+          FROM documents),
+        grams AS (
+          SELECT doc_id, {_sql_gram31('th', 3)} AS g FROM toks),
+        sigs AS (
+          SELECT doc_id,
+                 list_transform(range(64), k ->
+                   list_min(list_transform(g, h ->
+                     ({a_lit}[k+1] * h + {b_lit}[k+1]) % {_M31}))) AS sig
+          FROM grams),
+        banded AS (
+          SELECT doc_id, b.band,
+                 array_to_string(list_slice(sig, b.band*4 + 1, b.band*4 + 4),
+                                 ',') AS bucket
+          FROM sigs CROSS JOIN (SELECT unnest(range(16)) AS band) b),
+        sized AS (
+          SELECT band, bucket, list(doc_id) AS ids
+          FROM banded GROUP BY band, bucket
+          HAVING count(*) > 1 AND count(*) <= 1000),
+        pairs AS (
+          SELECT DISTINCT p1.a AS a, p2.b AS b
+          FROM (SELECT band, bucket, unnest(ids) AS a FROM sized) p1
+          JOIN (SELECT band, bucket, unnest(ids) AS b FROM sized) p2
+            USING (band, bucket)
+          WHERE p1.a < p2.b),
+        v AS (
+          SELECT p.a, p.b,
+                 len(list_intersect(ga.g, gb.g)) AS i,
+                 len(ga.g) + len(gb.g) - len(list_intersect(ga.g, gb.g)) AS u
+          FROM pairs p
+          JOIN grams ga ON ga.doc_id = p.a
+          JOIN grams gb ON gb.doc_id = p.b)
+        SELECT a, b, round(i::DOUBLE / u, 6) AS jaccard
+        FROM v WHERE i::DOUBLE / u >= 0.3"""
+
+
+def _simhash_oracle() -> str:
+    toks = _NORM_TOKS.format(src="text")
+    h = _sql_hash60("concat(t, '|simhash99')")
+    return f"""
+        WITH toks AS (
+          SELECT doc_id,
+                 list_transform(list_distinct({toks}), t -> {h}) AS th
+          FROM documents),
+        fps AS (
+          SELECT doc_id,
+                 list_sum(list_transform(range(32), b ->
+                   CASE WHEN list_sum(list_transform(th,
+                          h -> ((h >> b) & 1) * 2 - 1)) > 0
+                        THEN (CAST(1 AS BIGINT) << b) ELSE 0 END)) AS fp
+          FROM toks),
+        banded AS (
+          SELECT doc_id, fp, b.band, (fp >> (b.band * 8)) & 255 AS bucket
+          FROM fps CROSS JOIN (SELECT unnest(range(4)) AS band) b),
+        pairs AS (
+          SELECT DISTINCT l.doc_id AS a, r.doc_id AS b,
+                 l.fp AS fa, r.fp AS fb
+          FROM banded l JOIN banded r
+            ON l.band = r.band AND l.bucket = r.bucket
+           AND l.doc_id < r.doc_id)
+        SELECT a, b, CAST(bit_count(xor(fa, fb)) AS INT) AS hamming
+        FROM pairs WHERE bit_count(xor(fa, fb)) <= 2"""
+
+
+def _fingerprint_oracle() -> str:
+    toks = _NORM_TOKS.format(src="text")
+    return f"""
+        WITH t AS (SELECT doc_id, {toks} AS toks FROM documents)
+        SELECT doc_id,
+               list_reduce(list_prepend(CAST(0 AS BIGINT),
+                 list_transform(toks, t -> {_sql_tok31('t')})),
+                 (acc, h) -> (acc * 1000003 + h) % {_M31}) AS fingerprint
+        FROM t"""
+
+
+def _plane_values_sql(dim: int, nbits: int, bands: int, seed: int) -> str:
+    """VALUES rows (pid, pv) for the Rademacher plane matrix — regenerated
+    with the exact recipe the Spark kernel uses (hashing.rademacher_planes)."""
+    from trafaret_spark.operators.hashing import rademacher_planes
+    planes = rademacher_planes(dim, nbits * bands, seed)     # dim × total
+    rows = []
+    for pid in range(nbits * bands):
+        col = ",".join(str(int(x)) for x in planes[:, pid])
+        rows.append(f"({pid}, [{col}]::BIGINT[])")
+    return ", ".join(rows)
+
+
+def _lsh_bands_sql(dim: int, nbits: int, bands: int, seed: int,
+                   src: str = "embeddings") -> str:
+    """CTE prefix computing (vec_id, v DOUBLE[], band, bucket) for sign-LSH
+    over ``src`` — mirrors similarity.lsh_band_buckets exactly: fixed-point
+    q = floor(x·10^6), integer Rademacher projection, strict >0 sign,
+    big-endian bit packing."""
+    vals = _plane_values_sql(dim, nbits, bands, seed)
+    return f"""
+        pl AS (SELECT * FROM (VALUES {vals}) AS t(pid, pv)),
+        q AS (SELECT vec_id, embedding::DOUBLE[] AS v,
+                     list_transform(embedding::DOUBLE[],
+                       x -> CAST(floor(x * 1000000) AS BIGINT)) AS qv
+              FROM {src}),
+        bits AS (SELECT vec_id, pid,
+                        list_sum(list_transform(qv, (x, i) -> x * pv[i])) > 0
+                          AS bit
+                 FROM q CROSS JOIN pl),
+        bands AS (SELECT vec_id, pid // {nbits} AS band,
+                         sum(CASE WHEN bit
+                             THEN (CAST(1 AS BIGINT) << ({nbits - 1} - (pid % {nbits})))
+                             ELSE 0 END) AS bucket
+                  FROM bits GROUP BY vec_id, pid // {nbits})"""
+
+
+_COSINE_SQL = ("list_sum(list_transform(list_zip({a}, {b}), x -> x[1] * x[2]))"
+               " / (sqrt(list_sum(list_transform({a}, x -> x * x)))"
+               " * sqrt(list_sum(list_transform({b}, x -> x * x))))")
+
+
+def _embedding_lsh_oracle() -> str:
+    sim = _COSINE_SQL.format(a="qa.v", b="qb.v")
+    return f"""
+        WITH {_lsh_bands_sql(64, 6, 8, 7)},
+        cand AS (
+          SELECT DISTINCT l.vec_id AS a, r.vec_id AS b
+          FROM bands l JOIN bands r
+            ON l.band = r.band AND l.bucket = r.bucket
+          WHERE l.vec_id < r.vec_id),
+        s AS (
+          SELECT c.a, c.b, {sim} AS rawsim
+          FROM cand c JOIN q qa ON qa.vec_id = c.a
+                      JOIN q qb ON qb.vec_id = c.b)
+        SELECT a, b, round(rawsim, 4) AS sim FROM s WHERE rawsim >= 0.3"""
+
+
+def _knn_lsh_oracle() -> str:
+    sim = _COSINE_SQL.format(a="qq.v", b="qc.v")
+    return f"""
+        WITH {_lsh_bands_sql(64, 8, 4, 7)},
+        cand AS (
+          SELECT DISTINCT ql.vec_id AS query_id, c.vec_id AS vec_id
+          FROM bands ql JOIN bands c
+            ON ql.band = c.band AND ql.bucket = c.bucket
+          WHERE ql.vec_id < 5),
+        scored AS (
+          SELECT cand.query_id, cand.vec_id, {sim} AS rawsim
+          FROM cand JOIN q qq ON qq.vec_id = cand.query_id
+                    JOIN q qc ON qc.vec_id = cand.vec_id),
+        ranked AS (
+          SELECT query_id, vec_id, round(rawsim, 4) AS sim,
+                 row_number() OVER (PARTITION BY query_id
+                                    ORDER BY rawsim DESC, vec_id) AS rank
+          FROM scored)
+        SELECT query_id, vec_id, sim, CAST(rank AS INT) AS rank
+        FROM ranked WHERE rank <= 5"""
 
 
 _EV_LIST = "('click', 'view', 'signup', 'purchase')"
@@ -808,11 +1016,13 @@ def oracle_sql() -> dict[str, str]:
                    epoch_us(max(ts)) - epoch_us(min(ts)) AS duration_us
             FROM s GROUP BY user_id, session_id""",
         "f_salted_agg": """
+            WITH d AS (SELECT user_id, event_id,
+                              CAST(value AS DECIMAL(18,6)) AS v FROM events)
             SELECT user_id, count(event_id) AS n_events,
-                   round(sum(value), 4) AS val_sum,
-                   round(max(value), 6) AS val_max,
-                   round(avg(value), 4) AS val_avg
-            FROM events GROUP BY user_id""",
+                   round(CAST(sum(v) AS DOUBLE), 4) AS val_sum,
+                   round(CAST(max(v) AS DOUBLE), 6) AS val_max,
+                   round(CAST(sum(v) AS DOUBLE) / count(event_id), 4) AS val_avg
+            FROM d GROUP BY user_id""",
         "asof_backward": """
             SELECT l.event_id, round(r.value, 6) AS value_r
             FROM (SELECT * FROM events WHERE event_type = 'view') l
@@ -951,8 +1161,17 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, CAST(t.range AS INT) AS frame_idx,
                    CAST(t.range * 1000 AS BIGINT) AS frame_ts_ms
             FROM documents CROSS JOIN range(5) t""",
-        # dedup_minhash / dedup_simhash / text_fingerprint / knn_* /
-        # mm_image_decode are hash- or UDF-defined (xxhash64 / sha256 seeds
-        # have no DuckDB equivalent) → rows-only driver check; their exact
-        # semantics are pytest-verified against Python oracles in tests/.
+        # hash-defined queries: portable=True hash family (md5 mod M31,
+        # Rademacher integer LSH planes) is reproduced exactly in SQL —
+        # see the _*_oracle() builders above
+        "dedup_minhash": _minhash_oracle(),
+        "dedup_simhash": _simhash_oracle(),
+        "text_fingerprint": _fingerprint_oracle(),
+        "dedup_embedding_lsh": _embedding_lsh_oracle(),
+        "knn_lsh": _knn_lsh_oracle(),
+        # fake-decode plumbing: every payload is non-null utf-8 text, so
+        # decode_ok is uniformly TRUE and the feature dim is the requested 16
+        "mm_image_decode": """
+            SELECT doc_id, TRUE AS decode_ok, CAST(16 AS INT) AS feat_dim
+            FROM documents""",
     }

@@ -1,7 +1,12 @@
 """Simulate the driver's correctness gate: run every __spark_entry__ query
 at sf0.01 and diff against its DuckDB oracle (row count, schema, values).
 
-Usage: python scripts/check_contract.py [query ...]
+The driver runs a DEFAULT Spark 4 session — spark.sql.ansi.enabled=true —
+while the library's own get_spark() pins ANSI off. Both modes must be green
+(round 1 shipped 19 ANSI-only crashes because this gate only ran ANSI-off),
+so the gate defaults to ANSI ON and `--ansi-off` selects the legacy mode.
+
+Usage: python scripts/check_contract.py [--ansi-off] [query ...]
 """
 from __future__ import annotations
 
@@ -32,8 +37,14 @@ def normalize(df: pd.DataFrame) -> pd.DataFrame:
 
 
 def main() -> None:
-    only = set(sys.argv[1:])
-    spark = get_spark(cores=8)
+    args = sys.argv[1:]
+    ansi = "true"
+    if "--ansi-off" in args:
+        args.remove("--ansi-off")
+        ansi = "false"
+    only = set(args)
+    spark = get_spark(cores=8, **{"spark.sql.ansi.enabled": ansi})
+    print(f"== spark.sql.ansi.enabled = {spark.conf.get('spark.sql.ansi.enabled')}")
     con = duckdb.connect()
     for t in TABLES:
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'")

@@ -21,6 +21,16 @@ in the executor hot path). The one sanctioned escape hatch is ``Call``, which
 wraps a *pandas* (Arrow-batched) function — mirroring trafaret's ``Call``
 (trafaret/base.py:1331-1366) — and is never row-at-a-time.
 
+ANSI neutrality: compiled expressions run in the CALLER's session, which on
+Spark 4 defaults to ``spark.sql.ansi.enabled=true``. Every fallible runtime
+operation therefore uses the exception-free form — ``try_cast`` instead of
+``cast`` for narrowing/parsing casts, ``try_to_timestamp`` instead of
+``to_timestamp``, ``F.get`` instead of positional array indexing — and
+wrong-dtype branches emit typed NULL literals rather than casting the
+column (some cross-family casts are *analysis-time* errors under ANSI).
+Failures become NULLs, NULLs become error structs: identical semantics
+whether the session runs ANSI on or off.
+
 Intentional semantic delta (documented in SURVEY.md §7): a DataFrame column
 has exactly one Spark type, so ``Or`` resolves its branches to a common output
 type at plan time (e.g. ``ToInt | ToFloat`` produces double), whereas the
@@ -196,32 +206,55 @@ class Null(Guard):
         return Compiled(F.lit(None).cast(dtype), e, dtype)
 
 
+def _literal_comparable(dtype: T.DataType, value) -> bool:
+    """True when `col <cmp> lit(value)` is coercion-free — mixed-family
+    comparisons are exactly where ANSI injects throwing casts (string col vs
+    int literal casts the column), and the reference's Python `==`/`in`
+    never coerces across families anyway."""
+    if isinstance(value, bool):
+        return isinstance(dtype, T.BooleanType)
+    if isinstance(value, (int, float)):
+        return _is_numeric(dtype)
+    if isinstance(value, str):
+        return isinstance(dtype, T.StringType)
+    if isinstance(value, bytes):
+        return isinstance(dtype, T.BinaryType)
+    return False
+
+
 class Atom(Guard):
-    """Exact literal equality (trafaret/base.py:435-457)."""
+    """Exact literal equality (trafaret/base.py:435-457). A type-family
+    mismatch is decided at plan time (Python `==` across families is always
+    False in the reference) — also keeps ANSI from injecting throwing casts
+    into the comparison."""
 
     def __init__(self, value):
         self.value = value
 
     def compile(self, col, dtype):
-        e = F.when(
-            col.isNull() | (col != F.lit(self.value)),
-            err_struct(codes.IS_NOT_EXACTLY, f"value is not exactly '{self.value}'"),
-        )
+        err = err_struct(codes.IS_NOT_EXACTLY,
+                         f"value is not exactly '{self.value}'")
+        if not _literal_comparable(dtype, self.value):
+            return Compiled(col, err, dtype)
+        e = F.when(col.isNull() | (col != F.lit(self.value)), err)
         return Compiled(col, e, dtype)
 
 
 class Enum(Guard):
-    """Membership in a closed set (trafaret/base.py:1277-1305)."""
+    """Membership in a closed set (trafaret/base.py:1277-1305). Variants
+    from a different type family than the column are pruned at plan time
+    (Python `in` never coerces; ANSI `IN` would throw on the cast)."""
 
     def __init__(self, *variants):
         self.variants = list(variants)
 
     def compile(self, col, dtype):
-        e = F.when(
-            col.isNull() | ~col.isin(self.variants),
-            err_struct(codes.DOES_NOT_MATCH_ANY,
-                       f"value doesn't match any variant of {self.variants!r}"),
-        )
+        err = err_struct(codes.DOES_NOT_MATCH_ANY,
+                         f"value doesn't match any variant of {self.variants!r}")
+        usable = [v for v in self.variants if _literal_comparable(dtype, v)]
+        if not usable:
+            return Compiled(col, err, dtype)
+        e = F.when(col.isNull() | ~col.isin(usable), err)
         return Compiled(col, e, dtype)
 
 
@@ -236,9 +269,11 @@ class Bool(Guard):
         if isinstance(dtype, T.BooleanType):
             e = F.when(col.isNull(), err_struct(codes.IS_NOT_BOOL, "value should be True or False"))
             return Compiled(col, e, dtype)
-        # non-boolean column: every non-null row fails the type check
+        # non-boolean column: every non-null row fails the type check; the
+        # value is a typed NULL (never a cast — string→boolean throws under
+        # ANSI, array→boolean fails analysis)
         e = err_struct(codes.IS_NOT_BOOL, "value should be True or False")
-        return Compiled(col.cast("boolean"), e, T.BooleanType())
+        return Compiled(F.lit(None).cast("boolean"), e, T.BooleanType())
 
 
 class ToBool(Guard):
@@ -317,7 +352,9 @@ class Int(_NumberMixin, Guard):
             num = col.cast("long")
             type_err = _null_err()
         elif isinstance(dtype, (T.FloatType, T.DoubleType, T.DecimalType)):
-            num = col.cast("long")
+            # try_cast: a float outside long range nulls instead of the
+            # ANSI overflow throw; the floor check already flags non-integral
+            num = col.try_cast("long")
             type_err = F.when(
                 col.isNotNull() & (col != F.floor(col)),
                 err_struct(codes.IS_NOT_INT, "value is not int"),
@@ -325,17 +362,22 @@ class Int(_NumberMixin, Guard):
         elif isinstance(dtype, T.StringType):
             # int('1.0') raises ValueError → IS_NOT_A_NUMBER
             # (trafaret/numeric.py:103-110; tests/test_numeric.py:62-66)
-            num = F.trim(col).cast("long")
+            num = F.trim(col).try_cast("long")
             type_err = F.when(
                 col.isNotNull() & ~col.rlike(_INT_RE),
                 err_struct(codes.IS_NOT_A_NUMBER, "value can't be converted to int"),
+            ).when(
+                # digits but beyond int64: Python int is unbounded, the
+                # engine's long is not — surfaced as an error, not a null-pass
+                col.isNotNull() & num.isNull(),
+                err_struct(codes.IS_NOT_A_NUMBER, "value does not fit in int64"),
             )
         elif isinstance(dtype, T.BooleanType):
             # bool is an int subtype in Python; the reference accepts it
             num = col.cast("long")
             type_err = _null_err()
         else:
-            return Compiled(col.cast("long"),
+            return Compiled(F.lit(None).cast("long"),
                             err_struct(codes.WRONG_TYPE, "value is not int"),
                             T.LongType())
         e = F.coalesce(type_err, self._bounds_error(num))
@@ -363,13 +405,14 @@ class Float(_NumberMixin, Guard):
             num = col.cast("double")
             type_err = _null_err()
         elif isinstance(dtype, T.StringType):
-            num = F.trim(col).cast("double")
+            # try_cast: 'abc' nulls (→ error path) instead of the ANSI throw
+            num = F.trim(col).try_cast("double")
             type_err = F.when(
                 col.isNotNull() & num.isNull(),
                 err_struct(codes.IS_NOT_A_NUMBER, "value can't be converted to float"),
             )
         else:
-            return Compiled(col.cast("double"),
+            return Compiled(F.lit(None).cast("double"),
                             err_struct(codes.WRONG_TYPE, "value is not float"),
                             T.DoubleType())
         e = F.coalesce(type_err, self._bounds_error(num))
@@ -393,8 +436,17 @@ class ToDecimal(_NumberMixin, Guard):
 
     def compile(self, col, dtype):
         out = T.DecimalType(self.PRECISION, self.SCALE)
-        num = (F.trim(col).cast(out) if isinstance(dtype, T.StringType)
-               else col.cast(out))
+        if isinstance(dtype, T.StringType):
+            num = F.trim(col).try_cast(out.simpleString())
+        elif _is_numeric(dtype) or isinstance(dtype, T.BooleanType):
+            # try_cast: precision overflow nulls (→ error) instead of the
+            # ANSI NUMERIC_VALUE_OUT_OF_RANGE throw
+            num = col.try_cast(out.simpleString())
+        else:
+            return Compiled(F.lit(None).cast(out),
+                            err_struct(codes.INVALID_DECIMAL,
+                                       "value can't be converted to Decimal"),
+                            out)
         type_err = F.when(
             col.isNotNull() & num.isNull(),
             err_struct(codes.INVALID_DECIMAL, "value can't be converted to Decimal"),
@@ -479,34 +531,98 @@ class AnyString(String):
             codes.IS_NOT_A_STRING, "value is not a string"), dtype)
 
 
+# charsets whose encodability is decidable with a cheap columnar predicate.
+# The predicate gates F.encode so the unmappable rows surface as
+# cannot_be_encoded errors instead of Spark 4's MALFORMED_CHARACTER_CODING
+# throw (trafaret raises with that code: trafaret/base.py:704-709).
+_ENCODABLE_PRED = {
+    "us-ascii": lambda c: c.rlike(r"^[\x00-\x7F]*$"),
+    "ascii": lambda c: c.rlike(r"^[\x00-\x7F]*$"),
+    "iso-8859-1": lambda c: c.rlike(r"^[\x00-\x{FF}]*$"),
+    "latin-1": lambda c: c.rlike(r"^[\x00-\x{FF}]*$"),
+    "latin1": lambda c: c.rlike(r"^[\x00-\x{FF}]*$"),
+    # every Spark string is valid unicode → always UTF-encodable
+    "utf-8": lambda c: F.lit(True),
+    "utf8": lambda c: F.lit(True),
+    "utf-16": lambda c: F.lit(True),
+    "utf-16be": lambda c: F.lit(True),
+    "utf-16le": lambda c: F.lit(True),
+}
+
+_CHARSET_ALIAS = {"ascii": "US-ASCII", "us-ascii": "US-ASCII",
+                  "latin-1": "ISO-8859-1", "latin1": "ISO-8859-1",
+                  "iso-8859-1": "ISO-8859-1", "utf8": "UTF-8"}
+
+
 class ToBytes(Guard):
-    """Encode str -> bytes (trafaret/base.py:687-712)."""
+    """Encode str -> bytes with codec-failure parity (trafaret/base.py:687-712:
+    an unencodable value raises code ``cannot_be_encoded``).
+
+    The encodability test runs as a columnar charset predicate BEFORE
+    F.encode (lazily, inside a when-branch) — Spark 4's encode throws
+    MALFORMED_CHARACTER_CODING on unmappable input in any ANSI mode, so the
+    gate is correctness, not just parity. Charsets without a cheap predicate
+    (exotic codecs) encode ungated — documented narrowing."""
 
     def __init__(self, encoding: str = "utf-8"):
         self.encoding = encoding
+        self._pred = _ENCODABLE_PRED.get(encoding.lower())
+        self._charset = _CHARSET_ALIAS.get(encoding.lower(), encoding)
 
     def compile(self, col, dtype):
         if isinstance(dtype, T.BinaryType):
             return Compiled(col, _null_err(), dtype)
         if not isinstance(dtype, T.StringType):
-            return Compiled(col.cast("binary"),
+            return Compiled(F.lit(None).cast("binary"),
                             err_struct(codes.IS_NOT_A_STRING, "value is not a string"),
                             T.BinaryType())
-        return Compiled(F.encode(col, self.encoding), _null_err(), T.BinaryType())
+        if self._pred is None:
+            return Compiled(F.encode(col, self._charset), _null_err(),
+                            T.BinaryType())
+        ok = self._pred(col)
+        e = F.when(col.isNotNull() & ~ok, err_struct(
+            codes.CANNOT_BE_ENCODED, "value cannot be encoded"))
+        value = F.when(col.isNotNull() & ok, F.encode(col, self._charset))
+        return Compiled(value, e, T.BinaryType())
 
 
 class FromBytes(Guard):
-    """Decode bytes -> str (trafaret/base.py:719-743)."""
+    """Decode bytes -> str with codec-failure parity (trafaret/base.py:719-743:
+    undecodable bytes raise code ``cannot_be_decoded``).
+
+    Decodability gates per charset: UTF-8 via the native ``is_valid_utf8``,
+    US-ASCII via the Latin-1-total-decode + 7-bit regex trick, ISO-8859-1 is
+    total. Gating is mandatory on Spark 4 (decode throws on malformed input
+    in any ANSI mode)."""
 
     def __init__(self, encoding: str = "utf-8"):
         self.encoding = encoding
+        self._charset = _CHARSET_ALIAS.get(encoding.lower(), encoding)
+
+    def _decodable(self, col: Column):
+        cs = self._charset
+        if cs == "UTF-8":
+            return F.is_valid_utf8(col)
+        if cs == "ISO-8859-1":
+            return F.lit(True)  # Latin-1 decodes every byte sequence
+        if cs == "US-ASCII":
+            # all bytes < 0x80 ⟺ the (total) Latin-1 decode is 7-bit clean
+            return F.decode(col, "ISO-8859-1").rlike(r"^[\x00-\x7F]*$")
+        return None
 
     def compile(self, col, dtype):
         if not isinstance(dtype, T.BinaryType):
-            return Compiled(col.cast("string"),
+            return Compiled(F.lit(None).cast("string"),
                             err_struct(codes.IS_NOT_BYTES, "value is not a bytes string"),
                             T.StringType())
-        return Compiled(F.decode(col, self.encoding), _null_err(), T.StringType())
+        ok = self._decodable(col)
+        if ok is None:
+            return Compiled(F.decode(col, self._charset), _null_err(),
+                            T.StringType())
+        e = F.when(col.isNotNull() & ~ok, err_struct(
+            codes.CANNOT_BE_DECODED, "value cannot be decoded"))
+        value = F.when(col.isNotNull() & ok, F.decode(col, self._charset))
+        return Compiled(value, e, T.StringType())
 
 
 # --------------------------------------------------------------------------
@@ -553,7 +669,9 @@ class DateTime(Guard):
         self.spark_format = strptime_to_spark(self.format)
 
     def _parse(self, col: Column) -> Column:
-        return F.to_timestamp(col, self.spark_format)
+        # try_to_timestamp: unparseable strings null into the error path
+        # instead of ANSI's CANNOT_PARSE_TIMESTAMP throw
+        return F.try_to_timestamp(col, F.lit(self.spark_format))
 
     def compile(self, col, dtype):
         out = T.TimestampType() if self._cast_to == "timestamp" else T.DateType()
@@ -562,7 +680,7 @@ class DateTime(Guard):
                             _null_err(),
                             out if self.coerce else dtype)
         if not isinstance(dtype, T.StringType):
-            return Compiled(col.cast(self._cast_to),
+            return Compiled(F.lit(None).cast(out),
                             err_struct(self._fail_code,
                                        f"value does not match format {self.format}"),
                             out)
@@ -619,24 +737,28 @@ class DateTimeAny(Guard):
         if isinstance(dtype, (T.TimestampType, T.DateType)):
             return Compiled(col.cast("timestamp"), _null_err(), out)
         if not isinstance(dtype, T.StringType):
-            return Compiled(col.cast("timestamp"),
+            return Compiled(F.lit(None).cast(out),
                             err_struct(codes.NOT_DATETIME, "value is not datetime"), out)
         c = F.trim(col)
-        # fast path: the native string→timestamp cast is a single hand-written
-        # exception-free parser covering every ISO-8601-ish shape ('T' or
-        # space, optional fraction, optional zone offset, date-only). A
-        # to_timestamp(fmt) try-cascade costs a thrown-caught exception per
-        # failed format per row — measured 2.7× slower on the validation
-        # stage. Non-ISO shapes are gated behind cheap charset probes so
-        # their formatter only ever runs on rows the cast missed.
+        # fast path: the native string→timestamp try_cast is a single
+        # hand-written exception-free parser covering every ISO-8601-ish
+        # shape ('T' or space, optional fraction, optional zone offset,
+        # date-only). A to_timestamp(fmt) try-cascade costs a thrown-caught
+        # exception per failed format per row — measured 2.7× slower on the
+        # validation stage. The cast is pre-gated by a full-date regex:
+        # ungated it also accepts partial dates like '2020' / '2020-5',
+        # which dateutil only resolves against *today* (non-deterministic —
+        # rejected by design). Non-ISO shapes are gated behind cheap charset
+        # probes so their formatter only ever runs on rows the cast missed.
         parsed = F.coalesce(
-            c.cast("timestamp"),
+            F.when(c.rlike(r"^\d{4}-\d{1,2}-\d{1,2}([T ].+)?$"),
+                   c.try_cast("timestamp")),
             F.when(c.contains("/"),
-                   F.coalesce(F.to_timestamp(c, "yyyy/MM/dd HH:mm:ss"),
-                              F.to_timestamp(c, "yyyy/MM/dd"))),
+                   F.coalesce(F.try_to_timestamp(c, F.lit("yyyy/MM/dd HH:mm:ss")),
+                              F.try_to_timestamp(c, F.lit("yyyy/MM/dd")))),
             F.when(c.rlike(r"^\d{2}\.\d{2}\.\d{4}"),
-                   F.coalesce(F.to_timestamp(c, "dd.MM.yyyy HH:mm:ss"),
-                              F.to_timestamp(c, "dd.MM.yyyy"))),
+                   F.coalesce(F.try_to_timestamp(c, F.lit("dd.MM.yyyy HH:mm:ss")),
+                              F.try_to_timestamp(c, F.lit("dd.MM.yyyy")))),
         )
         e = F.when(col.isNotNull() & parsed.isNull(),
                    err_struct(codes.NOT_DATETIME, "value is not datetime"))

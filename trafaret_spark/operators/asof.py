@@ -170,10 +170,20 @@ def _asof_broadcast(left, right, on, by, direction, tolerance,
     payload = F.struct(r_on.alias(_RON),
                        *[F.col(f"__r.{c}") for c in payload_cols])
     joined = l2.join(F.broadcast(right.alias("__r")), cond, "left")
-    # lexicographic struct ordering: (on, tie_break) — max_by picks the last
-    # tied row (backward/pandas), min_by the first (forward/pandas)
-    pick_key = r_on if tie_break is None else \
-        F.struct(r_on, F.col(f"__r.{tie_break}"))
+    # lexicographic struct ordering: (on, tb-null-rank, tie_break) — max_by
+    # picks the last tied row (backward/pandas), min_by the first
+    # (forward/pandas). The explicit null-rank field makes a NULL tie_break
+    # lose under BOTH aggregates — without it min_by treats the NULL struct
+    # field as smallest, so forward would pick a NULL-tie_break row over
+    # non-null ones while the sort strategy (nulls-first ordering under a
+    # running last()) picks the non-null row for the same input.
+    if tie_break is None:
+        pick_key = r_on
+    else:
+        tb = F.col(f"__r.{tie_break}")
+        null_rank = (tb.isNotNull() if direction == "backward"
+                     else tb.isNull()).cast("int")
+        pick_key = F.struct(r_on, null_rank, tb)
     pick = F.max_by(payload, pick_key) if direction == "backward" \
         else F.min_by(payload, pick_key)
     best = (joined.groupBy(_LID)

@@ -35,14 +35,15 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from trafaret_spark.operators.hashing import (
+    M31 as _M31, gram_combine, tok_hash,
+)
+
 __all__ = [
     "normalize_text", "shingles", "exact_dedup",
     "minhash_signature", "minhash_lsh_candidates", "minhash_dedup",
     "simhash", "simhash_dedup", "jaccard", "ngram_jaccard_pairs",
 ]
-
-_MERSENNE = (1 << 61) - 1
-_M31 = (1 << 31) - 1
 
 
 def normalize_text(col: Column) -> Column:
@@ -96,33 +97,36 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
 
 
 def minhash_signature(col: Column, num_hashes: int = 64, n: int = 3,
-                      seed: int = 17) -> Column:
+                      seed: int = 17, portable: bool = False) -> Column:
     """K-minhash signature of the shingle set → array<bigint>.
 
-    Each shingle string is hashed ONCE (xxhash64 → h mod M31); the K
-    permutations are cheap affine maps ``(a_i*h + b_i) mod M31`` with
-    plan-time literal (a_i, b_i) — K string hashes per shingle would
+    Each shingle string is hashed ONCE (token hash → gram combine → mod
+    M31); the K permutations are cheap affine maps ``(a_i*h + b_i) mod M31``
+    with plan-time literal (a_i, b_i) — K string hashes per shingle would
     dominate the scan otherwise. a*h stays < 2^62, no overflow.
     """
-    hs = shingle_hashes(col, n=n)
+    hs = shingle_hashes(col, n=n, portable=portable)
     return minhash_from_hashes(hs, num_hashes=num_hashes, seed=seed)
 
 
-def shingle_hashes(col: Column, n: int = 3) -> Column:
+def shingle_hashes(col: Column, n: int = 3, portable: bool = False) -> Column:
     """Distinct word n-gram hashes → array<long>, WITHOUT building shingle
-    strings: each token is xxhash64'd once, then n-gram hashes combine the
-    token hashes polynomially (Java long wrap-around is deterministic).
-    ~5× cheaper than hashing materialized `shingles()` strings — string
-    slice+join allocation dominated the scan otherwise.
+    strings: each token is hashed once, then n-gram hashes combine the token
+    hashes (see operators/hashing.py). Fast path: xxhash64 token hashes,
+    xxhash64(a, b) combine — zero arithmetic, ANSI-proof, full 64-bit space.
+    Portable path: md5-derived tok31 + mod-M31 polynomial, bit-reproducible
+    in DuckDB for the driver's oracle (31-bit space: per-pair collision odds
+    ~|shingles|²/2^32 ≈ 1e-4 at 1k shingles — immaterial for a similarity
+    estimate). ~5× cheaper than hashing materialized `shingles()` strings —
+    string slice+join allocation dominated the scan otherwise.
     """
+    comb = gram_combine(portable)
     toks_h = F.transform(F.split(normalize_text(col), r"\s+"),
-                         lambda t: F.xxhash64(t))
+                         lambda t: tok_hash(t, portable))
     k = F.size(toks_h) - F.lit(n - 1)
-    grams = F.when(k >= 1, _ngram_fold(
-        toks_h, n, lambda a, b: a * F.lit(1_000_003) + b)) \
+    grams = F.when(k >= 1, _ngram_fold(toks_h, n, comb)) \
         .otherwise(F.array(F.aggregate(
-            toks_h, F.lit(0).cast("long"),
-            lambda acc, h: acc * F.lit(1_000_003) + h)))
+            toks_h, F.lit(0).cast("long"), comb)))
     return F.array_distinct(grams)
 
 
@@ -177,7 +181,8 @@ def minhash_from_hashes(hs: Column, num_hashes: int = 64,
 def minhash_lsh_candidates(df: DataFrame, text_col: str = "text",
                            id_col: str = "doc_id", num_hashes: int = 64,
                            bands: int = 16, n: int = 3, seed: int = 17,
-                           max_bucket_size: int = 1000) -> DataFrame:
+                           max_bucket_size: int = 1000,
+                           portable: bool = False) -> DataFrame:
     """LSH candidate pairs: band the signature, bucket-join, orient pairs.
 
     Returns distinct (a, b) id pairs with a < b. The self-join shuffles on
@@ -188,7 +193,8 @@ def minhash_lsh_candidates(df: DataFrame, text_col: str = "text",
     # two projection boundaries: shingle hashes materialize once per row,
     # then the signature once, before the K-fold banding fan-out
     hashed = df.select(F.col(id_col),
-                       shingle_hashes(F.col(text_col), n=n).alias("__hs"))
+                       shingle_hashes(F.col(text_col), n=n,
+                                      portable=portable).alias("__hs"))
     signed = hashed.select(
         id_col,
         minhash_from_hashes(F.col("__hs"), num_hashes, seed).alias("__sig"))
@@ -219,16 +225,21 @@ def minhash_lsh_candidates(df: DataFrame, text_col: str = "text",
 
 
 def jaccard(df_pairs: DataFrame, docs: DataFrame, text_col: str = "text",
-            id_col: str = "doc_id", n: int = 3) -> DataFrame:
+            id_col: str = "doc_id", n: int = 3,
+            portable: bool = False) -> DataFrame:
     """Exact n-gram Jaccard for candidate (a, b) pairs → adds ``jaccard``.
 
     Joins the shingle-hash arrays in (two hash joins on the id —
     broadcastable when docs is a dim, shuffle-hash otherwise) and computes
-    |∩| / |∪| natively via array_intersect/size. Uses 63-bit numeric
-    shingle hashes (not strings): collision probability per pair is
-    ~|shingles|²/2^63 ≈ 1e-14 — immaterial for a similarity estimate.
+    |∩| / |∪| natively via array_intersect/size. Numeric shingle hashes
+    (not strings): 64-bit on the fast path (collision odds per pair
+    ~|shingles|²/2^64 — immaterial), 31-bit on the portable path (~1e-4 at
+    1k shingles, still immaterial for a similarity estimate and identical
+    on both sides of the oracle diff).
     """
-    sh = docs.select(F.col(id_col), shingle_hashes(F.col(text_col), n).alias("__sh"))
+    sh = docs.select(F.col(id_col),
+                     shingle_hashes(F.col(text_col), n,
+                                    portable=portable).alias("__sh"))
     out = (df_pairs
            .join(sh.withColumnRenamed(id_col, "a").withColumnRenamed("__sh", "__sa"), "a")
            .join(sh.withColumnRenamed(id_col, "b").withColumnRenamed("__sh", "__sb"), "b"))
@@ -242,21 +253,27 @@ def jaccard(df_pairs: DataFrame, docs: DataFrame, text_col: str = "text",
 
 def minhash_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
                   threshold: float = 0.8, num_hashes: int = 64, bands: int = 16,
-                  n: int = 3, seed: int = 17) -> DataFrame:
+                  n: int = 3, seed: int = 17,
+                  portable: bool = False) -> DataFrame:
     """Full MinHash+LSH near-dup pass → (a, b, jaccard) pairs ≥ threshold.
 
     Connected-component collapse is left to the caller (iterative; for the
     common near-dup-removal case, dropping every ``b`` of a kept pair is the
-    standard single-pass approximation).
+    standard single-pass approximation). ``portable=True`` switches to the
+    DuckDB-reproducible hash family (operators/hashing.py) so the whole
+    pass — candidates AND verified jaccard values — diffs bit-for-bit
+    against a SQL oracle.
     """
-    cands = minhash_lsh_candidates(df, text_col, id_col, num_hashes, bands, n, seed)
-    verified = jaccard(cands, df, text_col, id_col, n)
+    cands = minhash_lsh_candidates(df, text_col, id_col, num_hashes, bands,
+                                   n, seed, portable=portable)
+    verified = jaccard(cands, df, text_col, id_col, n, portable=portable)
     return verified.filter(F.col("jaccard") >= threshold)
 
 
 def ngram_jaccard_pairs(df: DataFrame, block_cols: Sequence[str],
                         text_col: str = "text", id_col: str = "doc_id",
-                        threshold: float = 0.8, n: int = 1) -> DataFrame:
+                        threshold: float = 0.8, n: int = 1,
+                        max_block_size: int | None = None) -> DataFrame:
     """Exact n-gram Jaccard near-dup pairs within blocking-key groups.
 
     The standalone (non-minhash) Jaccard family: candidate pairs are every
@@ -264,16 +281,26 @@ def ngram_jaccard_pairs(df: DataFrame, block_cols: Sequence[str],
     length bucket); similarity is exact set Jaccard over distinct word
     n-gram *strings* — integer arithmetic, bit-for-bit reproducible against
     any SQL oracle. Per-block pair count is quadratic, so blocks must be
-    bounded (at 100 TB use :func:`minhash_dedup`, whose LSH banding IS the
-    blocking; this operator is its verify stage exposed standalone).
+    bounded: pass ``max_block_size`` to DROP blocks larger than the cap
+    (same guard as minhash's ``max_bucket_size`` — a skewed block at 100 TB
+    is a scale-killer; at that scale use :func:`minhash_dedup`, whose LSH
+    banding IS the blocking; this operator is its verify stage exposed
+    standalone).
 
     The self-join shuffles both sides once on ``block_cols``; shingle
     arrays are materialized scan-side before the join so each document is
-    shingled once, not once per pair.
+    shingled once, not once per pair. The block-size guard joins a tiny
+    per-block count (broadcast by AQE) before the quadratic self-join.
     """
     blocks = [F.col(c) for c in block_cols]
     sh = df.select(F.col(id_col), *blocks,
                    shingles(F.col(text_col), n=n).alias("__sh"))
+    if max_block_size is not None:
+        sizes = (sh.groupBy(*block_cols)
+                 .agg(F.count(F.lit(1)).alias("__bsz"))
+                 .filter(F.col("__bsz") <= max_block_size)
+                 .drop("__bsz"))
+        sh = sh.join(F.broadcast(sizes), list(block_cols))
     a = sh.select(F.col(id_col).alias("a"), *blocks,
                   F.col("__sh").alias("__sa"))
     b = sh.select(F.col(id_col).alias("b"), *blocks,
@@ -287,15 +314,27 @@ def ngram_jaccard_pairs(df: DataFrame, block_cols: Sequence[str],
             .drop("__sa", "__sb", "__i"))
 
 
-def simhash(col: Column, bits: int = 32, n: int = 1, seed: int = 99) -> Column:
+def simhash(col: Column, bits: int = 32, n: int = 1, seed: int = 99,
+            portable: bool = False) -> Column:
     """SimHash fingerprint of the token (n=1) / shingle stream → bigint.
 
-    Per-bit sign-sum over token hashes: token hashes materialize once as an
-    array<long>, then each bit's ±1 vote folds in its own F.aggregate
-    (shift amounts must be literals in Spark, hence the Python-level loop —
-    still 100% native expressions, no UDF)."""
-    toks = F.transform(shingles(col, n=n), lambda t: F.xxhash64(t, F.lit(seed)))
+    Per-bit sign-vote over the distinct shingle hashes (Arrow kernel, see
+    ``simhash_from_hashes``). Fast path: seeded xxhash64. Portable path:
+    md5-derived hash60 (60 usable bits ≥ any supported ``bits``) with the
+    seed appended to the token text — reproducible in DuckDB SQL for the
+    driver oracle."""
+    toks = _simhash_tokens(col, n=n, seed=seed, portable=portable)
     return simhash_from_hashes(toks, bits=bits)
+
+
+def _simhash_tokens(col: Column, n: int, seed: int,
+                    portable: bool) -> Column:
+    from trafaret_spark.operators.hashing import hash60
+    if portable:
+        # printable seed suffix (a NUL byte would be hostile to SQL oracles)
+        return F.transform(shingles(col, n=n),
+                           lambda t: hash60(F.concat(t, F.lit(f"|simhash{seed}"))))
+    return F.transform(shingles(col, n=n), lambda t: F.xxhash64(t, F.lit(seed)))
 
 
 def simhash_from_hashes(toks: Column, bits: int = 32) -> Column:
@@ -334,7 +373,8 @@ def simhash_from_hashes(toks: Column, bits: int = 32) -> Column:
 
 
 def simhash_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
-                  bits: int = 32, band_bits: int = 8, seed: int = 99) -> DataFrame:
+                  bits: int = 32, band_bits: int = 8, seed: int = 99,
+                  portable: bool = False) -> DataFrame:
     """Near-dup candidates by SimHash banding: docs sharing any
     ``band_bits``-wide slice of the fingerprint land in one bucket
     (Hamming-distance ≤ bits/band_bits - 1 guaranteed caught).
@@ -343,8 +383,8 @@ def simhash_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     mask = (1 << band_bits) - 1
     hashed = df.select(
         F.col(id_col),
-        F.transform(shingles(F.col(text_col), n=1),
-                    lambda t: F.xxhash64(t, F.lit(seed))).alias("__th"))
+        _simhash_tokens(F.col(text_col), n=1, seed=seed,
+                        portable=portable).alias("__th"))
     fp = hashed.select(
         F.col(id_col),
         simhash_from_hashes(F.col("__th"), bits=bits).alias("__fp"))

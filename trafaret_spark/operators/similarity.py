@@ -14,9 +14,12 @@ Two paths over ``array<float>`` embeddings:
                            scanned once.
 
 Exact scoring stays JVM-side (native zip_with/aggregate). LSH bucketing is
-the one Arrow-batched kernel: a seed-deterministic gaussian plane matrix
-multiply per batch (see ``lsh_band_buckets``) — the sanctioned pandas-UDF
-path where a per-element Column fold would be interpreted-eval per row.
+the one Arrow-batched kernel: a seed-deterministic Rademacher ({-1,+1})
+plane matrix multiply over fixed-point-quantized vectors per batch (see
+``lsh_band_buckets``) — the sanctioned pandas-UDF path where a per-element
+Column fold would be interpreted-eval per row. Integer projection makes the
+sign bits exactly reproducible across engines and summation orders, which
+is what lets the driver's DuckDB oracle recompute the buckets.
 """
 
 from __future__ import annotations
@@ -25,6 +28,10 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+
+from trafaret_spark.operators.hashing import rademacher_planes
+
+QUANT_SCALE = 1_000_000  # fixed-point quantization: q = floor(x * SCALE)
 
 __all__ = ["dot", "l2_norm", "cosine", "cosine_topk", "lsh_cosine_topk",
            "cosine_neardup", "lsh_band_buckets"]
@@ -67,7 +74,7 @@ def cosine_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
 def cosine_neardup(df: DataFrame, threshold: float = 0.9,
                    id_col: str = "vec_id", vec_col: str = "embedding",
                    block_cols=None, nbits: int = 8, bands: int = 4,
-                   seed: int = 7) -> DataFrame:
+                   seed: int = 7, max_block_size: int | None = None) -> DataFrame:
     """Embedding near-duplicate pairs: oriented (a, b, sim) with
     cosine(a, b) >= threshold.
 
@@ -78,10 +85,21 @@ def cosine_neardup(df: DataFrame, threshold: float = 0.9,
     so near-dups collide in some band; shuffle key is the uniform bucket
     hash, never an all-pairs cross join). Both paths verify candidates with
     the exact cosine before thresholding.
+
+    The blocked path is quadratic per block; ``max_block_size`` DROPS blocks
+    above the cap before the self-join (the same guard as minhash's
+    ``max_bucket_size`` — mandatory at scale, where one hot block would
+    dominate the stage).
     """
     if block_cols:
         blocks = [F.col(c) for c in block_cols]
         v = df.select(F.col(id_col), *blocks, F.col(vec_col).alias("__v"))
+        if max_block_size is not None:
+            sizes = (v.groupBy(*block_cols)
+                     .agg(F.count(F.lit(1)).alias("__bsz"))
+                     .filter(F.col("__bsz") <= max_block_size)
+                     .drop("__bsz"))
+            v = v.join(F.broadcast(sizes), list(block_cols))
         a = v.select(F.col(id_col).alias("a"), *blocks, F.col("__v").alias("__va"))
         b = v.select(F.col(id_col).alias("b"), *blocks, F.col("__v").alias("__vb"))
         pairs = a.join(b, list(block_cols)).filter(F.col("a") < F.col("b"))
@@ -102,34 +120,53 @@ def cosine_neardup(df: DataFrame, threshold: float = 0.9,
 
 
 def lsh_band_buckets(vec: Column, nbits: int = 12, bands: int = 1,
-                     seed: int = 7) -> Column:
+                     seed: int = 7, dim: int | None = None) -> Column:
     """All band bucket keys in one Arrow batch → array<long> of length
-    ``bands``.
+    ``bands`` (NULL for NULL / dimension-mismatched vectors).
 
-    The kernel is a single matrix multiply V(batch×dim) @ W(dim×bands·nbits)
-    against a seed-deterministic gaussian plane matrix (built lazily from the
-    first batch's dim) — BLAS-vectorized per Arrow batch. The previous
-    per-plane Column-expression fold evaluated bands·nbits·dim interpreted
-    higher-order-function lambdas PER ROW (~12M lambda evals for 2k×48×64:
-    measured 2.9 s where the matmul takes milliseconds). Sign bits pack
-    big-endian into one long per band.
+    The kernel is a single integer matrix multiply Q(batch×dim) @
+    P(dim×bands·nbits) where Q = floor(vec · 10^6) (fixed-point) and P is a
+    seed-deterministic Rademacher {-1,+1} matrix (hashing.rademacher_planes,
+    built lazily from the batch's modal dim) — BLAS-vectorized per Arrow
+    batch. A per-plane Column-expression fold evaluated bands·nbits·dim
+    interpreted higher-order-function lambdas PER ROW (~12M lambda evals for
+    2k×48×64: measured 2.9 s where the matmul takes milliseconds). Integer
+    projection means the sign decision (proj > 0; ties hash to bit 0) is
+    exact — no float-summation-order sensitivity — so the DuckDB oracle
+    reproduces the buckets bit-for-bit. Sign bits pack big-endian into one
+    long per band.
+
+    Null safety: None vectors and rows whose length differs from ``dim``
+    are masked out before the matmul and yield NULL bucket arrays (a ragged
+    np.array would otherwise build an object matrix and crash the task —
+    see ADVICE r1). ``dim`` defaults to the longest row of each Arrow batch,
+    which is only batch-local — pass it explicitly when the corpus may mix
+    dimensions, so masking is globally consistent.
     """
     total = bands * nbits
     weights = (1 << np.arange(nbits - 1, -1, -1, dtype=np.int64))
 
     @F.pandas_udf("array<long>")
     def _buckets(v: pd.Series) -> pd.Series:
-        if len(v) == 0:
+        n = len(v)
+        if n == 0:
             return pd.Series([], dtype=object)
-        mat = np.array(v.tolist(), dtype=np.float64)       # batch × dim
-        dim = mat.shape[1]
-        rng = np.random.RandomState(seed)
-        planes = rng.randn(dim, total)                      # dim × bands·nbits
-        signs = (mat @ planes) >= 0                         # batch × total
+        raw = v.tolist()
+        d = dim or max((len(a) for a in raw if a is not None), default=0)
+        null_mask = [a is None or len(a) != d for a in raw]
+        if d == 0:
+            return pd.Series([None] * n)
+        mat = np.zeros((n, d), dtype=np.float64)            # batch × dim
+        for i, (a, m) in enumerate(zip(raw, null_mask)):
+            if not m:
+                mat[i] = a
+        q = np.floor(mat * QUANT_SCALE).astype(np.int64)
+        planes = rademacher_planes(d, total, seed)          # dim × bands·nbits
+        signs = (q @ planes) > 0                            # batch × total
         keys = np.einsum("rbn,n->rb",
-                         signs.reshape(len(mat), bands, nbits).astype(np.int64),
+                         signs.reshape(n, bands, nbits).astype(np.int64),
                          weights)
-        return pd.Series(list(keys))
+        return pd.Series([None if null_mask[i] else keys[i] for i in range(n)])
 
     return _buckets(vec)
 

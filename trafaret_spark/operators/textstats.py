@@ -116,15 +116,20 @@ def lang_id(df: DataFrame, text_col: str = "text",
 
 
 def fingerprint(df: DataFrame, text_col: str = "text",
-                name: str = "fingerprint") -> DataFrame:
-    """Order-sensitive rolling-hash document fingerprint (polynomial over
-    token xxhashes mod 2^61-1): robust to whitespace/punct jitter, cheap
-    equality key for near-exact dedup."""
-    m = (1 << 61) - 1
+                name: str = "fingerprint",
+                portable: bool = False) -> DataFrame:
+    """Order-sensitive rolling-hash document fingerprint: polynomial fold
+    ``fp = (fp * 1000003 + h(token)) mod M31`` over normalized tokens, with
+    token hashes reduced into [0, M31) first — every intermediate stays
+    < 2^52, exact in int64 and exception-free under ANSI (the round-1
+    version multiplied an unreduced ~2^61 accumulator and overflowed).
+    Robust to whitespace/punct jitter; cheap equality key for near-exact
+    dedup. ``portable=True`` uses the md5-derived token hash so the value
+    is bit-reproducible in DuckDB (see operators/hashing.py)."""
+    from trafaret_spark.operators.hashing import combine31, tok_hash, M31
     toks = F.split(F.trim(F.lower(F.regexp_replace(
         F.col(text_col), r"[^\p{L}\p{N}]+", " "))), r"\s+")
     fp = F.aggregate(
         toks, F.lit(0).cast("long"),
-        lambda acc, t: F.pmod(acc * F.lit(1000003) + F.pmod(F.xxhash64(t), F.lit(m)),
-                              F.lit(m)))
+        lambda acc, t: combine31(acc, F.pmod(tok_hash(t, portable), F.lit(M31))))
     return df.withColumn(name, fp)

@@ -45,11 +45,21 @@ def detect_skew(df: DataFrame, key: str = "conv_id",
 
 
 def with_salt(df: DataFrame, key: str = "conv_id", buckets: int = 16,
-              salt_col: str = "__salt") -> DataFrame:
-    """Deterministic salt derived from a secondary column-free hash; used to
-    split one hot key across `buckets` reducers for associative aggs."""
+              salt_col: str = "__salt",
+              salt_from: Optional[Sequence[str]] = None) -> DataFrame:
+    """Deterministic salt splitting one hot key across ``buckets`` reducers
+    for associative aggs.
+
+    The salt hashes row CONTENT (``salt_from`` columns, default: every
+    column) — stable across task retries, unlike
+    ``monotonically_increasing_id`` whose value depends on which task
+    attempt a row lands in (a retried partial agg would re-bucket rows and
+    double-count under speculative execution). Fully duplicate rows share a
+    bucket, which only costs salting entropy in the degenerate
+    all-rows-identical case."""
+    cols = list(salt_from) if salt_from else df.columns
     return df.withColumn(
-        salt_col, F.pmod(F.xxhash64(F.monotonically_increasing_id()), F.lit(buckets)))
+        salt_col, F.pmod(F.xxhash64(*[F.col(c) for c in cols]), F.lit(buckets)))
 
 
 def salted_agg(df: DataFrame, key: Union[str, Sequence[str]], aggs: dict,

@@ -112,7 +112,11 @@ class Key:
             if has_default:
                 src_dt = T._infer_type(default_val) if default_val is not None else T.StringType()
                 c = self.guard.compile(F.lit(default_val).cast(src_dt), src_dt)
-                return CompiledKey(out, c.value, c.dtype, _entry(out, c.error), ())
+                # engine-wide convention (same as the present-column path
+                # below): value is NULL whenever the key has an error entry —
+                # a default that fails its own guard must not leak through
+                return CompiledKey(out, F.when(c.error.isNull(), c.value),
+                                   c.dtype, _entry(out, c.error), ())
             if self.optional:
                 return None
             # column absent entirely: every row fails 'required'
@@ -342,11 +346,18 @@ class Schema:
     (trafaret/base.py:1007-1221).
 
     extras: 'raise' (default; unknown columns are a plan-time SchemaError,
-    mirroring the reference's per-value NOT_ALLOWED), 'ignore' (drop),
-    'allow' (keep untouched), or a list of allowed extra names.
+    mirroring the reference's per-value NOT_ALLOWED), 'ignore' (drop ALL),
+    'allow' (keep ALL untouched), a list of allowed extra names (kept;
+    others raise), or ('ignore', [names]) (those dropped; others raise —
+    the per-name ignore_extra semantics of trafaret/base.py:1074-1076).
+
+    ``extras_guard`` validates every KEPT extra column (reference
+    allow_extra(trafaret=...), trafaret/base.py:1167-1176): failures add
+    error entries exactly like declared keys.
     """
 
-    def __init__(self, *keys: Union[Key, _CrossFieldKey], extras: Union[str, list] = "raise",
+    def __init__(self, *keys: Union[Key, _CrossFieldKey],
+                 extras: Union[str, list, tuple] = "raise",
                  extras_guard=None, **kw_guards):
         self.keys: list = list(keys)
         for name, g in kw_guards.items():
@@ -356,12 +367,18 @@ class Schema:
         self.extras = extras
         self.extras_guard = ensure_guard(extras_guard) if extras_guard else None
 
-    def allow_extra(self, *names: str) -> "Schema":
+    def allow_extra(self, *names: str, trafaret=None) -> "Schema":
         extras = "allow" if "*" in names else list(names)
-        return Schema(*self.keys, extras=extras, extras_guard=self.extras_guard)
+        return Schema(*self.keys, extras=extras,
+                      extras_guard=trafaret or self.extras_guard)
 
     def ignore_extra(self, *names: str) -> "Schema":
-        return Schema(*self.keys, extras="ignore", extras_guard=self.extras_guard)
+        """Per-name semantics (trafaret/base.py:1074-1076): only the named
+        extras are dropped; any OTHER extra column still raises. '*' drops
+        everything."""
+        extras = "ignore" if "*" in names else ("ignore", list(names))
+        return Schema(*self.keys, extras=extras,
+                      extras_guard=self.extras_guard)
 
     def merge(self, other: "Schema") -> "Schema":
         """Key-set union (trafaret/base.py:1200-1221)."""
@@ -388,13 +405,28 @@ class Schema:
                                   f"(code={codes.NOT_ALLOWED})")
         elif self.extras == "allow":
             keep_extra = extra
+        elif isinstance(self.extras, tuple) and self.extras[0] == "ignore":
+            # per-name ignore: listed extras drop silently, others raise
+            bad = [c for c in extra if c not in self.extras[1]]
+            if bad:
+                raise SchemaError(f"{sorted(bad)} are not allowed columns "
+                                  f"(code={codes.NOT_ALLOWED})")
         elif isinstance(self.extras, list):
             bad = [c for c in extra if c not in self.extras]
             if bad:
                 raise SchemaError(f"{sorted(bad)} are not allowed columns "
                                   f"(code={codes.NOT_ALLOWED})")
             keep_extra = [c for c in extra if c in self.extras]
-        # 'ignore' drops extras
+        # 'ignore' drops all extras
+        if self.extras_guard is not None and keep_extra:
+            # validate kept extras (reference trafaret/base.py:1167-1176) —
+            # reuse the Key machinery (optional: NULL extra ~ absent key)
+            for name in keep_extra:
+                got = Key(name, self.extras_guard,
+                          optional=True).compile(columns, get)
+                if got is not None:
+                    compiled.append(got)
+            keep_extra = []
         return compiled, keep_extra
 
     def apply(self, df: DataFrame, errors_col: str = "errors") -> DataFrame:
