@@ -1,0 +1,312 @@
+"""Round-2 behaviors: ANSI neutrality, per-name extras, codec-failure
+parity, tie-break consistency, portable hashing, block caps.
+
+The ANSI tests flip ``spark.sql.ansi.enabled`` at runtime (it is a
+session-level SQL conf) so the same fixtures exercise both modes — the
+round-1 blind spot was testing only under the library's ANSI-off session.
+"""
+
+import contextlib
+
+import duckdb
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+import trafaret_spark as ts
+from trafaret_spark.operators import dedup, similarity, textstats
+from trafaret_spark.operators.asof import asof_join
+from trafaret_spark.operators.hashing import M31, TOK31_DUCKDB, hash60, tok31
+
+import trafaret as t  # reference oracle (read-only import)
+from trafaret import DataError
+
+
+@contextlib.contextmanager
+def ansi(spark, enabled: bool):
+    old = spark.conf.get("spark.sql.ansi.enabled")
+    spark.conf.set("spark.sql.ansi.enabled", str(enabled).lower())
+    try:
+        yield
+    finally:
+        spark.conf.set("spark.sql.ansi.enabled", old)
+
+
+# ---------------------------------------------------------------------------
+# extras: per-name ignore + extras_guard
+# ---------------------------------------------------------------------------
+
+class TestExtrasRound2:
+    def test_ignore_extra_per_name(self, spark):
+        df = spark.createDataFrame([("a", "b", "c")],
+                                   "x string, e1 string, e2 string")
+        schema = ts.Schema(ts.Key("x", ts.String()))
+        # named ignore drops only those names
+        out = ts.apply_schema(df, schema.ignore_extra("e1", "e2"))
+        assert set(out.columns) == {"x", "errors"}
+        # an extra OUTSIDE the named list still raises
+        with pytest.raises(ts.SchemaError):
+            ts.apply_schema(df, schema.ignore_extra("e1"))
+        # '*' drops everything
+        out2 = ts.apply_schema(df, schema.ignore_extra("*"))
+        assert set(out2.columns) == {"x", "errors"}
+        # reference parity (trafaret/base.py:1074-1076)
+        ref = t.Dict({t.Key("x"): t.String})
+        assert ref.ignore_extra("e1", "e2").check(
+            {"x": "a", "e1": "b", "e2": "c"}) == {"x": "a"}
+        with pytest.raises(DataError):
+            ref.ignore_extra("e1").check({"x": "a", "e1": "b", "e2": "c"})
+
+    def test_extras_guard_validates_kept_extras(self, spark):
+        df = spark.createDataFrame(
+            [("r1", "click"), ("r2", "bogus"), ("r3", None)],
+            "x string, chan string")
+        schema = ts.Schema(ts.Key("x", ts.String())) \
+            .allow_extra("chan", trafaret=ts.Enum("click", "view"))
+        rows = {r["x"]: r for r in ts.apply_schema(df, schema).collect()}
+        assert rows["r1"]["chan"] == "click" and rows["r1"]["errors"] == []
+        assert rows["r2"]["chan"] is None
+        assert [e["code"] for e in rows["r2"]["errors"]] == ["does_not_match_any"]
+        # NULL extra ~ absent key: no error, no value
+        assert rows["r3"]["chan"] is None and rows["r3"]["errors"] == []
+        # reference parity (trafaret/base.py:1167-1176)
+        ref = t.Dict({t.Key("x"): t.String}, allow_extra=["chan"],
+                     allow_extra_trafaret=t.Enum("click", "view"))
+        assert ref.check({"x": "a", "chan": "click"}) == \
+            {"x": "a", "chan": "click"}
+        with pytest.raises(DataError):
+            ref.check({"x": "a", "chan": "bogus"})
+
+    def test_default_failing_guard_masks_value(self, spark):
+        # absent column whose default fails its own guard: NULL value + error
+        df = spark.createDataFrame([("r1",)], "x string")
+        schema = ts.Schema(ts.Key("x", ts.String()),
+                           ts.Key("n", ts.Int(gte=10), default=3))
+        row = ts.apply_schema(df, schema).collect()[0]
+        assert row["n"] is None
+        assert [e["code"] for e in row["errors"]] == ["too_small"]
+
+
+# ---------------------------------------------------------------------------
+# ToBytes / FromBytes codec-failure parity
+# ---------------------------------------------------------------------------
+
+class TestBytesCodecParity:
+    def test_tobytes_cannot_be_encoded(self, spark):
+        df = spark.createDataFrame([("plain",), ("héllo ツ",), (None,)],
+                                   "s string")
+        schema = ts.Schema(ts.Key("s", ts.ToBytes("ascii"), optional=True))
+        rows = ts.apply_schema(df, schema).collect()
+        assert bytes(rows[0]["s"]) == b"plain" and rows[0]["errors"] == []
+        assert rows[1]["s"] is None
+        assert [e["code"] for e in rows[1]["errors"]] == ["cannot_be_encoded"]
+        assert rows[2]["errors"] == []
+        # reference raises the same code (trafaret/base.py:687-712)
+        ref = t.ToBytes(encoding="ascii")
+        assert ref.check("plain") == b"plain"
+        with pytest.raises(DataError) as ei:
+            ref.check("héllo ツ")
+        assert "cannot be encoded" in str(ei.value)
+
+    def test_frombytes_cannot_be_decoded(self, spark):
+        df = spark.createDataFrame(
+            [Row(b=b"ok bytes"), Row(b=b"\xff\xfe\xf0"), Row(b=None)])
+        schema = ts.Schema(ts.Key("b", ts.FromBytes("utf-8"), optional=True))
+        rows = ts.apply_schema(df, schema).collect()
+        assert rows[0]["b"] == "ok bytes" and rows[0]["errors"] == []
+        assert rows[1]["b"] is None
+        assert [e["code"] for e in rows[1]["errors"]] == ["cannot_be_decoded"]
+        assert rows[2]["errors"] == []
+        ref = t.FromBytes(encoding="utf-8")
+        assert ref.check(b"ok bytes") == "ok bytes"
+        with pytest.raises(DataError) as ei:
+            ref.check(b"\xff\xfe\xf0")
+        assert "cannot be decoded" in str(ei.value)
+
+    def test_ascii_frombytes_gate(self, spark):
+        df = spark.createDataFrame([Row(b=b"seven-bit"), Row(b=b"high\xc3\xa9")])
+        schema = ts.Schema(ts.Key("b", ts.FromBytes("ascii")))
+        rows = ts.apply_schema(df, schema).collect()
+        assert rows[0]["b"] == "seven-bit"
+        assert [e["code"] for e in rows[1]["errors"]] == ["cannot_be_decoded"]
+
+
+# ---------------------------------------------------------------------------
+# asof tie-break NULL consistency across strategies
+# ---------------------------------------------------------------------------
+
+class TestAsofTieBreakNulls:
+    @pytest.fixture()
+    def sides(self, spark):
+        left = spark.createDataFrame([Row(k=1, ts=10.0, lx="L")])
+        right = spark.createDataFrame(
+            [Row(k=1, ts=20.0, tb=None, v="null_tb"),
+             Row(k=1, ts=20.0, tb=5, v="tb5"),
+             Row(k=1, ts=20.0, tb=9, v="tb9")],
+            "k int, ts double, tb int, v string")
+        return left, right
+
+    @pytest.mark.parametrize("direction,expect", [
+        ("forward", "tb5"),    # least non-null tie_break wins
+    ])
+    def test_strategies_agree(self, sides, direction, expect):
+        left, right = sides
+        got = {}
+        for strat in ("sort", "broadcast"):
+            r = asof_join(left, right, on="ts", by="k", direction=direction,
+                          strategy=strat, tie_break="tb", suffix="_r")
+            got[strat] = r.collect()[0]["v_r"]
+        assert got["sort"] == got["broadcast"] == expect
+
+    def test_backward_strategies_agree(self, spark):
+        left = spark.createDataFrame([Row(k=1, ts=30.0, lx="L")])
+        right = spark.createDataFrame(
+            [Row(k=1, ts=20.0, tb=None, v="null_tb"),
+             Row(k=1, ts=20.0, tb=5, v="tb5")],
+            "k int, ts double, tb int, v string")
+        for strat in ("sort", "broadcast"):
+            r = asof_join(left, right, on="ts", by="k", direction="backward",
+                          strategy=strat, tie_break="tb", suffix="_r")
+            assert r.collect()[0]["v_r"] == "tb5", strat
+
+
+# ---------------------------------------------------------------------------
+# LSH bucket kernel: null/ragged masking + determinism
+# ---------------------------------------------------------------------------
+
+class TestLshBuckets:
+    def test_null_and_ragged_mask(self, spark):
+        df = spark.createDataFrame(
+            [Row(vec_id=0, embedding=[1.0, 2.0, 3.0]),
+             Row(vec_id=1, embedding=None),
+             Row(vec_id=2, embedding=[1.0, 2.0]),
+             Row(vec_id=3, embedding=[3.0, 2.0, 1.0])],
+            "vec_id int, embedding array<double>").coalesce(1)
+        out = {r["vec_id"]: r["b"] for r in df.select(
+            "vec_id",
+            similarity.lsh_band_buckets(F.col("embedding"), 4, 2, dim=3)
+            .alias("b")).collect()}
+        assert out[1] is None and out[2] is None
+        assert out[0] is not None and len(out[0]) == 2
+        assert out[3] is not None
+
+    def test_deterministic_across_runs(self, spark):
+        df = spark.range(50).select(
+            F.col("id").alias("vec_id"),
+            F.transform(F.sequence(F.lit(1), F.lit(8)),
+                        lambda i: F.sin(i * (F.col("id") + 1)))
+            .alias("embedding"))
+        sel = df.select("vec_id", similarity.lsh_band_buckets(
+            F.col("embedding"), 6, 4).alias("b"))
+        assert sel.collect() == sel.collect()
+
+
+# ---------------------------------------------------------------------------
+# portable hashing: DuckDB bit-parity + ANSI neutrality
+# ---------------------------------------------------------------------------
+
+SAMPLES = ["abc", "hello world", "", "ünïcode ツ", "a b  c"]
+
+
+class TestPortableHashing:
+    def test_hash60_tok31_match_duckdb(self, spark):
+        df = spark.createDataFrame([(s,) for s in SAMPLES], "s string")
+        got = df.select("s", hash60(F.col("s")).alias("h"),
+                        tok31(F.col("s")).alias("t")).collect()
+        for r in got:
+            d_h, d_t = duckdb.sql(
+                f"SELECT CAST(concat('0x', substr(md5('{r['s']}'), 1, 15)) AS BIGINT),"
+                f" {TOK31_DUCKDB.format(repr(r['s']))}").fetchone()
+            assert r["h"] == d_h and r["t"] == d_t, r["s"]
+
+    def test_fingerprint_matches_duckdb_and_is_ansi_safe(self, spark):
+        df = spark.createDataFrame(
+            [(i, s) for i, s in enumerate(SAMPLES)], "doc_id int, text string")
+        for mode in (True, False):
+            with ansi(spark, mode):
+                rows = textstats.fingerprint(df, portable=True).collect()
+                assert all(0 <= r["fingerprint"] < M31 for r in rows)
+        tok = TOK31_DUCKDB.format("t")
+        for r in rows:
+            (d,) = duckdb.sql(rf"""
+                SELECT list_reduce(list_prepend(CAST(0 AS BIGINT),
+                         list_transform(string_split_regex(trim(regexp_replace(
+                           lower('{r['text']}'), '[^\p{{L}}\p{{N}}]+', ' ', 'g')),
+                           '\s+'), t -> {tok})),
+                       (a, h) -> (a * 1000003 + h) % {M31})""").fetchone()
+            assert r["fingerprint"] == d, r["text"]
+
+    def test_tuple_short_array_ansi_safe(self, spark):
+        # short arity must flag tuple_like, not throw INVALID_ARRAY_INDEX
+        df = spark.createDataFrame(
+            [Row(xs=[1, 2, 3]), Row(xs=[1])], "xs array<bigint>")
+        schema = ts.Schema(ts.Key("xs", ts.Tuple(ts.Int(), ts.Int(), ts.Int())))
+        for mode in (True, False):
+            with ansi(spark, mode):
+                rows = ts.apply_schema(df, schema).collect()
+                assert rows[0]["errors"] == []
+                assert [e["code"] for e in rows[1]["errors"]] == ["tuple_like"]
+
+    def test_fast_path_ansi_safe(self, spark):
+        docs = spark.createDataFrame(
+            [(i, s) for i, s in enumerate(SAMPLES * 4)], "doc_id int, text string")
+        with ansi(spark, True):
+            # would raise ARITHMETIC_OVERFLOW on the round-1 arithmetic
+            textstats.fingerprint(docs).collect()
+            dedup.minhash_dedup(docs, threshold=0.3).collect()
+            dedup.simhash_dedup(docs).collect()
+
+    def test_portable_and_fast_find_same_near_dups(self, spark):
+        docs = spark.createDataFrame(
+            [Row(doc_id=0, text="the quick brown fox jumps over the lazy dog today"),
+             Row(doc_id=1, text="the quick brown fox jumps over the lazy dog today!"),
+             Row(doc_id=2, text="completely unrelated text about cooking pasta sauce")])
+        fast = {(r["a"], r["b"]) for r in
+                dedup.minhash_dedup(docs, threshold=0.5).collect()}
+        port = {(r["a"], r["b"]) for r in
+                dedup.minhash_dedup(docs, threshold=0.5, portable=True).collect()}
+        assert fast == port == {(0, 1)}
+
+
+# ---------------------------------------------------------------------------
+# block-size caps on the quadratic paths
+# ---------------------------------------------------------------------------
+
+class TestBlockCaps:
+    def test_ngram_jaccard_block_cap(self, spark):
+        rows = ([Row(doc_id=i, text=f"hot block text {i}", grp="hot")
+                 for i in range(10)] +
+                [Row(doc_id=100, text="cool text a", grp="cool"),
+                 Row(doc_id=101, text="cool text a", grp="cool")])
+        df = spark.createDataFrame(rows)
+        capped = dedup.ngram_jaccard_pairs(df, block_cols=["grp"],
+                                           threshold=0.0, max_block_size=5)
+        got = {(r["a"], r["b"]) for r in capped.collect()}
+        assert got == {(100, 101)}  # hot block dropped entirely
+
+    def test_cosine_neardup_block_cap(self, spark):
+        rows = ([Row(vec_id=i, embedding=[1.0, float(i)], label=0)
+                 for i in range(10)] +
+                [Row(vec_id=100, embedding=[1.0, 1.0], label=1),
+                 Row(vec_id=101, embedding=[1.0, 1.0], label=1)])
+        df = spark.createDataFrame(rows)
+        out = similarity.cosine_neardup(df, threshold=0.0,
+                                        block_cols=["label"],
+                                        max_block_size=5)
+        got = {(r["a"], r["b"]) for r in out.collect()}
+        assert got == {(100, 101)}
+
+
+# ---------------------------------------------------------------------------
+# content-hash salting: retry-stable
+# ---------------------------------------------------------------------------
+
+class TestSaltStability:
+    def test_salt_is_content_derived(self, spark):
+        from trafaret_spark.partitioning import with_salt
+        df = spark.range(100).select(
+            F.col("id"), (F.col("id") % 7).alias("k"))
+        a = with_salt(df, "k", buckets=8).orderBy("id").collect()
+        b = with_salt(df.repartition(7), "k", buckets=8).orderBy("id").collect()
+        # same rows → same salt regardless of physical layout
+        assert [r["__salt"] for r in a] == [r["__salt"] for r in b]

@@ -551,7 +551,8 @@ _ENCODABLE_PRED = {
 
 _CHARSET_ALIAS = {"ascii": "US-ASCII", "us-ascii": "US-ASCII",
                   "latin-1": "ISO-8859-1", "latin1": "ISO-8859-1",
-                  "iso-8859-1": "ISO-8859-1", "utf8": "UTF-8"}
+                  "iso-8859-1": "ISO-8859-1",
+                  "utf8": "UTF-8", "utf-8": "UTF-8"}
 
 
 class ToBytes(Guard):
@@ -971,7 +972,11 @@ class Tuple(Guard):
         n = len(self.guards)
         if isinstance(dtype, T.ArrayType):
             elem_dt = dtype.elementType
-            compiled = [g.compile(col[i], elem_dt) for i, g in enumerate(self.guards)]
+            # F.get, not col[i]: positional GetArrayItem throws
+            # INVALID_ARRAY_INDEX under ANSI when the arity is short —
+            # exactly the rows the bad_arity branch is meant to flag
+            compiled = [g.compile(F.get(col, i), elem_dt)
+                        for i, g in enumerate(self.guards)]
             out_elem = _common_type([c.dtype for c in compiled])
             # arity predicate bound into the let input — outer attribute
             # refs inside HOF lambdas resolve late (see schema.Key note)

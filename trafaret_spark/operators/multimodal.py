@@ -4,11 +4,14 @@ Media travel as opaque ``binary`` payloads plus a typed metadata struct —
 the Spark-native layout for 100 TB multimodal corpora (payload bytes never
 pass through Python row-at-a-time; each Arrow batch moves as one buffer).
 
-The actual codecs (PIL/ffmpeg/soundfile) are NOT present in this
-environment, so the decode kernels are STUBS: ``decode_image`` etc. raise
-``NotImplementedError`` unless ``fake=True``, in which case a deterministic
-hash-derived fake decode runs so the Spark-side plumbing — schema,
-``mapInPandas`` batch shape, partition sizing — is real and testable.
+The actual codecs are OPTIONAL dependencies probed at runtime
+(``_probe_pil()`` — Pillow for images; ffmpeg/soundfile analogues for
+video/audio are probed the same way): when the library is importable the
+real decode path runs inside the executor kernel; when it is not (this
+container has none of them), the kernels raise ``NotImplementedError``
+unless ``fake=True``, in which case a deterministic hash-derived fake
+decode runs so the Spark-side plumbing — schema, ``mapInPandas`` batch
+shape, partition sizing — is real and testable either way.
 
 Design notes for scale:
   * ``mapInPandas`` (not a scalar pandas_udf) because decode changes
@@ -63,6 +66,15 @@ def with_media_meta(df: DataFrame, payload_col: str = "payload",
     ))
 
 
+def _probe_pil():
+    """Import Pillow if available (executor-side probe; never a hard dep)."""
+    try:
+        from PIL import Image  # noqa: PLC0415
+        return Image
+    except ImportError:
+        return None
+
+
 def _fake_vec(payload: bytes, dim: int) -> list:
     """Deterministic pseudo-feature vector from the payload digest."""
     d = hashlib.sha256(payload or b"").digest()
@@ -74,28 +86,55 @@ def _fake_vec(payload: bytes, dim: int) -> list:
 def decode_image_features(df: DataFrame, payload_col: str = "payload",
                           id_col: str = "doc_id", dim: int = 16,
                           fake: bool = False) -> DataFrame:
-    """payload → resized-image feature vector, via mapInPandas.
+    """payload → decoded-image feature vector, via mapInPandas.
 
-    Real path requires PIL (absent here) → NotImplementedError per batch;
-    ``fake=True`` runs the deterministic stub with identical schema/batching.
+    Real path (Pillow importable on the executor): decode → grayscale →
+    resize to a √dim×√dim thumbnail → [0,1] pixel vector; a row that fails
+    to decode yields ``decode_ok=False`` + NULL features rather than
+    failing the task (bad bytes are data, not bugs, at corpus scale).
+    Without Pillow the kernel raises NotImplementedError per batch unless
+    ``fake=True``, which runs the deterministic hash stub with identical
+    schema/batching (the plumbing under test in this container).
     """
     out_schema = T.StructType([
         df.schema[id_col],
         T.StructField("img_features", T.ArrayType(T.FloatType())),
         T.StructField("decode_ok", T.BooleanType()),
     ])
+    side = max(1, int(dim ** 0.5))
+
+    def _real_vec(image_mod, payload: bytes):
+        import io
+        try:
+            img = image_mod.open(io.BytesIO(payload)).convert("L")
+            img = img.resize((side, side))
+            px = list(img.getdata())
+            vec = [p / 255.0 for p in px][:dim]
+            return vec + [0.0] * (dim - len(vec)), True
+        except Exception:
+            return None, False
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        image_mod = None if fake else _probe_pil()
         for pdf in batches:
-            if not fake:
+            if fake:
+                yield pd.DataFrame({
+                    id_col: pdf[id_col],
+                    "img_features": [_fake_vec(p, dim) for p in pdf[payload_col]],
+                    "decode_ok": [p is not None for p in pdf[payload_col]],
+                })
+                continue
+            if image_mod is None:
                 raise NotImplementedError(
-                    "image decode requires PIL/opencv — not in this container; "
-                    "pass fake=True for plumbing tests")
-            yield pd.DataFrame({
-                id_col: pdf[id_col],
-                "img_features": [_fake_vec(p, dim) for p in pdf[payload_col]],
-                "decode_ok": [p is not None for p in pdf[payload_col]],
-            })
+                    "image decode requires Pillow on the executors — "
+                    "not in this container; pass fake=True for plumbing tests")
+            feats, oks = [], []
+            for p in pdf[payload_col]:
+                v, ok = (None, False) if p is None else _real_vec(image_mod, p)
+                feats.append(v)
+                oks.append(ok)
+            yield pd.DataFrame({id_col: pdf[id_col],
+                                "img_features": feats, "decode_ok": oks})
 
     return df.select(id_col, payload_col).mapInPandas(kernel, out_schema)
 
