@@ -244,6 +244,203 @@ def q_v_bytes(spark, sf_dir):
     return out.select("doc_id", F.length("payload").alias("n_bytes"), _err_code())
 
 
+def q_v_types(spark, sf_dir):
+    """Bool + Type/Subclass (plan-time dtype checks) + WithRepr passthrough."""
+    ev = _t(spark, sf_dir, "events")
+    df = ev.select(
+        "event_id",
+        F.when(F.col("event_id") % 5 != 0, F.col("event_id") % 2 == 0).alias("flag"),
+        "event_type", "value")
+    from pyspark.sql import types as T
+    out = ts.Schema(
+        ts.Key("event_id", ts.Int()),
+        ts.Key("flag", ts.Bool()),
+        ts.Key("event_type", ts.WithRepr(ts.Type(str), "<str>")),
+        ts.Key("value", ts.Subclass(T.NumericType)),
+    ).apply(df)
+    return out.select("event_id", "flag", _err_code())
+
+
+def q_v_date(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    raw = (F.when(F.col("event_id") % 23 == 0, F.lit("not-a-date"))
+           .otherwise(F.date_format("ts", "yyyy-MM-dd")))
+    df = ev.select("event_id", raw.alias("d_raw"))
+    out = ts.Schema(ts.Key("event_id", ts.Int()),
+                    ts.Key("d_raw", ts.ToDate(), to_name="d"),
+                    extras="ignore").apply(df)
+    # ISO string form: pandas renders Spark DATE as datetime.date but a
+    # DuckDB DATE as a midnight Timestamp — strings compare canonically
+    return out.select("event_id",
+                      F.date_format("d", "yyyy-MM-dd").alias("d"), _err_code())
+
+
+def q_v_datetime_any(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    m = F.col("event_id") % 4
+    raw = (F.when(m == 0, F.date_format("ts", "yyyy/MM/dd HH:mm:ss"))
+           .when(m == 1, F.date_format("ts", "dd.MM.yyyy"))
+           .when(m == 2, F.date_format("ts", "yyyy-MM-dd HH:mm:ss"))
+           .otherwise(F.lit("garbage")))
+    df = ev.select("event_id", raw.alias("ts_raw"))
+    out = ts.Schema(ts.Key("event_id", ts.Int()),
+                    ts.Key("ts_raw", ts.DateTimeAny(), to_name="ts_any"),
+                    extras="ignore").apply(df)
+    return out.select("event_id", "ts_any", _err_code())
+
+
+def q_v_todecimal(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    num = F.concat((F.col("event_id") % 1000).cast("string"), F.lit("."),
+                   F.lpad((F.col("event_id") % 97).cast("string"), 2, "0"))
+    raw = F.when(F.col("event_id") % 9 == 0, F.lit("abc")).otherwise(num)
+    df = ev.select("event_id", raw.alias("d_raw"))
+    out = ts.Schema(ts.Key("event_id", ts.Int()),
+                    ts.Key("d_raw", ts.ToDecimal(gte=1.0), to_name="d"),
+                    extras="ignore").apply(df)
+    return out.select("event_id",
+                      F.round(F.col("d").cast("double"), 6).alias("d"),
+                      _err_code())
+
+
+def q_v_bytes_guards(spark, sf_dir):
+    """Bytes (+ AnyString binary dispatch) with String length policy."""
+    docs = _t(spark, sf_dir, "documents")
+    df = docs.select("doc_id", F.encode("text", "utf-8").alias("payload"))
+    out = ts.Schema(
+        ts.Key("doc_id", ts.Int()),
+        ts.Key("payload", ts.Bytes(min_length=50, max_length=300)),
+        ts.Key("payload", ts.AnyString(), to_name="payload2"),
+    ).apply(df)
+    return out.select("doc_id",
+                      F.length("payload").alias("n_bytes"), _err_code())
+
+
+def q_v_frombytes(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    df = docs.select("doc_id", F.encode("text", "utf-8").alias("payload"))
+    out = ts.Schema(ts.Key("doc_id", ts.Int()),
+                    ts.Key("payload", ts.FromBytes("utf-8"), to_name="text2")
+                    ).apply(df)
+    return out.select("doc_id", "text2", _err_code())
+
+
+def q_v_url_hex(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    url = (F.when(F.col("event_id") % 7 == 0, F.lit("notaurl"))
+           .otherwise(F.concat(F.lit("https://example.com/p/"),
+                               F.col("event_id"))))
+    hx = (F.when(F.col("event_id") % 11 == 0, F.lit("XYZ"))
+          .otherwise(F.substring(F.md5(F.col("event_id").cast("string")), 1, 16)))
+    safe = F.concat(F.lit("tok_"), F.col("event_id"))
+    df = ev.select("event_id", url.alias("url"), hx.alias("hx"),
+                   safe.alias("tok"))
+    out = ts.Schema(
+        ts.Key("event_id", ts.Int()),
+        ts.Key("url", ts.URL()),
+        ts.Key("hx", ts.Hex()),
+        ts.Key("tok", ts.URLSafe()),
+    ).apply(df)
+    codes_str = F.concat_ws(
+        ",", F.transform(F.col("errors"), lambda e: e["code"]))
+    return out.select("event_id", "url", "hx", codes_str.alias("err_codes"))
+
+
+def q_v_ip(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    ip4 = F.concat(F.lit("10.0.0."), (F.col("event_id") % 300).cast("string"))
+    mixed = (F.when(F.col("event_id") % 3 == 0, F.lit("::1"))
+             .otherwise(ip4))
+    df = ev.select("event_id", ip4.alias("ip4"), mixed.alias("ip"))
+    out = ts.Schema(
+        ts.Key("event_id", ts.Int()),
+        ts.Key("ip4", ts.IPv4()),
+        ts.Key("ip", ts.IP()),
+    ).apply(df)
+    codes_str = F.concat_ws(
+        ",", F.transform(F.col("errors"), lambda e: e["code"]))
+    return out.select("event_id", "ip4", codes_str.alias("err_codes"))
+
+
+def q_v_confirm_key(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    pw = F.concat(F.lit("p"), F.col("event_id"))
+    pw2 = (F.when(F.col("event_id") % 13 == 0, F.lit(None).cast("string"))
+           .when(F.col("event_id") % 6 == 0, F.lit("different"))
+           .otherwise(pw))
+    df = ev.select("event_id", pw.alias("pw"), pw2.alias("pw2"))
+    out = ts.Schema(ts.Key("event_id", ts.Int()),
+                    ts.confirm_key("pw", "pw2", ts.String())).apply(df)
+    return out.select("event_id", "pw", _err_code())
+
+
+def q_v_subdict(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    df = ev.select("event_id",
+                   F.concat(F.lit("u"), F.col("user_id")).alias("first"),
+                   F.concat(F.lit("x"), F.col("event_id")).alias("last"))
+    out = ts.Schema(
+        ts.Key("event_id", ts.Int()),
+        ts.subdict("full", ts.Key("first", ts.String()),
+                   ts.Key("last", ts.String(max_length=4)),
+                   combine=lambda f, l: F.concat_ws(" ", f, l)),
+    ).apply(df)
+    return out.select("event_id", "full", _err_code())
+
+
+def q_v_dictkeys(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    df = ev.select("event_id")  # event_type column absent → required
+    out = ts.DictKeys(["event_id", "event_type"]).apply(df)
+    return out.select("event_id", _err_code())
+
+
+def q_v_forward(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    name = (F.when(F.col("event_id") % 5 == 0, F.lit("x"))  # too short
+            .otherwise(F.concat(F.lit("node"), F.col("event_id"))))
+    kid_name = (F.when(F.col("event_id") % 7 == 0, F.lit("k"))
+                .otherwise(F.lit("kid-ok")))
+    df = ev.select(
+        "event_id",
+        F.struct(name.alias("name"),
+                 F.array(F.struct(kid_name.alias("name"))).alias("kids"))
+        .alias("node"))
+    node = ts.Forward()
+    node << ts.DictGuard(ts.Key("name", ts.String(min_length=2)),
+                         ts.Key("kids", ts.List(node), optional=True))
+    out = ts.Schema(ts.Key("event_id", ts.Int()),
+                    ts.Key("node", node)).apply(df)
+    return out.select("event_id",
+                      F.col("node")["name"].alias("name"), _err_code())
+
+
+def q_v_call(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    raw = F.when(F.col("event_id") % 10 == 0, F.lit("")) \
+        .otherwise(F.col("event_type"))
+    df = ev.select("event_id", raw.alias("etype"))
+
+    def upper_nonempty(s):
+        errs = s.map(lambda v: None if v else "empty value")
+        return s.str.upper(), errs
+
+    out = ts.Schema(
+        ts.Key("event_id", ts.Int()),
+        ts.Key("etype", ts.Call(upper_nonempty, "string"), to_name="up"),
+    ).apply(df)
+    return out.select("event_id", "up", _err_code())
+
+
+def q_reshape_fold(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    flat = docs.select("doc_id", F.col("lang").alias("meta__lang"),
+                       F.col("source").alias("meta__source"))
+    folded = ts.fold(flat)
+    return folded.select("doc_id", F.col("meta")["lang"].alias("lang2"),
+                         F.col("meta")["source"].alias("source2"))
+
+
 def q_v_metrics(spark, sf_dir):
     ev = _t(spark, sf_dir, "events")
     schema = ts.Schema(
@@ -555,7 +752,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "v_mongoid": q_v_mongoid,
         "v_bytes": q_v_bytes,
         "v_metrics": q_v_metrics,
+        # round-2 coverage: previously pytest-only guards
+        "v_types": q_v_types,
+        "v_date": q_v_date,
+        "v_datetime_any": q_v_datetime_any,
+        "v_todecimal": q_v_todecimal,
+        "v_bytes_guards": q_v_bytes_guards,
+        "v_frombytes": q_v_frombytes,
+        "v_url_hex": q_v_url_hex,
+        "v_ip": q_v_ip,
+        "v_confirm_key": q_v_confirm_key,
+        "v_subdict": q_v_subdict,
+        "v_dictkeys": q_v_dictkeys,
+        "v_forward": q_v_forward,
+        "v_call": q_v_call,
         "reshape_unfold": q_reshape_unfold,
+        "reshape_fold": q_reshape_fold,
         # E5-E10 features
         "f_lag": q_f_lag,
         "f_rolling": q_f_rolling,
@@ -933,6 +1145,104 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, octet_length(encode(text)) AS n_bytes,
                    CAST(NULL AS VARCHAR) AS err_code
             FROM documents""",
+        "v_types": """
+            SELECT event_id,
+                   CASE WHEN event_id % 5 != 0 THEN event_id % 2 = 0 END AS flag,
+                   CASE WHEN event_id % 5 = 0 THEN 'required' END AS err_code
+            FROM events""",
+        "v_date": """
+            SELECT event_id,
+                   CASE WHEN event_id % 23 = 0 THEN NULL
+                        ELSE strftime(CAST(ts AS DATE), '%Y-%m-%d') END AS d,
+                   CASE WHEN event_id % 23 = 0
+                        THEN 'does_not_match_format' END AS err_code
+            FROM events""",
+        "v_datetime_any": """
+            SELECT event_id,
+                   CASE WHEN event_id % 4 = 3 THEN NULL
+                        WHEN event_id % 4 = 1
+                          THEN CAST(CAST(ts AS DATE) AS TIMESTAMP)
+                        ELSE date_trunc('second', ts) END AS ts_any,
+                   CASE WHEN event_id % 4 = 3 THEN 'not_datetime' END AS err_code
+            FROM events""",
+        "v_todecimal": """
+            WITH raw AS (
+              SELECT event_id,
+                     CAST(concat(event_id % 1000, '.',
+                                 lpad(CAST(event_id % 97 AS VARCHAR), 2, '0'))
+                          AS DECIMAL(38,18)) AS num
+              FROM events)
+            SELECT event_id,
+                   CASE WHEN event_id % 9 = 0 OR num < 1.0 THEN NULL
+                        ELSE round(CAST(num AS DOUBLE), 6) END AS d,
+                   CASE WHEN event_id % 9 = 0 THEN 'invalid_decimal'
+                        WHEN num < 1.0 THEN 'too_small' END AS err_code
+            FROM raw""",
+        "v_bytes_guards": """
+            WITH b AS (SELECT doc_id, octet_length(encode(text)) AS n
+                       FROM documents)
+            SELECT doc_id,
+                   CASE WHEN n >= 50 AND n <= 300 THEN n END AS n_bytes,
+                   CASE WHEN n = 0 THEN 'empty_string'
+                        WHEN n < 50 THEN 'short_string'
+                        WHEN n > 300 THEN 'long_string' END AS err_code
+            FROM b""",
+        "v_frombytes": """
+            SELECT doc_id, text AS text2, CAST(NULL AS VARCHAR) AS err_code
+            FROM documents""",
+        "v_url_hex": """
+            SELECT event_id,
+                   CASE WHEN event_id % 7 = 0 THEN NULL
+                        ELSE 'https://example.com/p/' || event_id END AS url,
+                   CASE WHEN event_id % 11 = 0 THEN NULL
+                        ELSE substr(md5(event_id::VARCHAR), 1, 16) END AS hx,
+                   concat_ws(',',
+                     CASE WHEN event_id % 7 = 0 THEN 'is_not_valid_url' END,
+                     CASE WHEN event_id % 11 = 0 THEN 'does_not_match_re' END)
+                     AS err_codes
+            FROM events""",
+        "v_ip": """
+            SELECT event_id,
+                   CASE WHEN event_id % 300 <= 255
+                        THEN '10.0.0.' || (event_id % 300) END AS ip4,
+                   concat_ws(',',
+                     CASE WHEN event_id % 300 > 255 THEN 'is_not_ipv4' END,
+                     CASE WHEN event_id % 3 != 0 AND event_id % 300 > 255
+                          THEN 'is_not_ip' END) AS err_codes
+            FROM events""",
+        "v_confirm_key": """
+            SELECT event_id,
+                   CASE WHEN event_id % 13 = 0 OR event_id % 6 = 0 THEN NULL
+                        ELSE 'p' || event_id END AS pw,
+                   CASE WHEN event_id % 13 = 0 THEN 'required'
+                        WHEN event_id % 6 = 0 THEN 'must_be_equal'
+                   END AS err_code
+            FROM events""",
+        "v_subdict": """
+            SELECT event_id,
+                   CASE WHEN length('x' || event_id) <= 4
+                        THEN 'u' || user_id || ' ' || 'x' || event_id
+                   END AS full,
+                   CASE WHEN length('x' || event_id) > 4
+                        THEN 'long_string' END AS err_code
+            FROM events""",
+        "v_dictkeys": """
+            SELECT event_id, 'required' AS err_code FROM events""",
+        "v_forward": """
+            SELECT event_id,
+                   CASE WHEN event_id % 5 != 0 AND event_id % 7 != 0
+                        THEN 'node' || event_id END AS name,
+                   CASE WHEN event_id % 5 = 0 OR event_id % 7 = 0
+                        THEN 'some_elements_did_not_match' END AS err_code
+            FROM events""",
+        "v_call": """
+            SELECT event_id,
+                   CASE WHEN event_id % 10 = 0 THEN NULL
+                        ELSE upper(event_type) END AS up,
+                   CASE WHEN event_id % 10 = 0 THEN 'call_failed' END AS err_code
+            FROM events""",
+        "reshape_fold": """
+            SELECT doc_id, lang AS lang2, source AS source2 FROM documents""",
         "v_metrics": f"""
             WITH e AS (
               SELECT CASE WHEN event_type NOT IN {_EV_LIST}
