@@ -681,6 +681,16 @@ def q_knn_lsh(spark, sf_dir):
                       F.col("rank").cast("int").alias("rank"))
 
 
+def q_knn_ivf(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings") \
+        .select("vec_id", F.col("embedding").cast("array<double>").alias("embedding"))
+    q = emb.filter(F.col("vec_id") < 5) \
+        .select(F.col("vec_id").alias("query_id"), "embedding")
+    out = similarity.ivf_cosine_topk(emb, q, k=5, n_centroids=8, nprobe=2)
+    return out.select("query_id", "vec_id", F.round("sim", 4).alias("sim"),
+                      F.col("rank").cast("int").alias("rank"))
+
+
 def q_mm_video_frames(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents") \
         .select("doc_id", F.encode("text", "utf-8").alias("payload"))
@@ -795,6 +805,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_fingerprint": q_text_fingerprint,
         "knn_cosine": q_knn_cosine,
         "knn_lsh": q_knn_lsh,
+        "knn_ivf": q_knn_ivf,
         "mm_video_frames": q_mm_video_frames,
         "mm_image_decode": q_mm_image_decode,
     }
@@ -972,6 +983,36 @@ def _embedding_lsh_oracle() -> str:
           FROM cand c JOIN q qa ON qa.vec_id = c.a
                       JOIN q qb ON qb.vec_id = c.b)
         SELECT a, b, round(rawsim, 4) AS sim FROM s WHERE rawsim >= 0.3"""
+
+
+def _knn_ivf_oracle() -> str:
+    asn = _COSINE_SQL.format(a="e.v", b="c.cv")
+    sim = _COSINE_SQL.format(a="eq.v", b="ec.v")
+    return f"""
+        WITH c AS (SELECT CAST(vec_id AS INT) AS cid, embedding::DOUBLE[] AS cv
+                   FROM embeddings ORDER BY vec_id LIMIT 8),
+        e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        ca AS (SELECT vec_id, cid FROM (
+                 SELECT e.vec_id, c.cid,
+                        row_number() OVER (PARTITION BY e.vec_id
+                                           ORDER BY {asn} DESC, c.cid) AS rn
+                 FROM e CROSS JOIN c) WHERE rn = 1),
+        qa AS (SELECT vec_id AS query_id, cid FROM (
+                 SELECT e.vec_id, c.cid,
+                        row_number() OVER (PARTITION BY e.vec_id
+                                           ORDER BY {asn} DESC, c.cid) AS rn
+                 FROM e CROSS JOIN c WHERE e.vec_id < 5) WHERE rn <= 2),
+        cand AS (SELECT DISTINCT qa.query_id, ca.vec_id
+                 FROM qa JOIN ca USING (cid)),
+        scored AS (SELECT cand.query_id, cand.vec_id, {sim} AS rawsim
+                   FROM cand JOIN e eq ON eq.vec_id = cand.query_id
+                             JOIN e ec ON ec.vec_id = cand.vec_id),
+        ranked AS (SELECT query_id, vec_id, round(rawsim, 4) AS sim,
+                          row_number() OVER (PARTITION BY query_id
+                                             ORDER BY rawsim DESC, vec_id) AS rank
+                   FROM scored)
+        SELECT query_id, vec_id, sim, CAST(rank AS INT) AS rank
+        FROM ranked WHERE rank <= 5"""
 
 
 def _knn_lsh_oracle() -> str:
@@ -1479,6 +1520,7 @@ def oracle_sql() -> dict[str, str]:
         "text_fingerprint": _fingerprint_oracle(),
         "dedup_embedding_lsh": _embedding_lsh_oracle(),
         "knn_lsh": _knn_lsh_oracle(),
+        "knn_ivf": _knn_ivf_oracle(),
         # fake-decode plumbing: every payload is non-null utf-8 text, so
         # decode_ok is uniformly TRUE and the feature dim is the requested 16
         "mm_image_decode": """

@@ -298,6 +298,58 @@ class TestBlockCaps:
 
 
 # ---------------------------------------------------------------------------
+# IVF-flat ANN
+# ---------------------------------------------------------------------------
+
+class TestIvf:
+    @pytest.fixture()
+    def clustered(self, spark):
+        # 4 well-separated clusters of 25 vectors each in 8-d
+        import numpy as np
+        rng = np.random.RandomState(3)
+        centers = np.eye(4).repeat(2, axis=1) * 10          # 4 × 8
+        rows = []
+        for i in range(100):
+            c = i % 4
+            v = centers[c] + rng.randn(8) * 0.1
+            rows.append(Row(vec_id=i, embedding=[float(x) for x in v]))
+        return spark.createDataFrame(rows)
+
+    def test_recall_vs_exact(self, clustered):
+        q = clustered.filter(F.col("vec_id") < 4) \
+            .select(F.col("vec_id").alias("query_id"), "embedding")
+        exact = {(r["query_id"], r["vec_id"]) for r in
+                 similarity.cosine_topk(clustered, q, k=5).collect()}
+        approx = {(r["query_id"], r["vec_id"]) for r in
+                  similarity.ivf_cosine_topk(clustered, q, k=5,
+                                             n_centroids=8, nprobe=3).collect()}
+        recall = len(exact & approx) / len(exact)
+        assert recall >= 0.8, recall
+
+    def test_trained_centroids_path(self, clustered):
+        cents = similarity.train_ivf_centroids(clustered, n_centroids=4,
+                                               iters=5, sample_limit=100)
+        assert cents.count() == 4
+        q = clustered.filter(F.col("vec_id") < 2) \
+            .select(F.col("vec_id").alias("query_id"), "embedding")
+        out = similarity.ivf_cosine_topk(clustered, q, k=5,
+                                         centroids=cents, nprobe=1)
+        # with a trained codebook + tight clusters, nprobe=1 already gets
+        # the same-cluster neighbors
+        got = {r["query_id"]: r["rank"] for r in out.collect()}
+        assert set(got) == {0, 1}
+
+    def test_deterministic(self, clustered):
+        q = clustered.filter(F.col("vec_id") < 2) \
+            .select(F.col("vec_id").alias("query_id"), "embedding")
+        a = similarity.ivf_cosine_topk(clustered, q, k=3).orderBy(
+            "query_id", "rank").collect()
+        b = similarity.ivf_cosine_topk(clustered, q, k=3).orderBy(
+            "query_id", "rank").collect()
+        assert a == b
+
+
+# ---------------------------------------------------------------------------
 # content-hash salting: retry-stable
 # ---------------------------------------------------------------------------
 

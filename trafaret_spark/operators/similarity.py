@@ -34,7 +34,8 @@ from trafaret_spark.operators.hashing import rademacher_planes
 QUANT_SCALE = 1_000_000  # fixed-point quantization: q = floor(x * SCALE)
 
 __all__ = ["dot", "l2_norm", "cosine", "cosine_topk", "lsh_cosine_topk",
-           "cosine_neardup", "lsh_band_buckets"]
+           "cosine_neardup", "lsh_band_buckets",
+           "ivf_cosine_topk", "train_ivf_centroids"]
 
 
 def dot(a: Column, b: Column) -> Column:
@@ -169,6 +170,88 @@ def lsh_band_buckets(vec: Column, nbits: int = 12, bands: int = 1,
         return pd.Series([None if null_mask[i] else keys[i] for i in range(n)])
 
     return _buckets(vec)
+
+
+def train_ivf_centroids(corpus: DataFrame, n_centroids: int = 64,
+                        id_col: str = "vec_id", vec_col: str = "embedding",
+                        iters: int = 10, sample_limit: int = 100_000,
+                        seed: int = 11) -> DataFrame:
+    """Spherical k-means coarse quantizer for :func:`ivf_cosine_topk`.
+
+    Trains DRIVER-SIDE on a bounded, deterministic sample (the
+    ``sample_limit`` smallest ids — order-stable, so centroids are
+    reproducible run to run): at 100 TB the coarse codebook is trained on a
+    sample by every IVF system; the expensive part — assignment — stays
+    distributed. The collect here is the bounded, documented kind (≤
+    sample_limit × dim floats). Returns (``__cid``, ``__cv``) ready to pass
+    as ``centroids=``.
+    """
+    pdf = (corpus.select(id_col, vec_col).orderBy(id_col)
+           .limit(sample_limit).toPandas())
+    mat = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+    mat /= np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+    rng = np.random.RandomState(seed)
+    cent = mat[rng.choice(len(mat), size=min(n_centroids, len(mat)),
+                          replace=False)]
+    for _ in range(iters):
+        assign = np.argmax(mat @ cent.T, axis=1)
+        for j in range(len(cent)):
+            members = mat[assign == j]
+            if len(members):
+                c = members.sum(axis=0)
+                cent[j] = c / max(np.linalg.norm(c), 1e-12)
+    spark = corpus.sparkSession
+    rows = [(int(i), [float(x) for x in c]) for i, c in enumerate(cent)]
+    return spark.createDataFrame(rows, "__cid int, __cv array<double>")
+
+
+def ivf_cosine_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
+                    id_col: str = "vec_id", vec_col: str = "embedding",
+                    query_id_col: str = "query_id",
+                    centroids: DataFrame | None = None,
+                    n_centroids: int = 16, nprobe: int = 2) -> DataFrame:
+    """IVF-flat approximate top-k: coarse-quantize the corpus to its nearest
+    centroid (= inverted lists), probe each query's ``nprobe`` nearest
+    centroids, exact re-rank inside the probed lists only.
+
+    The 100 TB shape: the centroid table is tiny and broadcast; corpus
+    assignment is one broadcast-join + per-row argmax (scan-side, no
+    shuffle of the corpus beyond the final candidate join, whose key —
+    the centroid id — has bounded cardinality ``n_centroids``). Probing
+    more lists (``nprobe``) trades shuffle volume for recall, the standard
+    IVF dial.
+
+    ``centroids`` defaults to the ``n_centroids`` corpus vectors with the
+    smallest ids — deterministic AND SQL-reproducible (the driver oracle
+    recomputes it), at the cost of recall vs a trained codebook; pass
+    :func:`train_ivf_centroids` output for real deployments.
+    """
+    if centroids is None:
+        centroids = (corpus.orderBy(id_col).limit(n_centroids)
+                     .select(F.col(id_col).cast("int").alias("__cid"),
+                             F.col(vec_col).alias("__cv")))
+
+    def assign(df, idc, out_vec, n):
+        scored = (df.join(F.broadcast(centroids))
+                  .withColumn("__csim", cosine(F.col(out_vec), F.col("__cv"))))
+        w = Window.partitionBy(idc).orderBy(F.desc("__csim"), F.asc("__cid"))
+        return (scored.withColumn("__crank", F.row_number().over(w))
+                .filter(F.col("__crank") <= n)
+                .select(idc, out_vec, "__cid"))
+
+    c = assign(corpus.select(F.col(id_col),
+                             F.col(vec_col).alias("__cvv")),
+               id_col, "__cvv", 1)
+    q = assign(queries.select(F.col(query_id_col),
+                              F.col(vec_col).alias("__qv")),
+               query_id_col, "__qv", nprobe)
+    cand = (q.join(c, "__cid")
+            .dropDuplicates([query_id_col, id_col]))
+    scored = (cand.withColumn("sim", cosine(F.col("__qv"), F.col("__cvv")))
+              .drop("__qv", "__cvv", "__cid"))
+    w = Window.partitionBy(query_id_col).orderBy(F.desc("sim"), F.asc(id_col))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k))
 
 
 def lsh_cosine_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
