@@ -102,3 +102,36 @@ class TestStatefulOperator:
         expect = tr.groupBy("conv_id").count().toPandas().set_index("conv_id")
         for conv in expect.index:
             assert got.loc[conv, "n"] == expect.loc[conv, "count"]
+
+
+class TestStreamDedup:
+    def test_dedup_within_watermark_matches_batch_groups(self, stream_dirs,
+                                                         tmp_path):
+        spark, src, tr = stream_dirs
+        # duplicate-heavy stream: two files, the second repeats the first's
+        # texts (same normalized form) with later timestamps inside the
+        # watermark window
+        import os
+        d = str(tmp_path / "dedup_src")
+        os.makedirs(d, exist_ok=True)
+        base = tr.limit(40).select("conv_id", "turn_idx", "text", "ts")
+        base.coalesce(1).write.mode("overwrite").parquet(d + "/b1")
+        base.withColumn("ts", F.col("ts") + F.expr("INTERVAL 10 MINUTES")) \
+            .withColumn("text", F.upper("text")) \
+            .coalesce(1).write.mode("overwrite").parquet(d + "/b2")
+        stream = (spark.readStream.schema(
+            spark.read.parquet(d + "/b1").schema)
+            .option("maxFilesPerTrigger", 1).parquet(d + "/b*"))
+        out = streaming.stream_exact_dedup(stream, watermark_s=3600)
+        q = (out.writeStream.format("memory")
+             .queryName("dedup_out").outputMode("append").start())
+        q.processAllAvailable()
+        q.stop()
+        got = spark.sql("SELECT dup_group, count(*) c FROM dedup_out "
+                        "GROUP BY dup_group")
+        # one survivor per normalized-text group (case change is identity)
+        assert got.filter(F.col("c") > 1).count() == 0
+        from trafaret_spark.operators import dedup as d_ops
+        n_groups = (base.select(F.md5(d_ops.normalize_text(F.col("text")))
+                                .alias("g")).distinct().count())
+        assert got.count() == n_groups

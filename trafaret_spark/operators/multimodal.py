@@ -4,14 +4,14 @@ Media travel as opaque ``binary`` payloads plus a typed metadata struct —
 the Spark-native layout for 100 TB multimodal corpora (payload bytes never
 pass through Python row-at-a-time; each Arrow batch moves as one buffer).
 
-The actual codecs are OPTIONAL dependencies probed at runtime
-(``_probe_pil()`` — Pillow for images; ffmpeg/soundfile analogues for
-video/audio are probed the same way): when the library is importable the
-real decode path runs inside the executor kernel; when it is not (this
-container has none of them), the kernels raise ``NotImplementedError``
-unless ``fake=True``, in which case a deterministic hash-derived fake
-decode runs so the Spark-side plumbing — schema, ``mapInPandas`` batch
-shape, partition sizing — is real and testable either way.
+The actual codecs are OPTIONAL dependencies: images probe Pillow at
+runtime (``_probe_pil()``) and run a real decode→resize→vectorize path
+when it is importable; audio/video still raise ``NotImplementedError``
+per batch without their codecs (ffmpeg/soundfile — absent from this
+container; probe hooks are the pattern to follow when adding them).
+With ``fake=True`` every kernel runs a deterministic hash-derived fake
+decode instead, so the Spark-side plumbing — schema, ``mapInPandas``
+batch shape, partition sizing — is real and testable either way.
 
 Design notes for scale:
   * ``mapInPandas`` (not a scalar pandas_udf) because decode changes

@@ -34,7 +34,8 @@ from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from trafaret_spark.schema import Schema
 from trafaret_spark.validate import apply_schema
 
-__all__ = ["validate_stream", "stream_sessionize", "running_turn_stats"]
+__all__ = ["validate_stream", "stream_sessionize", "running_turn_stats",
+           "stream_exact_dedup"]
 
 
 def validate_stream(stream_df: DataFrame, schema: Schema,
@@ -59,6 +60,26 @@ def stream_sessionize(df: DataFrame, by: str = "conv_id", ts: str = "ts",
             .select(by, F.col("session_window.start").alias("window_start"),
                     F.col("session_window.end").alias("window_end"),
                     "n_turns", "session_start", "session_end"))
+
+
+def stream_exact_dedup(df: DataFrame, text_col: str = "text",
+                       ts: str = "ts", watermark_s: float = 3600.0,
+                       normalized: bool = True) -> DataFrame:
+    """Streaming exact dedup: keep the first document per normalized-text
+    hash, with state bounded by the watermark
+    (``dropDuplicatesWithinWatermark`` — two docs more than ``watermark_s``
+    apart may both survive, the standard streaming-dedup contract; exact
+    global dedup is the batch operator's job).
+
+    The dedup key is the same md5-of-normalized-text as
+    ``dedup.exact_dedup``, so a streaming ingest and a batch backfill
+    agree on group identity. State store size is O(distinct texts inside
+    the watermark), not O(stream)."""
+    from trafaret_spark.operators.dedup import normalize_text
+    key = normalize_text(F.col(text_col)) if normalized else F.col(text_col)
+    keyed = (df.withColumn("dup_group", F.md5(key))
+             .withWatermark(ts, f"{int(watermark_s)} seconds"))
+    return keyed.dropDuplicatesWithinWatermark(["dup_group"])
 
 
 _STATE_SCHEMA = T.StructType([
