@@ -130,3 +130,15 @@ class TestBroadcast:
         out = asof_join(left, right, on="ts", by="user_id",
                         suffix="_r", strategy="broadcast")
         assert "BroadcastExchange" in plan_of(out, "simple")
+
+    def test_ivf_centroids_broadcast_corpus_not_cartesian(self, spark):
+        emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet") \
+            .select("vec_id", F.col("embedding").cast("array<double>").alias("embedding"))
+        q = emb.filter(F.col("vec_id") < 3) \
+            .select(F.col("vec_id").alias("query_id"), "embedding")
+        out = similarity.ivf_cosine_topk(emb, q, k=5, n_centroids=8, nprobe=2)
+        plan = plan_of(out, "simple")
+        # centroid table broadcast (tiny, bounded by n_centroids); the
+        # corpus must never be a cartesian-product side
+        assert "BroadcastExchange" in plan or "BroadcastNestedLoopJoin" in plan
+        assert "CartesianProduct" not in plan
