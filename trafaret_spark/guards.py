@@ -746,13 +746,17 @@ class DateTimeAny(Guard):
         # shape ('T' or space, optional fraction, optional zone offset,
         # date-only). A to_timestamp(fmt) try-cascade costs a thrown-caught
         # exception per failed format per row — measured 2.7× slower on the
-        # validation stage. The cast is pre-gated by a full-date regex:
-        # ungated it also accepts partial dates like '2020' / '2020-5',
-        # which dateutil only resolves against *today* (non-deterministic —
-        # rejected by design). Non-ISO shapes are gated behind cheap charset
-        # probes so their formatter only ever runs on rows the cast missed.
+        # validation stage. The cast is pre-gated so partial dates like
+        # '2020' / '2020-5' are rejected (dateutil resolves those against
+        # *today* — non-deterministic by design). The gate is two cheap
+        # char ops, not a regex (a backtracking regex per row is real money
+        # at 10^11 rows): a year-month-day prefix means length ≥ 8 with '-'
+        # at position 5 — every shorter/other shape is partial or non-ISO,
+        # and malformed survivors null out in the try_cast anyway. Non-ISO
+        # shapes are gated behind cheap charset probes so their formatter
+        # only ever runs on rows the cast missed.
         parsed = F.coalesce(
-            F.when(c.rlike(r"^\d{4}-\d{1,2}-\d{1,2}([T ].+)?$"),
+            F.when((F.length(c) >= 8) & (F.substring(c, 5, 1) == "-"),
                    c.try_cast("timestamp")),
             F.when(c.contains("/"),
                    F.coalesce(F.try_to_timestamp(c, F.lit("yyyy/MM/dd HH:mm:ss")),
