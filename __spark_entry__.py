@@ -587,6 +587,29 @@ def q_asof_broadcast(spark, sf_dir):
 # training-data ops: dedup / text / similarity / multimodal
 # --------------------------------------------------------------------------
 
+def q_asof_nearest(spark, sf_dir):
+    left, right = _asof_sides(spark, sf_dir)
+    out = asof_join(left, right, on="ts", by="user_id",
+                    direction="nearest", suffix="_r")
+    return out.select("event_id", F.round("value_r", 6).alias("value_r"))
+
+
+def q_asof_strict(spark, sf_dir):
+    left, right = _asof_sides(spark, sf_dir)
+    out = asof_join(left, right, on="ts", by="user_id", direction="backward",
+                    allow_exact_matches=False, suffix="_r")
+    return out.select("event_id", F.round("value_r", 6).alias("value_r"))
+
+
+def q_dedup_components(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    pairs = dedup.minhash_dedup(docs, threshold=0.3, portable=True) \
+        .select("a", "b")
+    comp = dedup.connected_components(pairs)
+    return comp.select(F.col("node").cast("long").alias("node"),
+                       F.col("component").cast("long").alias("component"))
+
+
 def q_dedup_exact(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     out = dedup.exact_dedup(docs)
@@ -792,9 +815,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_forward": q_asof_forward,
         "asof_tolerance": q_asof_tolerance,
         "asof_broadcast": q_asof_broadcast,
+        "asof_nearest": q_asof_nearest,
+        "asof_strict": q_asof_strict,
         # training-data ops
         "dedup_exact": q_dedup_exact,
         "dedup_minhash": q_dedup_minhash,
+        "dedup_components": q_dedup_components,
         "dedup_simhash": q_dedup_simhash,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_embedding": q_dedup_embedding,
@@ -844,14 +870,16 @@ def _sql_gram31(th: str = "th", n: int = 3) -> str:
             f"ELSE [{fold}] END)")
 
 
-def _minhash_oracle() -> str:
+def _minhash_body() -> str:
+    """Shared CTE chain ending at ``v(a, b, i, u)`` — candidate pairs with
+    intersection/union sizes, reused by the minhash and the
+    connected-components oracles."""
     from trafaret_spark.operators.dedup import _coeffs
     coeffs = _coeffs(64, 17)
     a_lit = "([" + ",".join(str(a) for a, _ in coeffs) + "]::BIGINT[])"
     b_lit = "([" + ",".join(str(b) for _, b in coeffs) + "]::BIGINT[])"
     toks = _NORM_TOKS.format(src="text")
-    return f"""
-        WITH toks AS (
+    return f"""toks AS (
           SELECT doc_id,
                  list_transform({toks}, t -> {_sql_tok31('t')}) AS th
           FROM documents),
@@ -884,9 +912,31 @@ def _minhash_oracle() -> str:
                  len(ga.g) + len(gb.g) - len(list_intersect(ga.g, gb.g)) AS u
           FROM pairs p
           JOIN grams ga ON ga.doc_id = p.a
-          JOIN grams gb ON gb.doc_id = p.b)
+          JOIN grams gb ON gb.doc_id = p.b)"""
+
+
+def _minhash_oracle() -> str:
+    return f"""
+        WITH {_minhash_body()}
         SELECT a, b, round(i::DOUBLE / u, 6) AS jaccard
         FROM v WHERE i::DOUBLE / u >= 0.3"""
+
+
+def _components_oracle() -> str:
+    """Min-label closure over the verified minhash pairs via recursive CTE:
+    component = smallest doc id reachable in the undirected pair graph
+    (UNION set semantics terminate at the fixpoint)."""
+    return f"""
+        WITH RECURSIVE {_minhash_body()},
+        vp AS (SELECT a, b FROM v WHERE i::DOUBLE / u >= 0.3),
+        e AS (SELECT a AS x, b AS y FROM vp
+              UNION SELECT b, a FROM vp),
+        reach AS (
+          SELECT x, x AS label FROM (SELECT DISTINCT x FROM e)
+          UNION
+          SELECT e.x, r.label FROM e JOIN reach r ON e.y = r.x)
+        SELECT x AS node, min(label) AS component
+        FROM reach GROUP BY x"""
 
 
 def _simhash_oracle() -> str:
@@ -1396,6 +1446,37 @@ def oracle_sql() -> dict[str, str]:
             FROM (SELECT * FROM events WHERE event_type = 'view') l
             ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') r
               ON l.user_id = r.user_id AND l.ts >= r.ts""",
+        "asof_nearest": """
+            WITH l AS (SELECT * FROM events WHERE event_type = 'view'),
+            r AS (SELECT user_id, ts, value FROM events
+                  WHERE event_type = 'purchase'),
+            b AS (SELECT l.event_id, l.ts AS lts, r.ts AS bts, r.value AS bval
+                  FROM l ASOF LEFT JOIN r
+                    ON l.user_id = r.user_id AND l.ts >= r.ts),
+            f AS (SELECT l.event_id, r.ts AS fts, r.value AS fval
+                  FROM l ASOF LEFT JOIN r
+                    ON l.user_id = r.user_id AND l.ts <= r.ts)
+            SELECT b.event_id,
+                   round(CASE
+                     WHEN bts IS NULL THEN fval
+                     WHEN fts IS NULL THEN bval
+                     WHEN epoch_us(fts) - epoch_us(lts)
+                          < epoch_us(lts) - epoch_us(bts) THEN fval
+                     ELSE bval END, 6) AS value_r
+            FROM b JOIN f USING (event_id)""",
+        "asof_strict": """
+            WITH r AS (SELECT user_id, ts, value FROM events
+                       WHERE event_type = 'purchase'),
+            ranked AS (
+              SELECT l.event_id, r.value,
+                     row_number() OVER (PARTITION BY l.event_id
+                                        ORDER BY r.ts DESC) AS rn
+              FROM (SELECT * FROM events WHERE event_type = 'view') l
+              JOIN r ON l.user_id = r.user_id AND r.ts < l.ts)
+            SELECT l.event_id, round(ranked.value, 6) AS value_r
+            FROM (SELECT * FROM events WHERE event_type = 'view') l
+            LEFT JOIN ranked ON ranked.event_id = l.event_id AND ranked.rn = 1""",
+        "dedup_components": _components_oracle(),
         "dedup_exact": r"""
             WITH k AS (
               SELECT doc_id,

@@ -362,3 +362,89 @@ class TestSaltStability:
         b = with_salt(df.repartition(7), "k", buckets=8).orderBy("id").collect()
         # same rows → same salt regardless of physical layout
         assert [r["__salt"] for r in a] == [r["__salt"] for r in b]
+
+
+# ---------------------------------------------------------------------------
+# nearest as-of + connected components
+# ---------------------------------------------------------------------------
+
+class TestAsofNearest:
+    def test_matches_pandas_merge_asof(self, spark):
+        import numpy as np
+        import pandas as pd
+        rng = np.random.RandomState(5)
+        lpd = pd.DataFrame({
+            "k": rng.randint(0, 4, 60),
+            "ts": np.sort(rng.uniform(0, 1000, 60)),
+            "lid": np.arange(60)})
+        rpd = pd.DataFrame({
+            "k": rng.randint(0, 4, 40),
+            "ts": np.sort(rng.uniform(0, 1000, 40)),
+            "val": rng.uniform(0, 1, 40)})
+        expect = pd.merge_asof(lpd.sort_values("ts"), rpd.sort_values("ts"),
+                               on="ts", by="k", direction="nearest")
+        left = spark.createDataFrame(lpd)
+        right = spark.createDataFrame(rpd)
+        for strat in ("sort", "broadcast"):
+            got = asof_join(left, right, on="ts", by="k",
+                            direction="nearest", suffix="_r",
+                            strategy=strat).toPandas() \
+                .sort_values("lid").reset_index(drop=True)
+            exp = expect.sort_values("lid").reset_index(drop=True)
+            assert np.allclose(got["val_r"].fillna(-1), exp["val"].fillna(-1),
+                               atol=1e-9), strat
+
+    def test_nearest_tolerance(self, spark):
+        left = spark.createDataFrame([Row(k=1, ts=100.0, lid=0)])
+        right = spark.createDataFrame([Row(k=1, ts=140.0, val="far"),
+                                       Row(k=1, ts=10.0, val="farther")])
+        out = asof_join(left, right, on="ts", by="k", direction="nearest",
+                        tolerance=30.0, suffix="_r").collect()[0]
+        assert out["val_r"] is None  # nearest (40 away) outside tolerance
+
+    def test_nearest_rejects_strict_and_tiebreak(self, spark):
+        left = spark.createDataFrame([Row(k=1, ts=1.0)])
+        right = spark.createDataFrame([Row(k=1, ts=2.0, v=1)])
+        with pytest.raises(ValueError):
+            asof_join(left, right, on="ts", by="k", direction="nearest",
+                      allow_exact_matches=False)
+        with pytest.raises(ValueError):
+            asof_join(left, right, on="ts", by="k", direction="nearest",
+                      tie_break="v")
+
+
+class TestConnectedComponents:
+    def test_matches_union_find(self, spark):
+        import random
+        rng = random.Random(13)
+        edges = sorted({tuple(sorted(rng.sample(range(40), 2)))
+                        for _ in range(45)})
+        parent = list(range(40))
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            parent[find(a)] = find(b)
+        nodes = {n for e in edges for n in e}
+        expect = {}
+        for n in nodes:
+            root = find(n)
+            expect.setdefault(root, []).append(n)
+        expect_label = {n: min(group) for group in expect.values()
+                        for n in group}
+        pairs = spark.createDataFrame(edges, "a int, b int")
+        got = {r["node"]: r["component"] for r in
+               dedup.connected_components(pairs).collect()}
+        assert got == expect_label
+
+    def test_chain_converges(self, spark):
+        # worst-case diameter: a 30-node path graph
+        pairs = spark.createDataFrame([(i, i + 1) for i in range(30)],
+                                      "a int, b int")
+        got = {r["node"]: r["component"] for r in
+               dedup.connected_components(pairs, max_iter=40).collect()}
+        assert set(got.values()) == {0} and len(got) == 31

@@ -73,8 +73,15 @@ def asof_join(
     to reproduce it exactly). Without it the choice among exact ties is
     partition-order dependent.
     """
-    if direction not in ("backward", "forward"):
-        raise ValueError(f"direction must be backward|forward, got {direction!r}")
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError(
+            f"direction must be backward|forward|nearest, got {direction!r}")
+    if direction == "nearest" and not allow_exact_matches:
+        raise ValueError("direction='nearest' requires allow_exact_matches "
+                         "(pandas.merge_asof has the same default)")
+    if direction == "nearest" and tie_break is not None:
+        raise ValueError("tie_break is not supported with direction='nearest' "
+                         "(the two scan directions need opposite tie orders)")
     by = _as_list(by)
     payload_cols = [c for c in right.columns if c not in set(by) | {on}]
     if not payload_cols:
@@ -111,6 +118,37 @@ def _asof_sort(left, right, on, by, direction, tolerance,
           .withColumn(_SIDE, F.lit(1))
           .withColumn(_PAYLOAD, F.lit(None).cast(payload_type)))
     u = l2.unionByName(r2, allowMissingColumns=True)
+
+    if direction == "nearest":
+        # ONE sort, two frames sharing the exchange (Spark merges window
+        # expressions with identical partition/order specs into one
+        # WindowExec): the running last() below the row is the backward
+        # candidate, the running first() at-or-after is the forward one;
+        # the smaller |gap| wins, exact ties go backward (documented —
+        # deterministic, matching the DuckDB oracle's strict-less pick).
+        order_cols = [F.col(on).asc(), F.col(_SIDE).asc()]
+        wb = (Window.partitionBy(*by).orderBy(*order_cols)
+              .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        wf = (Window.partitionBy(*by).orderBy(*order_cols)
+              .rowsBetween(Window.currentRow, Window.unboundedFollowing))
+        mb = F.last(_PAYLOAD, ignorenulls=True).over(wb)
+        mf = F.first(_PAYLOAD, ignorenulls=True).over(wf)
+        l_num = _on_numeric(F.col(on), on_dtype)
+        gb = l_num - _on_numeric(mb[_RON], on_dtype)
+        gf = _on_numeric(mf[_RON], on_dtype) - l_num
+        chosen = (F.when(mb.isNull(), mf)
+                  .when(mf.isNull(), mb)
+                  .when(gf < gb, mf)
+                  .otherwise(mb))
+        out = u.withColumn(_PAYLOAD, chosen).filter(F.col(_SIDE) == 1)
+        keep = F.col(_PAYLOAD).isNotNull()
+        if tolerance is not None:
+            gap = F.abs(l_num - _on_numeric(F.col(_PAYLOAD)[_RON], on_dtype))
+            keep = keep & (gap <= F.lit(float(tolerance)))
+        cols = [F.col(c) for c in left.columns]
+        cols += [F.when(keep, F.col(_PAYLOAD)[c]).alias(o)
+                 for c, o in zip(payload_cols, out_names)]
+        return out.select(*cols)
 
     # at equal `on`: exact matches → right sorts before left (visible to the
     # running last()); non-exact → left first (right at equal ts invisible)
@@ -157,12 +195,16 @@ def _asof_broadcast(left, right, on, by, direction, tolerance,
     l_on = F.col(f"__l.{on}")
     if direction == "backward":
         cond = (r_on <= l_on) if allow_exact_matches else (r_on < l_on)
-    else:
+    elif direction == "forward":
         cond = (r_on >= l_on) if allow_exact_matches else (r_on > l_on)
+    else:  # nearest: every right row in the group is a candidate
+        cond = F.lit(True)
     if tolerance is not None:
         l_num = _on_numeric(l_on, on_dtype)
         r_num = _on_numeric(r_on, on_dtype)
-        gap = (l_num - r_num) if direction == "backward" else (r_num - l_num)
+        gap = ((l_num - r_num) if direction == "backward"
+               else (r_num - l_num) if direction == "forward"
+               else F.abs(l_num - r_num))
         cond = cond & (gap <= F.lit(float(tolerance)))
     for b in by:
         cond = cond & (F.col(f"__l.{b}") == F.col(f"__r.{b}"))
@@ -177,15 +219,22 @@ def _asof_broadcast(left, right, on, by, direction, tolerance,
     # field as smallest, so forward would pick a NULL-tie_break row over
     # non-null ones while the sort strategy (nulls-first ordering under a
     # running last()) picks the non-null row for the same input.
-    if tie_break is None:
-        pick_key = r_on
+    if direction == "nearest":
+        # smallest |gap| wins; exact ties prefer the backward row (flag 0)
+        abs_gap = F.abs(_on_numeric(l_on, on_dtype)
+                        - _on_numeric(r_on, on_dtype))
+        pick = F.min_by(payload,
+                        F.struct(abs_gap, (r_on > l_on).cast("int")))
     else:
-        tb = F.col(f"__r.{tie_break}")
-        null_rank = (tb.isNotNull() if direction == "backward"
-                     else tb.isNull()).cast("int")
-        pick_key = F.struct(r_on, null_rank, tb)
-    pick = F.max_by(payload, pick_key) if direction == "backward" \
-        else F.min_by(payload, pick_key)
+        if tie_break is None:
+            pick_key = r_on
+        else:
+            tb = F.col(f"__r.{tie_break}")
+            null_rank = (tb.isNotNull() if direction == "backward"
+                         else tb.isNull()).cast("int")
+            pick_key = F.struct(r_on, null_rank, tb)
+        pick = F.max_by(payload, pick_key) if direction == "backward" \
+            else F.min_by(payload, pick_key)
     best = (joined.groupBy(_LID)
             .agg(*[F.first(F.col(f"__l.{c}"), ignorenulls=False).alias(c)
                    for c in left.columns],

@@ -43,6 +43,7 @@ __all__ = [
     "normalize_text", "shingles", "exact_dedup",
     "minhash_signature", "minhash_lsh_candidates", "minhash_dedup",
     "simhash", "simhash_dedup", "jaccard", "ngram_jaccard_pairs",
+    "connected_components",
 ]
 
 
@@ -401,3 +402,51 @@ def simhash_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
              .select("a", "b", "__fa", "__fb").distinct())
     hamming = F.bit_count(F.col("__fa").bitwiseXOR(F.col("__fb")))
     return pairs.withColumn("hamming", hamming).drop("__fa", "__fb")
+
+
+def connected_components(pairs: DataFrame, a_col: str = "a", b_col: str = "b",
+                         max_iter: int = 25) -> DataFrame:
+    """Collapse near-dup pairs into groups: (node, component) where
+    ``component`` is the smallest node id reachable through the pair graph
+    — the standard final step after :func:`minhash_dedup` /
+    :func:`simhash_dedup` (keep one doc per component).
+
+    Iterative min-label propagation: each round every node adopts the
+    smallest label among itself and its neighbors; converges in
+    O(graph diameter) rounds (near-dup clusters are shallow — boilerplate
+    stars and short chains), with early stop on a fixed point. Each round
+    is one shuffle on the node id; ``localCheckpoint`` cuts the lineage so
+    the plan stays O(1) per round instead of O(rounds). Driver-side loop
+    bounded by ``max_iter`` — the sanctioned iterative-algorithm shape
+    (convergence check is a bounded count, not a data collect).
+
+    Only nodes that appear in ``pairs`` are returned; unpaired docs are
+    their own singleton component by definition (callers join back with a
+    coalesce to the doc's own id).
+    """
+    edges = (pairs.select(F.col(a_col).alias("x"), F.col(b_col).alias("y"))
+             .unionByName(pairs.select(F.col(b_col).alias("x"),
+                                       F.col(a_col).alias("y")))
+             .distinct())
+    labels = (edges.select("x").distinct()
+              .withColumn("component", F.col("x")))
+    labels = labels.localCheckpoint(eager=True)
+    for _ in range(max_iter):
+        neighbor_min = (edges
+                        .join(labels.select(F.col("x").alias("y"),
+                                            F.col("component").alias("nc")), "y")
+                        .groupBy("x").agg(F.min("nc").alias("nmin")))
+        new_labels = (labels.join(neighbor_min, "x", "left")
+                      .select("x", F.least(F.col("component"),
+                                           F.coalesce(F.col("nmin"),
+                                                      F.col("component")))
+                              .alias("component")))
+        new_labels = new_labels.localCheckpoint(eager=True)
+        changed = (new_labels.alias("n")
+                   .join(labels.alias("o"), "x")
+                   .filter(F.col("n.component") != F.col("o.component"))
+                   .limit(1).count())
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(F.col("x").alias("node"), "component")
