@@ -610,6 +610,34 @@ def q_dedup_components(spark, sf_dir):
                        F.col("component").cast("long").alias("component"))
 
 
+def q_range_join(spark, sf_dir):
+    from trafaret_spark.operators.rangejoin import range_join
+    ev = _t(spark, sf_dir, "events")
+    left = ev.filter(F.col("event_type") == "view") \
+        .select("event_id", "user_id", "ts")
+    right = ev.filter(F.col("event_type") == "purchase") \
+        .select("user_id",
+                (F.col("ts") - F.expr("INTERVAL 30 MINUTES")).alias("start"),
+                (F.col("ts") + F.expr("INTERVAL 30 MINUTES")).alias("end"),
+                "value")
+    out = range_join(left, right, on="ts", by="user_id",
+                     bucket_width=1800.0, suffix="_r")
+    return out.select("event_id", F.round("value_r", 6).alias("value_r"))
+
+
+def q_time_rollup(spark, sf_dir):
+    # decimal sum: exact and independent of partial-agg grouping order
+    # (same rationale as f_salted_agg)
+    ev = _t(spark, sf_dir, "events") \
+        .withColumn("value", F.col("value").cast("decimal(18,6)"))
+    out = features.time_rollup(
+        ev, ts="ts", every="1 day", by="event_type",
+        aggs={"n_events": ("count", "*"), "val_sum": ("sum", "value")})
+    return out.select("event_type", "bucket_start", "bucket_end",
+                      F.col("n_events").cast("long").alias("n_events"),
+                      F.round(F.col("val_sum").cast("double"), 4).alias("val_sum"))
+
+
 def q_dedup_exact(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     out = dedup.exact_dedup(docs)
@@ -817,6 +845,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_broadcast": q_asof_broadcast,
         "asof_nearest": q_asof_nearest,
         "asof_strict": q_asof_strict,
+        "range_join": q_range_join,
+        "time_rollup": q_time_rollup,
         # training-data ops
         "dedup_exact": q_dedup_exact,
         "dedup_minhash": q_dedup_minhash,
@@ -1477,6 +1507,22 @@ def oracle_sql() -> dict[str, str]:
             FROM (SELECT * FROM events WHERE event_type = 'view') l
             LEFT JOIN ranked ON ranked.event_id = l.event_id AND ranked.rn = 1""",
         "dedup_components": _components_oracle(),
+        "range_join": """
+            SELECT l.event_id, round(r.value, 6) AS value_r
+            FROM (SELECT * FROM events WHERE event_type = 'view') l
+            JOIN (SELECT user_id, ts - INTERVAL 30 MINUTE AS s,
+                         ts + INTERVAL 30 MINUTE AS e, value
+                  FROM events WHERE event_type = 'purchase') r
+              ON l.user_id = r.user_id AND l.ts >= r.s AND l.ts <= r.e""",
+        "time_rollup": """
+            WITH d AS (SELECT event_type, ts,
+                              CAST(value AS DECIMAL(18,6)) AS v FROM events)
+            SELECT event_type,
+                   date_trunc('day', ts) AS bucket_start,
+                   date_trunc('day', ts) + INTERVAL 1 DAY AS bucket_end,
+                   count(*) AS n_events,
+                   round(CAST(sum(v) AS DOUBLE), 4) AS val_sum
+            FROM d GROUP BY event_type, date_trunc('day', ts)""",
         "dedup_exact": r"""
             WITH k AS (
               SELECT doc_id,

@@ -448,3 +448,61 @@ class TestConnectedComponents:
         got = {r["node"]: r["component"] for r in
                dedup.connected_components(pairs, max_iter=40).collect()}
         assert set(got.values()) == {0} and len(got) == 31
+
+
+# ---------------------------------------------------------------------------
+# range join + time rollup
+# ---------------------------------------------------------------------------
+
+class TestRangeJoin:
+    def test_bucketized_equals_naive(self, spark):
+        import numpy as np
+        from trafaret_spark.operators.rangejoin import range_join
+        rng = np.random.RandomState(21)
+        left = spark.createDataFrame(
+            [(int(i), int(rng.randint(0, 3)), float(rng.uniform(0, 5000)))
+             for i in range(200)], "lid long, k int, ts double")
+        rows = []
+        for j in range(60):
+            s = float(rng.uniform(0, 5000))
+            rows.append((int(j), int(rng.randint(0, 3)), s,
+                         s + float(rng.uniform(1, 400))))
+        right = spark.createDataFrame(rows, "rid long, k int, start double, end double")
+        got = {(r["lid"], r["rid_r"]) for r in
+               range_join(left, right, on="ts", by="k", bucket_width=100.0,
+                          suffix="_r").collect()}
+        naive = {(r["lid"], r["rid"]) for r in
+                 left.join(right, (left["k"] == right["k"])
+                           & (left["ts"] >= right["start"])
+                           & (left["ts"] <= right["end"])).collect()}
+        assert got == naive and len(naive) > 0
+
+    def test_interval_cap_drops_tail(self, spark):
+        from trafaret_spark.operators.rangejoin import range_join
+        left = spark.createDataFrame([(1, 950.0)], "lid int, ts double")
+        right = spark.createDataFrame([(7, 0.0, 10000.0)],
+                                      "rid int, start double, end double")
+        # cap 5 buckets × width 100 covers only [0, 500) — the match at 950
+        # is beyond the covered tail and is dropped (documented semantics)
+        capped = range_join(left, right, on="ts", bucket_width=100.0,
+                            max_buckets_per_interval=5, suffix="_r")
+        assert capped.count() == 0
+        full = range_join(left, right, on="ts", bucket_width=100.0,
+                          suffix="_r")
+        assert full.count() == 1
+
+
+class TestTimeRollup:
+    def test_matches_groupby_oracle(self, spark):
+        from trafaret_spark.operators import features
+        ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+        got = features.time_rollup(
+            ev, ts="ts", every="1 day", by="event_type",
+            aggs={"n": ("count", "*"), "vmax": ("max", "value")})
+        oracle = (ev.groupBy("event_type", F.date_trunc("day", "ts").alias("bucket_start"))
+                  .agg(F.count(F.lit(1)).alias("n"), F.max("value").alias("vmax")))
+        a = {(r["event_type"], r["bucket_start"], r["n"], r["vmax"])
+             for r in got.collect()}
+        b = {(r["event_type"], r["bucket_start"], r["n"], r["vmax"])
+             for r in oracle.collect()}
+        assert a == b and len(a) > 0

@@ -24,7 +24,8 @@ from typing import Optional, Sequence, Union
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["Features", "LeakageError", "sessionize", "session_stats", "backfill"]
+__all__ = ["Features", "LeakageError", "sessionize", "session_stats",
+           "backfill", "time_rollup"]
 
 _AGG = {
     "sum": F.sum, "avg": F.avg, "mean": F.avg, "min": F.min, "max": F.max,
@@ -166,3 +167,34 @@ def session_stats(df_with_sessions: DataFrame, by="conv_id",
                  (F.unix_micros(F.max(ts).cast("timestamp"))
                   - F.unix_micros(F.min(ts).cast("timestamp")))
                  .cast("double").alias("duration_us")))
+
+
+def time_rollup(df: DataFrame, ts: str = "ts", every: str = "1 hour",
+                aggs: dict | None = None, by=None) -> DataFrame:
+    """Hypertable-style time-bucket rollup: one row per (by-keys, bucket)
+    with the requested aggregates — the continuous-aggregate primitive of
+    timeseries stores, expressed as ``groupBy(window(ts, every))`` so
+    Catalyst runs it as a partial+final hash aggregate (map-side combine,
+    ONE shuffle on the (by, bucket) key; bucket cardinality is
+    span/``every``, so the key is never skewed by a hot conversation).
+
+    ``aggs`` maps output name -> (fn, col) with fn in
+    {sum, count, min, max, avg} (same spec as partitioning.salted_agg).
+    Output: by-keys, ``bucket_start``, ``bucket_end``, aggregates.
+    """
+    by = [] if by is None else ([by] if isinstance(by, str) else list(by))
+    aggs = aggs or {"n_rows": ("count", "*")}
+    fns = {"sum": F.sum, "count": F.count, "min": F.min, "max": F.max,
+           "avg": F.avg}
+    exprs = []
+    for name, (fn, col) in aggs.items():
+        if fn not in fns:
+            raise ValueError(f"unsupported rollup agg {fn!r}")
+        src = F.lit(1) if (fn == "count" and col == "*") else F.col(col)
+        exprs.append(fns[fn](src).alias(name))
+    out = (df.groupBy(*by, F.window(F.col(ts), every).alias("__w"))
+           .agg(*exprs))
+    return out.select(*by,
+                      F.col("__w.start").alias("bucket_start"),
+                      F.col("__w.end").alias("bucket_end"),
+                      *[F.col(n) for n in aggs])

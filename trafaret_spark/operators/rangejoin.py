@@ -1,0 +1,88 @@
+"""Range (interval) join — points joined to enclosing intervals.
+
+Spark has no native range-join optimization (Databricks ships it as a
+hint); a plain ``l.on BETWEEN r.start AND r.end`` predicate compiles to a
+BroadcastNestedLoopJoin (small right) or a cartesian product — quadratic
+at scale. The standard rewrite used here: quantize time into fixed-width
+buckets, map each left point to ONE bucket and each right interval to
+EVERY bucket it overlaps (one exploded row per covered bucket), equi-join
+on (by-keys, bucket), then re-apply the exact BETWEEN predicate. The
+shuffle key is an equi key, Catalyst picks a hash join, and the exact
+filter makes the rewrite lossless.
+
+Scale dials:
+  * ``bucket_width`` ≈ the typical interval length — each interval then
+    lands in ~2 buckets; width ≪ interval length multiplies the exploded
+    right side, width ≫ interval length multiplies false candidate pairs.
+  * ``max_buckets_per_interval`` caps degenerate open-ended intervals
+    (drops the tail coverage of any interval longer than
+    cap × bucket_width — logged semantics, same guard family as
+    dedup's ``max_bucket_size``).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence, Union
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from trafaret_spark.operators.asof import _on_numeric
+
+__all__ = ["range_join"]
+
+
+def range_join(left: DataFrame, right: DataFrame, on: str = "ts",
+               start: str = "start", end: str = "end",
+               by: Union[str, Sequence[str], None] = None,
+               bucket_width: float = 3600.0,
+               max_buckets_per_interval: int = 10_000,
+               suffix: str = "") -> DataFrame:
+    """Inner-join left points to right intervals: ``l.on ∈ [r.start,
+    r.end]`` (closed on both ends), optionally within ``by`` equality keys.
+
+    Returns left columns + right columns (non-key, suffixed). One left row
+    can match MANY intervals — this is a join, not a pick (use asof_join
+    for nearest-one semantics; for left-outer semantics anti-join the
+    matched ids back yourself, which needs a row identity only the caller
+    has).
+    """
+    by = [] if by is None else ([by] if isinstance(by, str) else list(by))
+    on_dtype = dict(zip(left.columns,
+                        [f.dataType for f in left.schema.fields]))[on]
+    r_dtypes = dict(zip(right.columns,
+                        [f.dataType for f in right.schema.fields]))
+
+    payload_cols = [c for c in right.columns if c not in by]
+    out_names = [c + suffix for c in payload_cols]
+    clash = set(out_names) & set(left.columns)
+    if clash:
+        raise ValueError(f"output columns {sorted(clash)} clash with left; "
+                         f"pass a suffix")
+
+    w = float(bucket_width)
+    l_num = _on_numeric(F.col(on), on_dtype)
+    s_num = _on_numeric(F.col(start), r_dtypes[start])
+    e_num = _on_numeric(F.col(end), r_dtypes[end])
+
+    l2 = left.withColumn("__rbucket", F.floor(l_num / w))
+    first_b = F.floor(s_num / w)
+    last_b = F.least(F.floor(e_num / w),
+                     first_b + F.lit(max_buckets_per_interval - 1))
+    r2 = (right
+          .filter(F.col(start) <= F.col(end))
+          .withColumn("__rbucket",
+                      F.explode(F.sequence(first_b, last_b)))
+          .select("__rbucket", *by,
+                  *[F.col(c).alias(o)
+                    for c, o in zip(payload_cols, out_names)]))
+
+    cond = [l2["__rbucket"] == r2["__rbucket"]] + \
+           [l2[b] == r2[b] for b in by]
+    joined = l2.join(r2, cond, "inner").drop(r2["__rbucket"])
+    for b in by:
+        joined = joined.drop(r2[b])
+    s_out = F.col(start + suffix)
+    e_out = F.col(end + suffix)
+    exact = (F.col(on) >= s_out) & (F.col(on) <= e_out)
+    return joined.filter(exact).drop("__rbucket")
