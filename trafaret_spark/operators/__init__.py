@@ -1,5 +1,5 @@
-"""Dataflow operators: as-of join, windowed features, dedup, similarity,
-text analysis, multimodal plumbing."""
+"""Dataflow operators: as-of join, range join, windowed features, time
+rollup, dedup, similarity, text analysis, multimodal plumbing."""
 
 from trafaret_spark.operators.asof import asof_join
 from trafaret_spark.operators.features import (
@@ -8,9 +8,12 @@ from trafaret_spark.operators.features import (
     backfill,
     session_stats,
     sessionize,
+    time_rollup,
 )
+from trafaret_spark.operators.rangejoin import range_join
 
 __all__ = [
-    "asof_join",
+    "asof_join", "range_join",
     "Features", "LeakageError", "sessionize", "session_stats", "backfill",
+    "time_rollup",
 ]
