@@ -691,7 +691,9 @@ def q_text_quality(spark, sf_dir):
         F.round("avg_token_len", 6).alias("avg_token_len"),
         F.round("alpha_ratio", 6).alias("alpha_ratio"),
         F.round("digit_ratio", 6).alias("digit_ratio"),
-        F.round("stopword_ratio", 6).alias("stopword_ratio"))
+        F.round("stopword_ratio", 6).alias("stopword_ratio"),
+        F.round("dup_line_ratio", 6).alias("dup_line_ratio"),
+        F.round("bullet_line_ratio", 6).alias("bullet_line_ratio"))
 
 
 def q_text_lang_id(spark, sf_dir):
@@ -1008,6 +1010,32 @@ def _fingerprint_oracle() -> str:
         FROM t"""
 
 
+def _lang_id_oracle() -> str:
+    """Generated from the library's marker table so the oracle and the
+    engine can never drift: per-language hit-rate scores, argmax via
+    list_max over (score, lang) structs — DuckDB struct comparison is
+    lexicographic by declared field order, exactly Spark's array_max rule
+    (ties go to the greater language code)."""
+    from trafaret_spark.operators.textstats import _LANG_MARKERS
+    scores, structs = [], []
+    for lang, words in _LANG_MARKERS.items():
+        lst = "(" + ",".join(f"'{w}'" for w in words) + ")"
+        scores.append(f"len(list_filter(toks, x -> x IN {lst}))"
+                      f" / greatest(len(toks), 1)::DOUBLE AS s_{lang}")
+        structs.append(f"{{'score': s_{lang}, 'lang': '{lang}'}}")
+    return rf"""
+        WITH t AS (
+          SELECT doc_id,
+                 string_split_regex(trim(lower(text)), '\s+') AS toks
+          FROM documents),
+        s AS (SELECT doc_id, {", ".join(scores)} FROM t),
+        b AS (SELECT doc_id, list_max([{", ".join(structs)}]) AS best FROM s)
+        SELECT doc_id,
+               CASE WHEN best.score > 0 THEN best.lang ELSE 'und' END
+                 AS lang_pred
+        FROM b"""
+
+
 def _plane_values_sql(dim: int, nbits: int, bands: int, seed: int) -> str:
     """VALUES rows (pid, pv) for the Rademacher plane matrix — regenerated
     with the exact recipe the Spark kernel uses (hashing.rademacher_planes)."""
@@ -1121,9 +1149,6 @@ _EV_LIST = "('click', 'view', 'signup', 'purchase')"
 _TRUE_LIST = "('t','true','y','yes','on','1','1.0')"
 _FALSE_LIST = "('false','n','no','off','0','none','0.0')"
 _EN_STOP = "('the','of','and','to','a','in','is','that','for','it')"
-_DE_STOP = "('der','die','das','und','ist','nicht','ein','mit','zu','ich')"
-_FR_STOP = "('le','la','les','et','est','une','pour','que','dans','des')"
-_ES_STOP = "('el','la','los','y','es','una','por','que','en','con')"
 
 
 def oracle_sql() -> dict[str, str]:
@@ -1568,7 +1593,9 @@ def oracle_sql() -> dict[str, str]:
                      CASE WHEN trim(text) = '' THEN 0
                           ELSE len(string_split_regex(trim(text), '\s+')) END AS n_tok,
                      string_split_regex(trim(lower(text)), '\s+') AS toks,
-                     length(text) AS n_chars
+                     length(text) AS n_chars,
+                     list_filter(string_split(text, chr(10)),
+                                 l -> trim(l) != '') AS lines
               FROM documents)
             SELECT doc_id, CAST(n_tok AS BIGINT) AS n_tokens,
                    round(greatest(n_chars, 1)::DOUBLE / greatest(n_tok, 1), 6)
@@ -1578,31 +1605,16 @@ def oracle_sql() -> dict[str, str]:
                    round(length(regexp_replace(text, '[^0-9]', '', 'g'))
                          / greatest(n_chars, 1)::DOUBLE, 6) AS digit_ratio,
                    round(len(list_filter(toks, x -> x IN {_EN_STOP}))
-                         / greatest(n_tok, 1)::DOUBLE, 6) AS stopword_ratio
+                         / greatest(n_tok, 1)::DOUBLE, 6) AS stopword_ratio,
+                   round(1.0 - len(list_distinct(list_transform(lines,
+                           l -> trim(l)))) / greatest(len(lines), 1)::DOUBLE,
+                         6) AS dup_line_ratio,
+                   round(len(list_filter(lines,
+                           l -> regexp_matches(ltrim(l), '^[-*•]')))
+                         / greatest(len(lines), 1)::DOUBLE, 6)
+                     AS bullet_line_ratio
             FROM t""",
-        "text_lang_id": rf"""
-            WITH t AS (
-              SELECT doc_id,
-                     string_split_regex(trim(lower(text)), '\s+') AS toks
-              FROM documents),
-            s AS (
-              SELECT doc_id,
-                     len(list_filter(toks, x -> x IN {_EN_STOP}))
-                       / greatest(len(toks), 1)::DOUBLE AS s_en,
-                     len(list_filter(toks, x -> x IN {_DE_STOP}))
-                       / greatest(len(toks), 1)::DOUBLE AS s_de,
-                     len(list_filter(toks, x -> x IN {_FR_STOP}))
-                       / greatest(len(toks), 1)::DOUBLE AS s_fr,
-                     len(list_filter(toks, x -> x IN {_ES_STOP}))
-                       / greatest(len(toks), 1)::DOUBLE AS s_es
-              FROM t)
-            SELECT doc_id,
-                   CASE WHEN greatest(s_en, s_de, s_fr, s_es) <= 0 THEN 'und'
-                        WHEN s_fr >= s_en AND s_fr >= s_de AND s_fr >= s_es THEN 'fr'
-                        WHEN s_es >= s_en AND s_es >= s_de THEN 'es'
-                        WHEN s_en >= s_de THEN 'en'
-                        ELSE 'de' END AS lang_pred
-            FROM s""",
+        "text_lang_id": _lang_id_oracle(),
         "text_tokens": r"""
             WITH p AS (
               SELECT doc_id,

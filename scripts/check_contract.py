@@ -10,6 +10,7 @@ Usage: python scripts/check_contract.py [--ansi-off] [query ...]
 """
 from __future__ import annotations
 
+import os
 import sys
 
 import duckdb
@@ -19,7 +20,7 @@ sys.path.insert(0, "/root/repo")
 import __spark_entry__ as entry_mod  # noqa: E402
 from trafaret_spark.session import get_spark  # noqa: E402
 
-SF_DIR = "/root/testdata/sf0.01"
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 

@@ -506,3 +506,20 @@ class TestTimeRollup:
         b = {(r["event_type"], r["bucket_start"], r["n"], r["vmax"])
              for r in oracle.collect()}
         assert a == b and len(a) > 0
+
+
+class TestLineQualityFeatures:
+    def test_line_shape_ratios(self, spark):
+        doc = "intro line\n- bullet one\n- bullet two\nrepeat me\nrepeat me\ntrailing off...\n\n  \n"
+        df = spark.createDataFrame([Row(doc_id=0, text=doc),
+                                    Row(doc_id=1, text="no newlines here")])
+        rows = {r["doc_id"]: r for r in
+                textstats.quality_features(df).collect()}
+        r0 = rows[0]
+        # 6 non-blank lines; 'repeat me' twice -> 5 distinct -> dup 1/6
+        assert abs(r0["dup_line_ratio"] - 1 / 6) < 1e-9
+        assert abs(r0["bullet_line_ratio"] - 2 / 6) < 1e-9
+        assert abs(r0["ellipsis_line_ratio"] - 1 / 6) < 1e-9
+        r1 = rows[1]
+        assert r1["dup_line_ratio"] == 0.0
+        assert r1["bullet_line_ratio"] == 0.0

@@ -16,12 +16,21 @@ __all__ = [
     "quality_score", "lang_id", "fingerprint",
 ]
 
-# tiny per-language stopword marker sets for the n-gram heuristic
+# tiny per-language stopword marker sets for the n-gram heuristic — a
+# cheap first-pass router, not a classifier; 12 high-volume languages
 _LANG_MARKERS = {
     "en": ("the", "of", "and", "to", "a", "in", "is", "that", "for", "it"),
     "de": ("der", "die", "das", "und", "ist", "nicht", "ein", "mit", "zu", "ich"),
     "fr": ("le", "la", "les", "et", "est", "une", "pour", "que", "dans", "des"),
     "es": ("el", "la", "los", "y", "es", "una", "por", "que", "en", "con"),
+    "it": ("il", "di", "che", "e", "per", "un", "non", "sono", "della", "anche"),
+    "pt": ("o", "de", "que", "do", "da", "em", "um", "para", "não", "uma"),
+    "nl": ("de", "het", "een", "van", "ik", "te", "dat", "niet", "zijn", "op"),
+    "sv": ("och", "att", "det", "som", "på", "är", "av", "för", "med", "har"),
+    "pl": ("i", "w", "na", "z", "do", "że", "się", "nie", "jest", "jak"),
+    "tr": ("bir", "ve", "bu", "da", "için", "çok", "ile", "ama", "gibi", "daha"),
+    "da": ("og", "i", "det", "at", "den", "til", "er", "som", "af", "har"),
+    "fi": ("ja", "on", "ei", "se", "että", "hän", "oli", "mutta", "niin", "kun"),
 }
 
 
@@ -47,8 +56,21 @@ def bpe_ish_token_count(col: Column) -> Column:
 def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Adds the standard curation signals: n_chars_norm, n_tokens,
     avg_token_len, alpha_ratio, punct_ratio, digit_ratio, upper_ratio,
-    stopword_ratio, max_word_repeat_ratio."""
+    stopword_ratio, max_word_repeat_ratio, plus the Gopher line-shape
+    rules: dup_line_ratio (fraction of non-blank lines that repeat),
+    bullet_line_ratio (lines opening with a bullet), ellipsis_line_ratio
+    (lines trailing off with ... / …). All native array/regex expressions,
+    zero shuffle."""
     t = F.col(text_col)
+    lines = F.filter(F.split(t, "\n"), lambda l: F.trim(l) != "")
+    n_lines = F.greatest(F.size(lines), F.lit(1)).cast("double")
+    dup_line_ratio = (F.lit(1.0)
+                      - F.size(F.array_distinct(F.transform(
+                          lines, lambda l: F.trim(l)))) / n_lines)
+    bullet_ratio = (F.size(F.filter(
+        lines, lambda l: F.ltrim(l).rlike(r"^[-*•]"))) / n_lines)
+    ellipsis_ratio = (F.size(F.filter(
+        lines, lambda l: F.rtrim(l).rlike(r"(\.\.\.|…)$"))) / n_lines)
     n_chars = F.length(t)
     toks = F.split(F.trim(F.lower(t)), r"\s+")
     n_tok = token_count(t)
@@ -80,6 +102,9 @@ def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
         (n_stop / safe_tok).alias("stopword_ratio"),
         (F.when(n_tok > 0, top_word / safe_tok).otherwise(F.lit(1.0))
          ).alias("max_word_repeat_ratio"),
+        dup_line_ratio.alias("dup_line_ratio"),
+        bullet_ratio.alias("bullet_line_ratio"),
+        ellipsis_ratio.alias("ellipsis_line_ratio"),
     )
 
 
