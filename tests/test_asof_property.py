@@ -108,3 +108,41 @@ def test_tie_break_reproduces_pandas_exactly(spark, case):
         e, g = expect["rv"].iloc[i], got["rv_r"].iloc[i]
         assert (pd.isna(e) and pd.isna(g)) or e == g, \
             (i, e, g, direction, tolerance, exact)
+
+
+@pytest.mark.usefixtures("spark")
+@settings(max_examples=20, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture,
+                                 HealthCheck.too_slow])
+@given(make_strategy())
+def test_nearest_matches_pandas_gap(spark, case):
+    """direction='nearest' parity via the |gap| invariant: whatever row the
+    tie rules pick, the matched distance must equal pandas' minimal
+    distance, and null-ness must agree (robust to equidistant ties, where
+    the picked ROW may legitimately differ)."""
+    lrows, rrows, _direction, tolerance, _exact = case
+    lpd = to_pandas(lrows, "lv").sort_values("ts").reset_index(drop=True)
+    rpd = to_pandas(rrows, "rv").sort_values("ts").reset_index(drop=True)
+    lpd["rid"] = range(len(lpd))
+    rpd["rts"] = rpd["ts"]  # carry the matched right ts through the merge
+
+    expect = pd.merge_asof(
+        lpd, rpd, on="ts", by="conv_id", direction="nearest",
+        tolerance=pd.Timedelta(seconds=tolerance) if tolerance else None)
+
+    ldf = spark.createDataFrame(lpd)
+    rdf = spark.createDataFrame(rpd,
+                                "conv_id string, ts timestamp, rv long, rts timestamp")
+    got = asof_join(ldf, rdf, on="ts", by="conv_id", direction="nearest",
+                    tolerance=tolerance, suffix="_r").toPandas()
+    got = got.sort_values("rid").reset_index(drop=True)
+    expect = expect.sort_values("rid").reset_index(drop=True)
+
+    assert len(got) == len(expect)
+    for i in range(len(expect)):
+        e_rts, g_rts = expect["rts"].iloc[i], got["rts_r"].iloc[i]
+        assert pd.isna(e_rts) == pd.isna(g_rts), (i, e_rts, g_rts, tolerance)
+        if not pd.isna(e_rts):
+            lts = expect["ts"].iloc[i]
+            assert abs(lts - e_rts) == abs(lts - g_rts), \
+                (i, lts, e_rts, g_rts, tolerance)

@@ -22,7 +22,7 @@ Scale dials:
 
 from __future__ import annotations
 
-from typing import Optional, Sequence, Union
+from typing import Sequence, Union
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
