@@ -660,6 +660,12 @@ def q_dedup_simhash(spark, sf_dir):
     return out.select("a", "b", F.col("hamming").cast("int").alias("hamming"))
 
 
+def q_dedup_winnow(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    out = dedup.winnow_dedup(docs, k=3, w=4, min_shared=2, portable=True)
+    return out.select("a", "b", F.col("n_shared").cast("long").alias("n_shared"))
+
+
 def q_dedup_ngram_jaccard(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     out = dedup.ngram_jaccard_pairs(docs, block_cols=["lang"],
@@ -853,6 +859,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": q_dedup_exact,
         "dedup_minhash": q_dedup_minhash,
         "dedup_components": q_dedup_components,
+        "dedup_winnow": q_dedup_winnow,
         "dedup_simhash": q_dedup_simhash,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_embedding": q_dedup_embedding,
@@ -1008,6 +1015,48 @@ def _fingerprint_oracle() -> str:
                  list_transform(toks, t -> {_sql_tok31('t')})),
                  (acc, h) -> (acc * 1000003 + h) % {_M31}) AS fingerprint
         FROM t"""
+
+
+def _winnow_oracle(k: int = 3, w: int = 4, min_shared: int = 2,
+                   cap: int = 1000) -> str:
+    """Winnowing in SQL: positional k-gram hashes (portable family), w-wide
+    window minima via list_min over sliding slices, distinct selected set,
+    inverted-index pair counting with the same bucket cap as the engine."""
+    toks = _NORM_TOKS.format(src="text")
+    gram = "th[i+1]"
+    for j in range(2, k + 1):
+        gram = f"(({gram}) * 1000003 + th[i+{j}]) % {_M31}"
+    fold = (f"list_reduce(list_prepend(CAST(0 AS BIGINT), th), "
+            f"(a, b) -> (a * 1000003 + b) % {_M31})")
+    return f"""
+        WITH toks AS (
+          SELECT doc_id,
+                 list_transform({toks}, t -> {_sql_tok31('t')}) AS th
+          FROM documents),
+        grams AS (
+          SELECT doc_id,
+                 CASE WHEN len(th) >= {k} THEN
+                   list_transform(range(len(th) - {k - 1}), i -> {gram})
+                 ELSE [{fold}] END AS g
+          FROM toks),
+        fps AS (
+          SELECT doc_id,
+                 list_distinct(CASE WHEN len(g) >= {w} THEN
+                   list_transform(range(len(g) - {w - 1}),
+                                  i -> list_min(list_slice(g, i + 1, i + {w})))
+                 ELSE g END) AS fp
+          FROM grams),
+        inv AS (SELECT doc_id, unnest(fp) AS h FROM fps),
+        sized AS (
+          SELECT h, list(doc_id) AS ids FROM inv GROUP BY h
+          HAVING count(*) > 1 AND count(*) <= {cap}),
+        pairs AS (
+          SELECT p1.h, p1.a, p2.b
+          FROM (SELECT h, unnest(ids) AS a FROM sized) p1
+          JOIN (SELECT h, unnest(ids) AS b FROM sized) p2 USING (h)
+          WHERE p1.a < p2.b)
+        SELECT a, b, count(*) AS n_shared
+        FROM pairs GROUP BY a, b HAVING count(*) >= {min_shared}"""
 
 
 def _lang_id_oracle() -> str:
@@ -1532,6 +1581,7 @@ def oracle_sql() -> dict[str, str]:
             FROM (SELECT * FROM events WHERE event_type = 'view') l
             LEFT JOIN ranked ON ranked.event_id = l.event_id AND ranked.rn = 1""",
         "dedup_components": _components_oracle(),
+        "dedup_winnow": _winnow_oracle(),
         "range_join": """
             SELECT l.event_id, round(r.value, 6) AS value_r
             FROM (SELECT * FROM events WHERE event_type = 'view') l

@@ -523,3 +523,40 @@ class TestLineQualityFeatures:
         r1 = rows[1]
         assert r1["dup_line_ratio"] == 0.0
         assert r1["bullet_line_ratio"] == 0.0
+
+
+class TestWinnowing:
+    def test_guarantee_shared_run_detected(self, spark):
+        # winnowing guarantee: docs sharing >= k+w-1 consecutive tokens
+        # share at least one selected fingerprint (k=3, w=4 -> run of 6)
+        shared = "alpha beta gamma delta epsilon zeta"
+        df = spark.createDataFrame([
+            Row(doc_id=0, text=f"prefix one two {shared} suffix three"),
+            Row(doc_id=1, text=f"totally different opening {shared} and ending"),
+            Row(doc_id=2, text="nothing in common with the others at all here")])
+        pairs = {(r["a"], r["b"]) for r in
+                 dedup.winnow_dedup(df, k=3, w=4, min_shared=1).collect()}
+        assert (0, 1) in pairs
+        assert all(2 not in p for p in pairs)
+
+    def test_fingerprint_set_is_subset_and_smaller(self, spark):
+        df = spark.createDataFrame(
+            [Row(doc_id=0, text=" ".join(f"tok{i % 37}" for i in range(200)))])
+        row = df.select(
+            dedup.winnow_fingerprints(F.col("text"), 3, 4).alias("fp"),
+            dedup.shingle_hashes(F.col("text"), 3).alias("all_g")).collect()[0]
+        assert set(row["fp"]) <= set(row["all_g"])
+        assert 0 < len(row["fp"]) < len(row["all_g"])
+
+    def test_portable_matches_fast_pairs(self, spark):
+        df = spark.createDataFrame(
+            [Row(doc_id=i, text=t) for i, t in enumerate(
+                ["the quick brown fox jumps over the lazy dog today ok",
+                 "the quick brown fox jumps over the lazy dog today fine",
+                 "unrelated text about cooking pasta in rome yesterday"])])
+        fast = {(r["a"], r["b"]) for r in
+                dedup.winnow_dedup(df, k=3, w=2, min_shared=1).collect()}
+        port = {(r["a"], r["b"]) for r in
+                dedup.winnow_dedup(df, k=3, w=2, min_shared=1,
+                                   portable=True).collect()}
+        assert (0, 1) in fast and (0, 1) in port

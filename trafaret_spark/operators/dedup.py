@@ -1,9 +1,10 @@
 """Document deduplication operators for training-data pipelines.
 
-Four dedup families. Tokenize/shingle/hash/join stages are native Column
-expressions (whole-stage codegen); the two per-row reduction kernels that
-would otherwise be interpreted HOF folds (minhash K-perm minima, simhash
-bit votes) are Arrow-batched numpy `reduceat` ops — see SCALE.md §5.
+Five dedup families + group collapse. Tokenize/shingle/hash/join stages
+are native Column expressions (whole-stage codegen); the two per-row
+reduction kernels that would otherwise be interpreted HOF folds (minhash
+K-perm minima, simhash bit votes) are Arrow-batched numpy `reduceat` ops —
+see SCALE.md §5.
 
   * exact        — hash-groupBy on normalized text (one shuffle on the hash).
   * minhash_lsh  — shingle → K minhashes → B bands → bucket self-join →
@@ -14,6 +15,11 @@ bit votes) are Arrow-batched numpy `reduceat` ops — see SCALE.md §5.
   * ngram_jaccard— exact Jaccard on shingle sets for candidate pairs
                    (the verify stage of minhash, usable standalone on a
                    pre-bucketed pair list — never on a cross join at scale).
+  * winnowing    — MOSS-style selected fingerprints (w-window k-gram
+                   minima): guaranteed detection of shared runs ≥ k+w-1
+                   tokens with a w× smaller inverted index.
+  * connected_components — min-label propagation collapsing any family's
+                   pair output into dedup groups.
 
 Scale notes (100 TB design):
   * Normalization + shingling are per-row `transform`/`regexp_replace` — no
@@ -43,7 +49,7 @@ __all__ = [
     "normalize_text", "shingles", "exact_dedup",
     "minhash_signature", "minhash_lsh_candidates", "minhash_dedup",
     "simhash", "simhash_dedup", "jaccard", "ngram_jaccard_pairs",
-    "connected_components",
+    "connected_components", "winnow_fingerprints", "winnow_dedup",
 ]
 
 
@@ -121,14 +127,19 @@ def shingle_hashes(col: Column, n: int = 3, portable: bool = False) -> Column:
     estimate). ~5× cheaper than hashing materialized `shingles()` strings —
     string slice+join allocation dominated the scan otherwise.
     """
+    return F.array_distinct(_positional_gram_hashes(col, n, portable))
+
+
+def _positional_gram_hashes(col: Column, n: int, portable: bool) -> Column:
+    """In-order (non-distinct) n-gram hash sequence — the positional form
+    winnowing needs; `shingle_hashes` is its set view."""
     comb = gram_combine(portable)
     toks_h = F.transform(F.split(normalize_text(col), r"\s+"),
                          lambda t: tok_hash(t, portable))
     k = F.size(toks_h) - F.lit(n - 1)
-    grams = F.when(k >= 1, _ngram_fold(toks_h, n, comb)) \
+    return F.when(k >= 1, _ngram_fold(toks_h, n, comb)) \
         .otherwise(F.array(F.aggregate(
             toks_h, F.lit(0).cast("long"), comb)))
-    return F.array_distinct(grams)
 
 
 def _coeffs(num_hashes: int, seed: int) -> list:
@@ -450,3 +461,58 @@ def connected_components(pairs: DataFrame, a_col: str = "a", b_col: str = "b",
         if changed == 0:
             break
     return labels.select(F.col("x").alias("node"), "component")
+
+
+def winnow_fingerprints(col: Column, k: int = 5, w: int = 4,
+                        portable: bool = False) -> Column:
+    """Winnowing document fingerprints (the MOSS scheme): the distinct set
+    of per-window minima over the in-order k-gram hash sequence, window
+    width ``w`` → array<long>.
+
+    Guarantee: two documents sharing a run of ≥ k + w - 1 tokens share at
+    least one selected fingerprint — local, position-robust, and the
+    selected set is ~|grams|/w hashes, so the index is w× smaller than the
+    full shingle set. Window minima are computed with the same
+    zip-over-shifted-slices trick as ``_ngram_fold`` (F.least over w
+    slices — O(w·T) total, never an O(T²) per-index lambda); documents
+    shorter than one window contribute their full gram set.
+    """
+    grams = _positional_gram_hashes(col, k, portable)
+    m = F.size(grams) - F.lit(w - 1)
+
+    def _window_min(arr: Column) -> Column:
+        g = F.slice(arr, 1, m)
+        for j in range(1, w):
+            g = F.zip_with(g, F.slice(arr, j + 1, m),
+                           lambda a, b: F.least(a, b))
+        return g
+
+    return F.array_distinct(F.when(m >= 1, _window_min(grams))
+                            .otherwise(grams))
+
+
+def winnow_dedup(df: DataFrame, text_col: str = "text",
+                 id_col: str = "doc_id", k: int = 5, w: int = 4,
+                 min_shared: int = 2, max_bucket_size: int = 1000,
+                 portable: bool = False) -> DataFrame:
+    """Near-dup candidates by shared winnowing fingerprints: docs are
+    bucketed per selected hash (inverted index), oriented pairs count how
+    many fingerprints they share, pairs with ≥ ``min_shared`` survive →
+    (a, b, n_shared). The shuffle key is the fingerprint hash (uniform by
+    construction); hot fingerprints (boilerplate) are dropped past
+    ``max_bucket_size`` like every other bucketed family here.
+    """
+    fps = df.select(F.col(id_col),
+                    F.explode(winnow_fingerprints(
+                        F.col(text_col), k, w, portable)).alias("__fp"))
+    sized = (fps.groupBy("__fp")
+             .agg(F.collect_list(id_col).alias("ids"),
+                  F.count(F.lit(1)).alias("bsz"))
+             .filter((F.col("bsz") > 1) & (F.col("bsz") <= max_bucket_size)))
+    pairs = (sized
+             .select(F.col("__fp"), F.explode("ids").alias("a"), F.col("ids"))
+             .select("__fp", "a", F.explode("ids").alias("b"))
+             .filter(F.col("a") < F.col("b")))
+    return (pairs.groupBy("a", "b")
+            .agg(F.count(F.lit(1)).alias("n_shared"))
+            .filter(F.col("n_shared") >= min_shared))
