@@ -667,17 +667,25 @@ def q_dedup_winnow(spark, sf_dir):
 
 
 def q_dedup_ngram_jaccard(spark, sf_dir):
+    # Finite cap (r2 verdict #3): at sf0.01 this DROPS the hot 'en' block
+    # (218 docs > 200) and keeps the rest, so the cap is exercised and the
+    # oracle mirrors it; on_drop="ignore" keeps the driver query lazy (the
+    # library's default "warn" adds an eager count job for observability).
     docs = _t(spark, sf_dir, "documents")
     out = dedup.ngram_jaccard_pairs(docs, block_cols=["lang"],
-                                    threshold=0.9, n=1)
+                                    threshold=0.9, n=1,
+                                    max_block_size=200, on_drop="ignore")
     return out.select("a", "b", F.round("jaccard", 6).alias("jaccard"))
 
 
 def q_dedup_embedding(spark, sf_dir):
+    # Finite cap: drops labels with > 50 members at sf0.01 (4 of 10 blocks)
+    # — the oracle applies the same HAVING filter.
     emb = _t(spark, sf_dir, "embeddings") \
         .select("vec_id", "label",
                 F.col("embedding").cast("array<double>").alias("embedding"))
-    out = similarity.cosine_neardup(emb, threshold=0.3, block_cols=["label"])
+    out = similarity.cosine_neardup(emb, threshold=0.3, block_cols=["label"],
+                                    max_block_size=50, on_drop="ignore")
     return out.select("a", "b", F.round("sim", 4).alias("sim"))
 
 
@@ -1620,17 +1628,22 @@ def oracle_sql() -> dict[str, str]:
                      list_distinct(string_split_regex(trim(regexp_replace(
                        lower(text), '[^\p{L}\p{N}]+', ' ', 'g')), '\s+')) AS toks
               FROM documents),
+            keep AS (
+              SELECT lang FROM t GROUP BY lang HAVING count(*) <= 200),
             p AS (
               SELECT l.doc_id AS a, r.doc_id AS b,
                      len(list_intersect(l.toks, r.toks)) AS i,
                      len(l.toks) + len(r.toks)
                        - len(list_intersect(l.toks, r.toks)) AS u
-              FROM t l JOIN t r ON l.lang = r.lang AND l.doc_id < r.doc_id)
+              FROM t l JOIN t r ON l.lang = r.lang AND l.doc_id < r.doc_id
+              JOIN keep ON keep.lang = l.lang)
             SELECT a, b, round(i::DOUBLE / u, 6) AS jaccard
             FROM p WHERE i::DOUBLE / u >= 0.9""",
         "dedup_embedding": """
             WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v
                        FROM embeddings),
+            keep AS (
+              SELECT label FROM e GROUP BY label HAVING count(*) <= 50),
             p AS (
               SELECT l.vec_id AS a, r.vec_id AS b,
                      list_sum(list_transform(list_zip(l.v, r.v),
@@ -1638,7 +1651,8 @@ def oracle_sql() -> dict[str, str]:
                      / (sqrt(list_sum(list_transform(l.v, x -> x * x)))
                         * sqrt(list_sum(list_transform(r.v, x -> x * x))))
                        AS rawsim
-              FROM e l JOIN e r ON l.label = r.label AND l.vec_id < r.vec_id)
+              FROM e l JOIN e r ON l.label = r.label AND l.vec_id < r.vec_id
+              JOIN keep ON keep.label = l.label)
             SELECT a, b, round(rawsim, 4) AS sim
             FROM p WHERE rawsim >= 0.3""",
         "text_quality": rf"""

@@ -117,8 +117,12 @@ def main() -> None:
         _sink(dedup.minhash_dedup(docs_pq, threshold=0.5))
 
     def dedup_ngram_jaccard():
+        # finite cap (keeps every sf0.1 block — max ~2.2k docs — so the
+        # measured workload is unchanged, but the guard is in the path)
         _sink(dedup.ngram_jaccard_pairs(docs_pq, block_cols=["lang"],
-                                        threshold=0.9, n=1))
+                                        threshold=0.9, n=1,
+                                        max_block_size=5000,
+                                        on_drop="ignore"))
 
     def embedding_neardup():
         _sink(similarity.cosine_neardup(emb_pq, threshold=0.3,

@@ -145,3 +145,31 @@ class TestNgramJaccardPairs:
             df, block_cols=["grp"], threshold=0.9, n=1).collect()}
         assert (0, 1) in got and (3, 4) in got
         assert (0, 5) not in got
+
+    def test_block_cap_drop_is_observable(self, spark):
+        """A degenerate hot block must be dropped AND the drop surfaced
+        (r2 verdict #3: the cap existed but was silent and unused by the
+        shipped queries)."""
+        rows = ([Row(doc_id=i, text=f"doc number {i}", grp="hot")
+                 for i in range(30)] +
+                [Row(doc_id=100 + i, text=f"cold doc {i}", grp="cold")
+                 for i in range(3)])
+        df = spark.createDataFrame(rows)
+        with pytest.warns(RuntimeWarning, match=r"dropping 1 block\(s\) \(30 rows\)"):
+            out = dedup.ngram_jaccard_pairs(df, block_cols=["grp"],
+                                            threshold=0.0, n=1,
+                                            max_block_size=10)
+            pairs = {(r.a, r.b) for r in out.collect()}
+        assert pairs and all(a >= 100 for a, _ in pairs)  # only cold block
+        with pytest.raises(ValueError, match="max_block_size=10"):
+            dedup.ngram_jaccard_pairs(df, block_cols=["grp"], threshold=0.0,
+                                      n=1, max_block_size=10, on_drop="error")
+        # ignore: lazy, no warning, same result
+        import warnings as _w
+        with _w.catch_warnings():
+            _w.simplefilter("error")
+            out = dedup.ngram_jaccard_pairs(df, block_cols=["grp"],
+                                            threshold=0.0, n=1,
+                                            max_block_size=10,
+                                            on_drop="ignore")
+            assert {(r.a, r.b) for r in out.collect()} == pairs

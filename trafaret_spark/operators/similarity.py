@@ -76,7 +76,9 @@ def cosine_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
 def cosine_neardup(df: DataFrame, threshold: float = 0.9,
                    id_col: str = "vec_id", vec_col: str = "embedding",
                    block_cols=None, nbits: int = 8, bands: int = 4,
-                   seed: int = 7, max_block_size: int | None = None) -> DataFrame:
+                   seed: int = 7, max_block_size: int | None = None,
+                   on_drop: str = "warn",
+                   dim: int | None = None) -> DataFrame:
     """Embedding near-duplicate pairs: oriented (a, b, sim) with
     cosine(a, b) >= threshold.
 
@@ -89,26 +91,30 @@ def cosine_neardup(df: DataFrame, threshold: float = 0.9,
     the exact cosine before thresholding.
 
     The blocked path is quadratic per block; ``max_block_size`` DROPS blocks
-    above the cap before the self-join (the same guard as minhash's
-    ``max_bucket_size`` — mandatory at scale, where one hot block would
-    dominate the stage).
+    above the cap before the self-join via :func:`dedup.capped_blocks`
+    (the same guard as minhash's ``max_bucket_size`` — mandatory at scale,
+    where one hot block would dominate the stage). Dropped blocks are
+    surfaced per ``on_drop`` (default: a warning with the drop count).
+
+    ``dim`` pins the LSH masking dimension globally; without it each Arrow
+    batch infers its own modal dim, which can bucket/NULL-mask the same
+    vector inconsistently in a mixed-dimension corpus (advice r2) — pass
+    it whenever dimensions may vary.
     """
     if block_cols:
+        from trafaret_spark.operators.dedup import capped_blocks
         blocks = [F.col(c) for c in block_cols]
         v = df.select(F.col(id_col), *blocks, F.col(vec_col).alias("__v"))
         if max_block_size is not None:
-            sizes = (v.groupBy(*block_cols)
-                     .agg(F.count(F.lit(1)).alias("__bsz"))
-                     .filter(F.col("__bsz") <= max_block_size)
-                     .drop("__bsz"))
-            v = v.join(F.broadcast(sizes), list(block_cols))
+            v = capped_blocks(v, block_cols, max_block_size, on_drop=on_drop)
         a = v.select(F.col(id_col).alias("a"), *blocks, F.col("__v").alias("__va"))
         b = v.select(F.col(id_col).alias("b"), *blocks, F.col("__v").alias("__vb"))
         pairs = a.join(b, list(block_cols)).filter(F.col("a") < F.col("b"))
     else:
         banded = df.select(
             F.col(id_col), F.col(vec_col).alias("__v"),
-            F.posexplode(lsh_band_buckets(F.col(vec_col), nbits, bands, seed))
+            F.posexplode(lsh_band_buckets(F.col(vec_col), nbits, bands,
+                                          seed, dim=dim))
             .alias("band", "bucket"))
         a = banded.select(F.col(id_col).alias("a"), F.col("__v").alias("__va"),
                           "band", "bucket")
@@ -307,18 +313,22 @@ def ivf_cosine_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
 def lsh_cosine_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
                     id_col: str = "vec_id", vec_col: str = "embedding",
                     query_id_col: str = "query_id", nbits: int = 10,
-                    bands: int = 4, seed: int = 7) -> DataFrame:
+                    bands: int = 4, seed: int = 7,
+                    dim: int | None = None) -> DataFrame:
     """Approximate top-k: bucket corpus + queries by ``bands`` independent
     sign-hash keys, join on (band, bucket), exact re-rank in-bucket.
 
     Recall grows with ``bands`` (multi-probe); shuffle key is uniform by
     construction. Output schema matches ``cosine_topk`` (rank may have < k
-    rows for low-recall queries — by design for ANN).
+    rows for low-recall queries — by design for ANN). ``dim`` pins the
+    masking dimension globally — pass it when corpus/query dimensions may
+    vary, else each Arrow batch infers its own (advice r2).
     """
     def banded(df, idc):
         return df.select(
             F.col(idc), F.col(vec_col).alias("__v_" + idc),
-            F.posexplode(lsh_band_buckets(F.col(vec_col), nbits, bands, seed))
+            F.posexplode(lsh_band_buckets(F.col(vec_col), nbits, bands,
+                                          seed, dim=dim))
             .alias("band", "bucket"))
 
     c = banded(corpus, id_col)
