@@ -68,6 +68,25 @@ def test_asof_broadcast_strategy(tables, direction):
     compare(got, oracle(lpd, rpd, direction, tolerance=1200))
 
 
+def test_broadcast_duplicate_left_rows_preserved(spark):
+    """Broadcast-path row identity is content-derived (retry-stable, r2
+    verdict #5): fully-identical left rows must each appear in the output
+    with the same match — collapsed for the pick, re-expanded after."""
+    left = spark.createDataFrame(
+        [("c", 1, "2026-01-01 10:00:00")] * 3 + [("c", 2, "2026-01-01 11:00:00")],
+        "conv_id string, turn_idx int, ts string",
+    ).selectExpr("conv_id", "turn_idx", "cast(ts as timestamp) ts")
+    right = spark.createDataFrame(
+        [("c", "2026-01-01 09:30:00", 7.0), ("c", "2026-01-01 10:30:00", 9.0)],
+        "conv_id string, ts string, score double",
+    ).selectExpr("conv_id", "cast(ts as timestamp) ts", "score")
+    got = asof_join(left, right, strategy="broadcast").toPandas() \
+        .sort_values(["turn_idx"]).reset_index(drop=True)
+    assert len(got) == 4
+    assert list(got["turn_idx"]) == [1, 1, 1, 2]
+    assert list(got["score"]) == [7.0, 7.0, 7.0, 9.0]
+
+
 def test_exact_tie_is_included_backward(spark):
     left = spark.createDataFrame(
         [("c", 0, "2026-01-01 10:00:00")],

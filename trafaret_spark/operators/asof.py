@@ -33,6 +33,7 @@ from pyspark.sql import types as T
 __all__ = ["asof_join"]
 
 _SIDE, _PAYLOAD, _RON, _LID = "__asof_side", "__asof_payload", "__asof_r_on", "__asof_lid"
+_MULT = "__asof_mult"
 
 
 def _as_list(x) -> list:
@@ -186,11 +187,28 @@ def _asof_broadcast(left, right, on, by, direction, tolerance,
                     payload_cols, out_names, allow_exact_matches,
                     tie_break=None) -> DataFrame:
     on_dtype = dict(zip(left.columns, [f.dataType for f in left.schema.fields]))[on]
-    # NOTE: monotonically_increasing_id is stable within one action but not
-    # across task retries; the sort strategy is the default for exactly-once
-    # pipelines — this path is for small broadcastable right sides where the
-    # whole join is one stage.
-    l2 = left.withColumn(_LID, F.monotonically_increasing_id()).alias("__l")
+    # Row identity for the post-join pick must be RETRY-STABLE (r2 verdict
+    # #5: monotonically_increasing_id can remap across task retries, so a
+    # duplicate left row could double-match or drop). Identity is therefore
+    # the left row's CONTENT: pre-aggregate identical left rows with their
+    # multiplicity (one shuffle keyed on the content hash — no worse than
+    # the old per-row-id shuffle, and strictly fewer rows through the
+    # exchange), broadcast-join, pick the best match per distinct row (the
+    # second groupBy reuses the first's partitioning — no extra exchange),
+    # then re-expand duplicates. Identical left rows have identical
+    # candidate sets, so collapsing them is semantics-preserving.
+    #
+    # Map-typed columns are not groupable; fall back to the documented
+    # per-row-id path (stable only under exactly-once task execution — use
+    # strategy="sort" when retries with duplicate left rows are a concern).
+    groupable = not any("map<" in f.dataType.simpleString()
+                        for f in left.schema.fields)
+    if groupable:
+        l2 = (left.groupBy(*left.columns)
+              .agg(F.count(F.lit(1)).alias(_MULT)).alias("__l"))
+    else:
+        l2 = (left.withColumn(_LID, F.monotonically_increasing_id())
+              .alias("__l"))
     r_on = F.col(f"__r.{on}")
     l_on = F.col(f"__l.{on}")
     if direction == "backward":
@@ -235,10 +253,20 @@ def _asof_broadcast(left, right, on, by, direction, tolerance,
             pick_key = F.struct(r_on, null_rank, tb)
         pick = F.max_by(payload, pick_key) if direction == "backward" \
             else F.min_by(payload, pick_key)
-    best = (joined.groupBy(_LID)
-            .agg(*[F.first(F.col(f"__l.{c}"), ignorenulls=False).alias(c)
-                   for c in left.columns],
-                 pick.alias(_PAYLOAD)))
+    if groupable:
+        best = (joined.groupBy(*[F.col(f"__l.{c}").alias(c)
+                                 for c in left.columns])
+                .agg(F.first(F.col(f"__l.{_MULT}")).alias(_MULT),
+                     pick.alias(_PAYLOAD)))
+        # re-expand collapsed duplicate left rows to their multiplicity
+        best = (best.withColumn("__asof_dup",
+                                F.explode(F.sequence(F.lit(1), F.col(_MULT))))
+                .drop(_MULT, "__asof_dup"))
+    else:
+        best = (joined.groupBy(_LID)
+                .agg(*[F.first(F.col(f"__l.{c}"), ignorenulls=False).alias(c)
+                       for c in left.columns],
+                     pick.alias(_PAYLOAD)))
     keep = F.col(_PAYLOAD).isNotNull() & F.col(_PAYLOAD)[_RON].isNotNull()
     cols = [F.col(c) for c in left.columns]
     cols += [F.when(keep, F.col(_PAYLOAD)[c]).alias(o)
