@@ -326,3 +326,81 @@ class TestSchemaMerge:
         import trafaret as t
         ref = t.Dict(k=t.Int) + t.Dict(v=t.String)
         assert ref.check({"k": 1, "v": "a"}) == {"k": 1, "v": "a"}
+
+
+class TestDriverSideCheckSurface:
+    """Guard.check / is_valid + catch / extract_error / ignore — the
+    reference's single-value + test-helper surface (base.py:126-143,
+    1505-1537), recast over the engine's compiled stage."""
+
+    def test_check_coerces_and_raises(self, spark):
+        assert ts.ToInt().check("41") == 41
+        assert ts.String().check("hi") == "hi"
+        with pytest.raises(ts.GuardError) as ei:
+            ts.ToInt().check("nope")
+        # same code the reference raises
+        try:
+            t.ToInt().check("nope")
+        except t.DataError as ref_err:
+            assert ei.value.errors["x"][0] == ref_err.code
+
+    def test_is_valid_matches_reference(self, spark):
+        for guard_pair, vals in [
+            ((ts.Int(), t.Int()), ["5", "x", "1.0"]),
+            ((ts.Email(), t.Email), ["a@b.com", "nope"]),
+        ]:
+            eng, ref = guard_pair
+            for v in vals:
+                assert eng.is_valid(v) == ref.is_valid(v), v
+
+    def test_catch_and_extract_error(self, spark):
+        err = ts.catch(ts.ToInt().check, "bad")
+        assert isinstance(err, ts.GuardError)
+        assert ts.catch(ts.ToInt().check, "7") == 7
+        assert ts.catch_error is ts.catch
+        flat = ts.extract_error(ts.ToInt().check, "bad")
+        assert flat == {"x": "value can't be converted to int"}
+        assert ts.extract_error(ts.ToInt().check, "7") == 7
+
+    def test_ignore_in_chain(self, spark):
+        assert ts.ignore(123) is None
+        got = (ts.ToInt() >> ts.Call(ts.ignore, return_type="string")).check("5")
+        assert got is None
+
+
+class TestRegexpRaw:
+    def test_match_struct_parity(self, spark):
+        ref = t.RegexpRaw(r"(\d+)-(\d+)")
+        m = ref.check("12-34 tail")
+        got = ts.RegexpRaw(r"(\d+)-(\d+)").check("12-34 tail")
+        assert got["match"] == m.group(0)
+        assert list(got["groups"]) == list(m.groups())
+
+    def test_no_groups(self, spark):
+        got = ts.Regexp(r"ab+", return_match=True).check("abbb!")
+        assert got["match"] == "abbb" and list(got["groups"]) == []
+
+    def test_rejects_like_reference(self, spark):
+        assert not ts.RegexpRaw(r"\d+").is_valid("xyz")
+        with pytest.raises(t.DataError):
+            t.RegexpRaw(r"\d+").check("xyz")
+
+
+class TestIntFloatOverflow:
+    def test_integral_double_beyond_int64_errors(self, spark):
+        """1e20 is integral but exceeds int64: must error like the string
+        branch ('does not fit in int64'), not silently null-pass (advice r2).
+        The reference's unbounded Python int accepts it — a documented
+        engine delta, but it must be an ERROR, never a silent NULL."""
+        got = one_col(spark, [1e20, -1e20, float("nan"), float("inf"),
+                              5.0, 5.5], "double", ts.Int())
+        assert got[0] == (False, "is_not_a_number")
+        assert got[1] == (False, "is_not_a_number")
+        assert got[2][0] is False and got[3][0] is False
+        assert got[4] == (True, 5.0)
+        assert got[5] == (False, "is_not_int")
+
+    def test_toint_coerce_beyond_int64_errors(self, spark):
+        got = one_col(spark, [1e20, 7.0], "double", ts.ToInt())
+        assert got[0] == (False, "is_not_a_number")
+        assert got[1] == (True, 7)

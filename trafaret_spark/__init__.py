@@ -43,6 +43,7 @@ from trafaret_spark.guards import (
     Null,
     OnError,
     Regexp,
+    RegexpRaw,
     RegexpString,
     String,
     Subclass,
@@ -76,9 +77,13 @@ from trafaret_spark.schema import (
 from trafaret_spark.validate import (
     GuardError,
     apply_schema,
+    catch,
+    catch_error,
     errors_as_map,
     errors_json,
+    extract_error,
     guard,
+    ignore,
     split_valid,
     validation_metrics,
 )
@@ -90,7 +95,7 @@ __all__ = [
     "Int", "ToInt", "Float", "ToFloat", "ToDecimal",
     "String", "Bytes", "AnyString", "ToBytes", "FromBytes",
     "Date", "ToDate", "DateTime", "ToDateTime", "DateTimeAny",
-    "Regexp", "RegexpString", "Email", "URL", "Hex", "URLSafe",
+    "Regexp", "RegexpRaw", "RegexpString", "Email", "URL", "Hex", "URLSafe",
     "IPv4", "IPv6", "IP", "MongoId",
     "List", "Tuple", "Mapping", "OnError", "WithRepr", "Call",
     "Callable", "Type", "Subclass",
@@ -100,6 +105,7 @@ __all__ = [
     # validate
     "apply_schema", "split_valid", "validation_metrics",
     "errors_json", "errors_as_map", "guard", "GuardError",
+    "catch", "catch_error", "extract_error", "ignore",
     # reshape
     "unfold", "fold",
 ]

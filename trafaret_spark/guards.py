@@ -174,6 +174,36 @@ class Guard:
     def __repr__(self) -> str:
         return f"<{self.describe()}>"
 
+    # ---- driver-side single-value convenience (trafaret/base.py:126-143:
+    # check / is_valid). The data plane is apply_schema; this runs the SAME
+    # compiled Column stage on a one-row LocalRelation (Catalyst folds it
+    # driver-side, no job) so the semantics are identical by construction.
+    def check(self, value, spark=None):
+        """Validate+coerce one value; raise GuardError on failure."""
+        from pyspark.sql import SparkSession
+        from trafaret_spark.schema import Key, Schema
+        from trafaret_spark.validate import GuardError, apply_schema
+        spark = spark or SparkSession.getActiveSession()
+        if spark is None:
+            raise PlanTimeError("Guard.check() needs an active SparkSession")
+        if value is None:
+            df = spark.createDataFrame([(None,)], "x string")
+        else:
+            df = spark.createDataFrame([(value,)], ["x"])
+        row = apply_schema(df, Schema(Key("x", self))).collect()[0]
+        errs = {e["path"]: (e["code"], e["message"]) for e in row["errors"]}
+        if errs:
+            raise GuardError(errs)
+        return row["x"]
+
+    def is_valid(self, value, spark=None) -> bool:
+        from trafaret_spark.validate import GuardError
+        try:
+            self.check(value, spark=spark)
+            return True
+        except GuardError:
+            return False
+
 
 def ensure_guard(x) -> Guard:
     """Lift a Guard class or literal into a Guard (cf. ensure_trafaret,
@@ -353,9 +383,17 @@ class Int(_NumberMixin, Guard):
             type_err = _null_err()
         elif isinstance(dtype, (T.FloatType, T.DoubleType, T.DecimalType)):
             # try_cast: a float outside long range nulls instead of the
-            # ANSI overflow throw; the floor check already flags non-integral
+            # ANSI overflow throw; the floor check flags non-integral, and
+            # the null-probe flags integral values beyond int64 — mirroring
+            # the string branch, where unbounded Python int succeeds but the
+            # engine's long cannot (surfaced as an error, not a null-pass)
             num = col.try_cast("long")
+            # overflow probe FIRST: floor(double) returns long, so beyond
+            # int64 the floor comparison itself is meaningless
             type_err = F.when(
+                col.isNotNull() & num.isNull(),
+                err_struct(codes.IS_NOT_A_NUMBER, "value does not fit in int64"),
+            ).when(
                 col.isNotNull() & (col != F.floor(col)),
                 err_struct(codes.IS_NOT_INT, "value is not int"),
             )
@@ -783,11 +821,21 @@ class DateTimeAny(Guard):
 
 class Regexp(Guard):
     """re.match semantics: anchored at start, value = matched group()
-    (trafaret/regexp.py:7-31)."""
+    (trafaret/regexp.py:29-31).
+
+    ``return_match=True`` is the engine analogue of the reference's
+    RegexpRaw (trafaret/regexp.py:7-26), which returns the Match object:
+    a Match can't cross the JVM boundary, so the value becomes its struct
+    projection ``struct<match:string, groups:array<string>>`` (group count
+    fixed at plan time from the compiled pattern). Delta vs Python: a
+    non-participating optional group is ``''`` (Spark regexp_extract), not
+    None.
+    """
 
     def __init__(self, pattern: str, return_match: bool = False):
         self.pattern = pattern
-        re.compile(pattern)  # fail at plan time on a bad pattern
+        self.return_match = return_match
+        self._n_groups = re.compile(pattern).groups  # plan-time check too
         self._anchored = f"^(?:{pattern})"
 
     def compile(self, col, dtype):
@@ -798,8 +846,30 @@ class Regexp(Guard):
         matched = col.rlike(self._anchored)
         e = F.when(col.isNull() | ~matched,
                    err_struct(codes.DOES_NOT_MATCH_RE, "does not match pattern"))
+        if self.return_match:
+            if self._n_groups:
+                groups = F.array(*[F.regexp_extract(col, self._anchored, i + 1)
+                                   for i in range(self._n_groups)])
+            else:
+                groups = F.array().cast("array<string>")
+            value = F.when(matched, F.struct(
+                F.regexp_extract(col, self._anchored, 0).alias("match"),
+                groups.alias("groups")))
+            out = T.StructType([
+                T.StructField("match", T.StringType()),
+                T.StructField("groups", T.ArrayType(T.StringType())),
+            ])
+            return Compiled(value, e, out)
         value = F.when(matched, F.regexp_extract(col, self._anchored, 0))
         return Compiled(value, e, dtype)
+
+
+class RegexpRaw(Regexp):
+    """Return the full match struct instead of group() — the reference's
+    RegexpRaw (trafaret/regexp.py:7-26); see Regexp(return_match=True)."""
+
+    def __init__(self, pattern: str):
+        super().__init__(pattern, return_match=True)
 
 
 class RegexpString(String):

@@ -18,7 +18,8 @@ from pyspark.sql import functions as F
 from trafaret_spark.schema import Key, Schema
 
 __all__ = ["apply_schema", "split_valid", "validation_metrics", "is_valid_col",
-           "errors_json", "errors_as_map", "guard", "GuardError"]
+           "errors_json", "errors_as_map", "guard", "GuardError",
+           "catch", "catch_error", "extract_error", "ignore"]
 
 
 def apply_schema(df: DataFrame, schema: Schema, errors_col: str = "errors") -> DataFrame:
@@ -91,6 +92,43 @@ class GuardError(ValueError):
     def __init__(self, errors: dict):
         self.errors = errors
         super().__init__(str(errors))
+
+
+def ignore(val):
+    """Stub to drop a value from a coercion chain (trafaret/base.py:1505-1513:
+    ``Int >> ignore``). Engine usage:
+    ``ts.ToInt() >> ts.Call(ts.ignore, return_type="string")`` — when handed
+    an Arrow batch (pd.Series) it speaks Call's vectorized
+    ``(values, errors)`` protocol, nulling every value with no errors;
+    called with a plain value it returns None like the reference stub."""
+    import pandas as pd
+    if isinstance(val, pd.Series):
+        none = pd.Series([None] * len(val))
+        return none, none.copy()
+    return None
+
+
+def catch(checker, *a, **kw):
+    """Call ``checker`` and return the GuardError instead of raising
+    (trafaret/base.py:1516-1524 ``catch``). Works with ``Guard.check``,
+    ``guard``-decorated functions, and anything else raising GuardError."""
+    try:
+        return checker(*a, **kw)
+    except GuardError as error:
+        return error
+
+
+catch_error = catch  # reference alias (trafaret/base.py:1527)
+
+
+def extract_error(checker, *a, **kw):
+    """Like :func:`catch` but flatten a failure to {path: message}
+    (trafaret/base.py:1530-1537 — the reference returns
+    ``DataError.as_dict()``)."""
+    res = catch(checker, *a, **kw)
+    if isinstance(res, GuardError):
+        return {p: m for p, (_c, m) in res.errors.items()}
+    return res
 
 
 def guard(schema: Schema = None, **kw_guards):
