@@ -477,19 +477,33 @@ class TestRangeJoin:
                            & (left["ts"] <= right["end"])).collect()}
         assert got == naive and len(naive) > 0
 
-    def test_interval_cap_drops_tail(self, spark):
+    def test_long_intervals_are_exact_not_truncated(self, spark):
+        """An interval spanning more buckets than the cap must still match
+        its full range (advice r2: the old cap silently dropped tail
+        coverage) — it routes through the by-key long-interval path."""
         from trafaret_spark.operators.rangejoin import range_join
-        left = spark.createDataFrame([(1, 950.0)], "lid int, ts double")
+        left = spark.createDataFrame(
+            [(1, 950.0), (2, 9999.0), (3, 10001.0)], "lid int, ts double")
         right = spark.createDataFrame([(7, 0.0, 10000.0)],
                                       "rid int, start double, end double")
-        # cap 5 buckets × width 100 covers only [0, 500) — the match at 950
-        # is beyond the covered tail and is dropped (documented semantics)
+        # cap 5 buckets × width 100 covers only [0, 500) in the bucketed
+        # path — the long path must still produce the 950 and 9999 matches
         capped = range_join(left, right, on="ts", bucket_width=100.0,
                             max_buckets_per_interval=5, suffix="_r")
-        assert capped.count() == 0
+        assert {r["lid"] for r in capped.collect()} == {1, 2}
         full = range_join(left, right, on="ts", bucket_width=100.0,
                           suffix="_r")
-        assert full.count() == 1
+        assert {r["lid"] for r in full.collect()} == {1, 2}
+
+    def test_long_intervals_exact_with_by_keys(self, spark):
+        from trafaret_spark.operators.rangejoin import range_join
+        left = spark.createDataFrame(
+            [(1, "a", 950.0), (2, "b", 950.0)], "lid int, k string, ts double")
+        right = spark.createDataFrame([("a", 7, 0.0, 10000.0)],
+                                      "k string, rid int, start double, end double")
+        got = range_join(left, right, on="ts", by="k", bucket_width=100.0,
+                         max_buckets_per_interval=5, suffix="_r").collect()
+        assert [(r["lid"], r["rid_r"]) for r in got] == [(1, 7)]
 
 
 class TestTimeRollup:

@@ -474,6 +474,12 @@ def connected_components(pairs: DataFrame, a_col: str = "a", b_col: str = "b",
     Only nodes that appear in ``pairs`` are returned; unpaired docs are
     their own singleton component by definition (callers join back with a
     coalesce to the doc's own id).
+
+    If the loop exhausts ``max_iter`` without reaching the fixpoint (a
+    component whose diameter exceeds the bound — chain-shaped dup graphs),
+    a RuntimeWarning is emitted rather than silently returning partial
+    labels (advice r2): raise ``max_iter`` or pre-collapse with exact
+    dedup when it fires.
     """
     edges = (pairs.select(F.col(a_col).alias("x"), F.col(b_col).alias("y"))
              .unionByName(pairs.select(F.col(b_col).alias("x"),
@@ -500,6 +506,12 @@ def connected_components(pairs: DataFrame, a_col: str = "a", b_col: str = "b",
         labels = new_labels
         if changed == 0:
             break
+    else:
+        warnings.warn(
+            f"connected_components: label propagation did not converge "
+            f"within max_iter={max_iter} rounds — returned components may "
+            f"be split; raise max_iter for deep chain-shaped dup graphs",
+            RuntimeWarning, stacklevel=2)
     return labels.select(F.col("x").alias("node"), "component")
 
 

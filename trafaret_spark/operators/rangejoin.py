@@ -46,6 +46,15 @@ def range_join(left: DataFrame, right: DataFrame, on: str = "ts",
     for nearest-one semantics; for left-outer semantics anti-join the
     matched ids back yourself, which needs a row identity only the caller
     has).
+
+    Exactness: intervals spanning ≤ ``max_buckets_per_interval`` buckets
+    are bucket-exploded and equi-joined (the scale path — shuffle keyed on
+    the bucket id). LONGER intervals are not truncated (advice r2: the old
+    cap silently dropped their tail coverage) — they route through a
+    second, by-key-only join + exact range filter. Long intervals are
+    assumed rare (each covers > cap × bucket_width of time); if a workload
+    has many, raise ``bucket_width`` so they fall back into the bucketed
+    path rather than widening the long-side join.
     """
     by = [] if by is None else ([by] if isinstance(by, str) else list(by))
     on_dtype = dict(zip(left.columns,
@@ -65,24 +74,36 @@ def range_join(left: DataFrame, right: DataFrame, on: str = "ts",
     s_num = _on_numeric(F.col(start), r_dtypes[start])
     e_num = _on_numeric(F.col(end), r_dtypes[end])
 
-    l2 = left.withColumn("__rbucket", F.floor(l_num / w))
     first_b = F.floor(s_num / w)
-    last_b = F.least(F.floor(e_num / w),
-                     first_b + F.lit(max_buckets_per_interval - 1))
-    r2 = (right
-          .filter(F.col(start) <= F.col(end))
-          .withColumn("__rbucket",
-                      F.explode(F.sequence(first_b, last_b)))
-          .select("__rbucket", *by,
-                  *[F.col(c).alias(o)
-                    for c, o in zip(payload_cols, out_names)]))
+    last_b = F.floor(e_num / w)
+    n_buckets = last_b - first_b + 1
+    valid = F.col(start) <= F.col(end)
+    payload_sel = [F.col(c).alias(o)
+                   for c, o in zip(payload_cols, out_names)]
 
-    cond = [l2["__rbucket"] == r2["__rbucket"]] + \
-           [l2[b] == r2[b] for b in by]
-    joined = l2.join(r2, cond, "inner").drop(r2["__rbucket"])
+    l2 = left.withColumn("__rbucket", F.floor(l_num / w))
+    r_short = (right
+               .filter(valid & (n_buckets <= max_buckets_per_interval))
+               .withColumn("__rbucket",
+                           F.explode(F.sequence(first_b, last_b)))
+               .select("__rbucket", *by, *payload_sel))
+    cond = [l2["__rbucket"] == r_short["__rbucket"]] + \
+           [l2[b] == r_short[b] for b in by]
+    joined = l2.join(r_short, cond, "inner").drop(r_short["__rbucket"])
     for b in by:
-        joined = joined.drop(r2[b])
+        joined = joined.drop(r_short[b])
+    joined = joined.drop("__rbucket")
+
+    # exact long-interval path: no bucket key (an interval spanning > cap
+    # buckets matches a huge bucket range anyway) — join within `by` only
+    r_long = (right
+              .filter(valid & (n_buckets > max_buckets_per_interval))
+              .select(*by, *payload_sel))
+    joined_long = (left.join(r_long, by, "inner") if by
+                   else left.crossJoin(r_long))
+    joined = joined.unionByName(joined_long)
+
     s_out = F.col(start + suffix)
     e_out = F.col(end + suffix)
     exact = (F.col(on) >= s_out) & (F.col(on) <= e_out)
-    return joined.filter(exact).drop("__rbucket")
+    return joined.filter(exact)
