@@ -774,6 +774,16 @@ def q_mm_image_decode(spark, sf_dir):
                       F.size("img_features").alias("feat_dim"))
 
 
+def q_mm_audio(spark, sf_dir):
+    # fake path (no codec in the driver's container) — the sha256-derived
+    # values are recomputed bit-for-bit by the DuckDB oracle
+    docs = _t(spark, sf_dir, "documents") \
+        .select("doc_id", F.encode("text", "utf-8").alias("payload"))
+    out = multimodal.audio_features(docs, id_col="doc_id", fake=True)
+    return out.select("doc_id", "duration_ms",
+                      F.round("rms", 6).alias("rms"), "n_samples", "decode_ok")
+
+
 # --------------------------------------------------------------------------
 # driver API
 # --------------------------------------------------------------------------
@@ -831,6 +841,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_ivf": q_knn_ivf,
         "mm_video_frames": q_mm_video_frames,
         "mm_image_decode": q_mm_image_decode,
+        "mm_audio": q_mm_audio,
         # §2.1 guards
         "v_enum_role": q_v_enum_role,
         "v_string_len": q_v_string_len,
@@ -1733,4 +1744,21 @@ def oracle_sql() -> dict[str, str]:
         "mm_image_decode": """
             SELECT doc_id, TRUE AS decode_ok, CAST(16 AS INT) AS feat_dim
             FROM documents""",
+        # fake-decode audio: duration/rms derive from sha256(utf-8 payload)
+        # exactly as the kernel computes them (little-endian uint32 of
+        # digest bytes [0:4) and [4:8))
+        "mm_audio": """
+            WITH h AS (SELECT doc_id, sha256(text) AS hx,
+                              octet_length(encode(text)) AS nb
+                       FROM documents)
+            SELECT doc_id,
+                   CAST(concat('0x', substr(hx,7,2), substr(hx,5,2),
+                               substr(hx,3,2), substr(hx,1,2)) AS BIGINT)
+                     % 60000 AS duration_ms,
+                   round(CAST(concat('0x', substr(hx,15,2), substr(hx,13,2),
+                                     substr(hx,11,2), substr(hx,9,2)) AS BIGINT)
+                         / 4294967296.0, 6) AS rms,
+                   CAST(nb AS BIGINT) AS n_samples,
+                   TRUE AS decode_ok
+            FROM h""",
     }

@@ -60,3 +60,52 @@ class TestAudio:
         assert rows[5].n_samples == 6
         assert rows[99].n_samples == 0
         assert all(0 <= r.rms <= 1 for r in out)
+        assert rows[99].decode_ok is False and rows[0].decode_ok is True
+
+    @staticmethod
+    def _wav_bytes(n_frames=8000, rate=8000, amp=0.5):
+        import io
+        import math
+        import struct
+        import wave
+        buf = io.BytesIO()
+        with wave.open(buf, "wb") as w:
+            w.setnchannels(1)
+            w.setsampwidth(2)
+            w.setframerate(rate)
+            samples = [int(amp * 32767 * math.sin(2 * math.pi * 440 * i / rate))
+                       for i in range(n_frames)]
+            w.writeframes(struct.pack(f"<{n_frames}h", *samples))
+        return buf.getvalue()
+
+    def test_real_wav_path(self, spark):
+        """The REAL audio path (stdlib wave fallback — no optional deps
+        needed): a valid WAV decodes to its true duration/sample count and
+        a sine's theoretical RMS (amp/√2); junk bytes → decode_ok=False
+        with NULL metrics, not a task failure."""
+        wav = self._wav_bytes(n_frames=8000, rate=8000, amp=0.5)
+        df = spark.createDataFrame(
+            [Row(doc_id=1, payload=wav), Row(doc_id=2, payload=b"not audio"),
+             Row(doc_id=3, payload=None)])
+        rows = {r.doc_id: r for r in
+                multimodal.audio_features(df, fake=False).collect()}
+        assert rows[1].decode_ok is True
+        assert rows[1].duration_ms == 1000 and rows[1].n_samples == 8000
+        assert abs(rows[1].rms - 0.5 / 2 ** 0.5) < 1e-3
+        assert rows[2].decode_ok is False and rows[2].rms is None
+        assert rows[3].decode_ok is False
+
+
+class TestVideoRealProbe:
+    def test_raises_without_ffmpeg_only(self, media):
+        """Real video path is gated on the ffmpeg binary probe: in this
+        container it is absent, so the kernel raises per batch; when
+        present the same kernel decodes via _ffmpeg_frames (unit-testable
+        only where ffmpeg exists)."""
+        if multimodal._probe_ffmpeg() is None:
+            df = multimodal.sample_video_frames(media, fake=False)
+            with pytest.raises(PythonException, match="NotImplementedError"):
+                df.collect()
+        else:  # pragma: no cover - container-dependent
+            out = multimodal.sample_video_frames(media, fake=False)
+            assert out.count() == 0  # junk payloads decode to zero frames

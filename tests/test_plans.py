@@ -123,6 +123,22 @@ class TestBroadcast:
         assert "BroadcastNestedLoopJoin" in plan_of(out, "simple") or \
                "BroadcastExchange" in plan_of(out, "simple")
 
+    def test_knn_two_phase_partial_topk(self, spark):
+        """cosine_topk must reduce BEFORE the exchange (r2 verdict #9):
+        map-side partial collect_list under the salted (query, salt) keys,
+        and the final window limited by Spark's rank-limit pushdown — no
+        full-corpus single-reducer rank."""
+        emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet") \
+            .select("vec_id", F.col("embedding").cast("array<double>").alias("embedding"))
+        q = emb.filter(F.col("vec_id") < 3) \
+            .select(F.col("vec_id").alias("query_id"), "embedding")
+        plan = plan_of(similarity.cosine_topk(emb, q, k=5), "simple")
+        assert "partial_collect_list" in plan
+        assert plan.index("partial_collect_list") > plan.index("Exchange")
+        # ^ plans print top-down: the Partial agg sits BELOW (after in
+        # string order) its Exchange parent, i.e. upstream of the shuffle
+        assert "WindowGroupLimit" in plan and "Partial" in plan
+
     def test_asof_broadcast_strategy(self, spark, events):
         left = events.filter(F.col("event_type") == "view")
         right = events.filter(F.col("event_type") == "purchase") \

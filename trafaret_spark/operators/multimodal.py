@@ -4,14 +4,17 @@ Media travel as opaque ``binary`` payloads plus a typed metadata struct —
 the Spark-native layout for 100 TB multimodal corpora (payload bytes never
 pass through Python row-at-a-time; each Arrow batch moves as one buffer).
 
-The actual codecs are OPTIONAL dependencies: images probe Pillow at
-runtime (``_probe_pil()``) and run a real decode→resize→vectorize path
-when it is importable; audio/video still raise ``NotImplementedError``
-per batch without their codecs (ffmpeg/soundfile — absent from this
-container; probe hooks are the pattern to follow when adding them).
-With ``fake=True`` every kernel runs a deterministic hash-derived fake
-decode instead, so the Spark-side plumbing — schema, ``mapInPandas``
-batch shape, partition sizing — is real and testable either way.
+The actual codecs are OPTIONAL dependencies, probed at runtime on the
+executors: images probe Pillow (``_probe_pil``), video probes the ffmpeg
+binary (``_probe_ffmpeg``), audio probes soundfile with a stdlib-``wave``
+fallback (``_probe_audio`` — the WAV path is real with zero extra deps).
+When a codec is present the real decode runs and bad bytes yield
+``decode_ok=False`` (or zero sampled frames) instead of failing the task;
+when absent the kernel raises ``NotImplementedError`` per batch unless
+``fake=True``, which runs a deterministic hash-derived fake decode with
+identical schema and batching, so the Spark-side plumbing — schema,
+``mapInPandas`` batch shape, partition sizing — is real and testable
+either way.
 
 Design notes for scale:
   * ``mapInPandas`` (not a scalar pandas_udf) because decode changes
@@ -29,6 +32,7 @@ from __future__ import annotations
 import hashlib
 from typing import Iterator
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -139,15 +143,54 @@ def decode_image_features(df: DataFrame, payload_col: str = "payload",
     return df.select(id_col, payload_col).mapInPandas(kernel, out_schema)
 
 
+def _probe_ffmpeg():
+    """Locate the ffmpeg binary if present (executor-side probe)."""
+    import shutil
+    return shutil.which("ffmpeg")
+
+
+def _ffmpeg_frames(ffmpeg: str, payload: bytes, every_ms: int, side: int):
+    """Real frame sampling: payload → list of (ts_ms, [0,1] gray vectors)
+    via one ffmpeg subprocess (fps filter + rawvideo gray thumbnails).
+    Returns None when the bytes don't decode — bad bytes are data, not
+    bugs, at corpus scale."""
+    import subprocess
+    import tempfile
+    with tempfile.NamedTemporaryFile(suffix=".bin") as f:
+        f.write(payload or b"")
+        f.flush()
+        try:
+            proc = subprocess.run(
+                [ffmpeg, "-v", "error", "-i", f.name,
+                 "-vf", f"fps=1000/{every_ms},scale={side}:{side}",
+                 "-pix_fmt", "gray", "-f", "rawvideo", "-"],
+                capture_output=True, timeout=120)
+        except (OSError, subprocess.SubprocessError):
+            return None
+    if proc.returncode != 0 or not proc.stdout:
+        return None
+    frame_len = side * side
+    n = len(proc.stdout) // frame_len
+    return [(i * every_ms,
+             [b / 255.0 for b in proc.stdout[i * frame_len:(i + 1) * frame_len]])
+            for i in range(n)]
+
+
 def sample_video_frames(df: DataFrame, payload_col: str = "payload",
                         id_col: str = "doc_id", every_ms: int = 1000,
                         fake: bool = False,
                         fake_duration_ms: int = 5000) -> DataFrame:
     """payload → one row per sampled frame (cardinality-expanding decode).
 
-    Output: (id, frame_idx, frame_ts_ms, frame_features). Real path needs
-    ffmpeg; fake path synthesizes ``fake_duration_ms / every_ms`` frames with
-    hash-derived features — same schema, same expansion shape.
+    Output: (id, frame_idx, frame_ts_ms, frame_features). Real path probes
+    the ffmpeg binary at runtime (the same optional-codec pattern as
+    decode_image_features' Pillow probe): every_ms-spaced frames are
+    decoded to √64×√64 gray thumbnails and emitted as [0,1] pixel
+    vectors; undecodable payloads contribute ZERO rows (sampling
+    semantics). Without ffmpeg the kernel raises NotImplementedError per
+    batch unless ``fake=True``, which synthesizes
+    ``fake_duration_ms / every_ms`` frames with hash-derived features —
+    same schema, same expansion shape.
     """
     out_schema = T.StructType([
         df.schema[id_col],
@@ -157,51 +200,134 @@ def sample_video_frames(df: DataFrame, payload_col: str = "payload",
     ])
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        ffmpeg = None if fake else _probe_ffmpeg()
         for pdf in batches:
-            if not fake:
+            if not fake and ffmpeg is None:
                 raise NotImplementedError(
-                    "video decode requires ffmpeg — not in this container; "
-                    "pass fake=True for plumbing tests")
+                    "video decode requires the ffmpeg binary on the "
+                    "executors — not in this container; pass fake=True "
+                    "for plumbing tests")
             rows = {k: [] for k in (id_col, "frame_idx", "frame_ts_ms",
                                     "frame_features")}
             for rid, payload in zip(pdf[id_col], pdf[payload_col]):
-                n = max(1, fake_duration_ms // every_ms)
-                for i in range(n):
+                if fake:
+                    n = max(1, fake_duration_ms // every_ms)
+                    frames = [(i * every_ms,
+                               _fake_vec((payload or b"")
+                                         + i.to_bytes(4, "little"), 8))
+                              for i in range(n)]
+                else:
+                    frames = _ffmpeg_frames(ffmpeg, payload, every_ms, 8) or []
+                for i, (ts_ms, vec) in enumerate(frames):
                     rows[id_col].append(rid)
                     rows["frame_idx"].append(i)
-                    rows["frame_ts_ms"].append(i * every_ms)
-                    rows["frame_features"].append(
-                        _fake_vec((payload or b"") + i.to_bytes(4, "little"), 8))
+                    rows["frame_ts_ms"].append(ts_ms)
+                    rows["frame_features"].append(vec)
             yield pd.DataFrame(rows)
 
     return df.select(id_col, payload_col).mapInPandas(kernel, out_schema)
 
 
+def _probe_audio():
+    """Best-available real audio decoder: soundfile if importable, else the
+    stdlib ``wave`` module (WAV-only). Returns ("sf", mod) / ("wave", mod)
+    / None."""
+    try:
+        import soundfile  # noqa: PLC0415
+        return ("sf", soundfile)
+    except ImportError:
+        pass
+    try:
+        import wave  # noqa: PLC0415
+        return ("wave", wave)
+    except ImportError:
+        return None
+
+
+def _real_audio(decoder, payload: bytes):
+    """(duration_ms, rms, n_samples) or None if the bytes don't decode."""
+    import io
+    kind, mod = decoder
+    try:
+        if kind == "sf":
+            data, rate = mod.read(io.BytesIO(payload), dtype="float64",
+                                  always_2d=True)
+            n = data.shape[0]
+            if n == 0 or rate <= 0:
+                return None
+            rms = float(np.sqrt(np.mean(np.square(data))))
+            return int(n * 1000 / rate), rms, n
+        with mod.open(io.BytesIO(payload), "rb") as w:
+            n, rate = w.getnframes(), w.getframerate()
+            width = w.getsampwidth()
+            raw = w.readframes(n)
+        if n == 0 or rate <= 0 or width not in (1, 2, 4):
+            return None
+        dt = {1: np.uint8, 2: np.int16, 4: np.int32}[width]
+        samples = np.frombuffer(raw, dtype=dt).astype(np.float64)
+        if width == 1:
+            samples = (samples - 128.0) / 128.0
+        else:
+            samples = samples / float(2 ** (8 * width - 1))
+        rms = float(np.sqrt(np.mean(np.square(samples)))) if len(samples) else 0.0
+        return int(n * 1000 / rate), rms, n
+    except Exception:
+        return None
+
+
 def audio_features(df: DataFrame, payload_col: str = "payload",
                    id_col: str = "doc_id", fake: bool = False) -> DataFrame:
-    """payload → (id, duration_ms, rms, n_samples) summary row.
+    """payload → (id, duration_ms, rms, n_samples, decode_ok) summary row.
 
-    Real path needs soundfile/librosa; fake path derives deterministic
-    values from the payload bytes."""
+    Real path probes soundfile, falling back to the stdlib ``wave`` module
+    (WAV-only — genuinely real, zero extra deps); a payload that fails to
+    decode yields ``decode_ok=False`` + NULL metrics rather than failing
+    the task. ``fake=True`` derives deterministic values from the payload's
+    sha256 (reproducible in SQL — the driver oracle recomputes them)."""
     out_schema = T.StructType([
         df.schema[id_col],
         T.StructField("duration_ms", T.LongType()),
         T.StructField("rms", T.DoubleType()),
         T.StructField("n_samples", T.LongType()),
+        T.StructField("decode_ok", T.BooleanType()),
     ])
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        decoder = None if fake else _probe_audio()
         for pdf in batches:
-            if not fake:
+            if not fake and decoder is None:
                 raise NotImplementedError(
-                    "audio decode requires soundfile — not in this container; "
-                    "pass fake=True for plumbing tests")
-            dig = [hashlib.sha256(p or b"").digest() for p in pdf[payload_col]]
-            yield pd.DataFrame({
-                id_col: pdf[id_col],
-                "duration_ms": [int.from_bytes(d[:4], "little") % 60000 for d in dig],
-                "rms": [int.from_bytes(d[4:8], "little") / 2**32 for d in dig],
-                "n_samples": [len(p or b"") for p in pdf[payload_col]],
-            })
+                    "audio decode requires soundfile or the stdlib wave "
+                    "module on the executors; pass fake=True for plumbing "
+                    "tests")
+            if fake:
+                dig = [hashlib.sha256(p or b"").digest()
+                       for p in pdf[payload_col]]
+                yield pd.DataFrame({
+                    id_col: pdf[id_col],
+                    "duration_ms": [int.from_bytes(d[:4], "little") % 60000
+                                    for d in dig],
+                    "rms": [int.from_bytes(d[4:8], "little") / 2**32
+                            for d in dig],
+                    "n_samples": [len(p or b"") for p in pdf[payload_col]],
+                    "decode_ok": [p is not None for p in pdf[payload_col]],
+                })
+                continue
+            out = {k: [] for k in (id_col, "duration_ms", "rms",
+                                   "n_samples", "decode_ok")}
+            for rid, p in zip(pdf[id_col], pdf[payload_col]):
+                res = None if p is None else _real_audio(decoder, p)
+                out[id_col].append(rid)
+                if res is None:
+                    out["duration_ms"].append(None)
+                    out["rms"].append(None)
+                    out["n_samples"].append(None)
+                    out["decode_ok"].append(False)
+                else:
+                    out["duration_ms"].append(res[0])
+                    out["rms"].append(res[1])
+                    out["n_samples"].append(res[2])
+                    out["decode_ok"].append(True)
+            yield pd.DataFrame(out)
 
     return df.select(id_col, payload_col).mapInPandas(kernel, out_schema)

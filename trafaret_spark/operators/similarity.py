@@ -55,21 +55,54 @@ def cosine(a: Column, b: Column) -> Column:
 
 def cosine_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
                 id_col: str = "vec_id", vec_col: str = "embedding",
-                query_id_col: str = "query_id") -> DataFrame:
+                query_id_col: str = "query_id",
+                partial_partitions: int = 64) -> DataFrame:
     """Exact top-k cosine neighbors for each query vector.
 
     queries(query_id, embedding) × corpus(vec_id, embedding) →
     (query_id, vec_id, sim, rank). Query side broadcast; ties broken by
     vec_id so output is deterministic. Self-matches (same id) are kept —
     filter upstream if undesired.
+
+    Two-phase exact top-k (r2 verdict #9): the old single
+    ``Window.partitionBy(query_id)`` ranked ALL |corpus| scored rows of a
+    query on ONE reducer — the hot-reducer scale-killer at 100×. Phase 1
+    salts the query key with a hash of the corpus id and keeps only the
+    per-(query, salt) top ``k`` (collect_list + comparator array_sort +
+    slice — every reducer is bounded to ~|corpus| / partial_partitions
+    rows, fully JVM-side, arithmetic untouched so results stay bit-exact).
+    Phase 2 ranks the surviving ≤ partial_partitions × k candidates per
+    query — a trivial window. Ordering in both phases is
+    (sim DESC NULLS LAST, id ASC), NaN greatest — identical to the old
+    single-window semantics.
     """
     q = queries.select(F.col(query_id_col), F.col(vec_col).alias("__qv"))
     c = corpus.select(F.col(id_col), F.col(vec_col).alias("__cv"))
     scored = (c.join(F.broadcast(q))
               .withColumn("sim", cosine(F.col("__qv"), F.col("__cv")))
               .drop("__qv", "__cv"))
+
+    def _cmp(l, r):
+        id_cmp = (F.when(l[id_col] < r[id_col], -1)
+                  .when(l[id_col] > r[id_col], 1).otherwise(0))
+        return (F.when(l["sim"].isNull() & r["sim"].isNull(), id_cmp)
+                .when(l["sim"].isNull(), F.lit(1))     # nulls last
+                .when(r["sim"].isNull(), F.lit(-1))
+                .when(l["sim"] > r["sim"], F.lit(-1))  # sim desc, NaN first
+                .when(l["sim"] < r["sim"], F.lit(1))
+                .otherwise(id_cmp))
+
+    salted = scored.withColumn(
+        "__salt", F.pmod(F.xxhash64(F.col(id_col)), F.lit(partial_partitions)))
+    part = (salted.groupBy(query_id_col, "__salt")
+            .agg(F.slice(F.array_sort(F.collect_list(
+                F.struct(F.col(id_col), F.col("sim"))), _cmp), 1, k)
+                .alias("__cand")))
+    cand = (part.select(query_id_col, F.explode("__cand").alias("__c"))
+            .select(query_id_col, F.col(f"__c.{id_col}").alias(id_col),
+                    F.col("__c.sim").alias("sim")))
     w = Window.partitionBy(query_id_col).orderBy(F.desc("sim"), F.asc(id_col))
-    return (scored.withColumn("rank", F.row_number().over(w))
+    return (cand.withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= k))
 
 
