@@ -146,12 +146,20 @@ def main() -> None:
         "knn_cosine": knn_cosine,
     }
 
+    # min-of-N per query (r2 verdict #8): host vCPU scheduling swings
+    # identical sub-second runs up to 40%, so a single timed run records
+    # the scheduler, not the engine. One warm-up (JIT/codegen/broadcast),
+    # then the min over N timed runs.
+    n_runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
     timings: dict[str, float] = {}
     for name, fn in queries.items():
-        fn()  # warm (JIT/codegen/broadcast); timed run below
-        t0 = time.perf_counter()
-        fn()
-        timings[name] = round(time.perf_counter() - t0, 3)
+        fn()  # warm
+        best = float("inf")
+        for _ in range(n_runs):
+            t0 = time.perf_counter()
+            fn()
+            best = min(best, time.perf_counter() - t0)
+        timings[name] = round(best, 3)
 
     total = round(sum(timings.values()), 3)
     print(json.dumps({

@@ -82,21 +82,24 @@ def cosine_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
               .withColumn("sim", cosine(F.col("__qv"), F.col("__cv")))
               .drop("__qv", "__cv"))
 
-    def _cmp(l, r):
-        id_cmp = (F.when(l[id_col] < r[id_col], -1)
-                  .when(l[id_col] > r[id_col], 1).otherwise(0))
-        return (F.when(l["sim"].isNull() & r["sim"].isNull(), id_cmp)
-                .when(l["sim"].isNull(), F.lit(1))     # nulls last
-                .when(r["sim"].isNull(), F.lit(-1))
-                .when(l["sim"] > r["sim"], F.lit(-1))  # sim desc, NaN first
-                .when(l["sim"] < r["sim"], F.lit(1))
-                .otherwise(id_cmp))
-
+    # Natural-order sort key reproducing (sim DESC NULLS LAST, NaN
+    # greatest, id ASC) under ascending struct comparison — a plain CASE
+    # expression, so array_sort runs its default codegen'd ordering
+    # instead of an interpreted comparator lambda per comparison:
+    #   null_rank: nulls after every number;  key: -sim, with NaN mapped
+    #   below every real value (NaN ranks FIRST in sim-desc).
+    neg_inf = F.lit(float("-inf"))
+    pos_inf = F.lit(float("inf"))
+    sort_key = (F.when(F.col("sim").isNull(), pos_inf)
+                .when(F.isnan(F.col("sim")), neg_inf)
+                .otherwise(-F.col("sim")))
+    null_rank = F.col("sim").isNull().cast("int")
     salted = scored.withColumn(
         "__salt", F.pmod(F.xxhash64(F.col(id_col)), F.lit(partial_partitions)))
     part = (salted.groupBy(query_id_col, "__salt")
             .agg(F.slice(F.array_sort(F.collect_list(
-                F.struct(F.col(id_col), F.col("sim"))), _cmp), 1, k)
+                F.struct(null_rank.alias("__nr"), sort_key.alias("__key"),
+                         F.col(id_col), F.col("sim")))), 1, k)
                 .alias("__cand")))
     cand = (part.select(query_id_col, F.explode("__cand").alias("__c"))
             .select(query_id_col, F.col(f"__c.{id_col}").alias(id_col),
