@@ -485,6 +485,10 @@ def connected_components(pairs: DataFrame, a_col: str = "a", b_col: str = "b",
              .unionByName(pairs.select(F.col(b_col).alias("x"),
                                        F.col(a_col).alias("y")))
              .distinct())
+    # edges join every propagation round: checkpoint ONCE so each round
+    # reads the materialized edge list instead of re-running the whole
+    # upstream candidate pipeline (e.g. minhash) per round
+    edges = edges.localCheckpoint(eager=True)
     labels = (edges.select("x").distinct()
               .withColumn("component", F.col("x")))
     labels = labels.localCheckpoint(eager=True)
