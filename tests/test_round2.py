@@ -574,3 +574,15 @@ class TestWinnowing:
                 dedup.winnow_dedup(df, k=3, w=2, min_shared=1,
                                    portable=True).collect()}
         assert (0, 1) in fast and (0, 1) in port
+
+
+class TestRegistryConsistency:
+    """Single source of truth for the 'N/N oracle-checked' claim (r2
+    verdict #10): the registry and the oracle map must agree key-for-key,
+    so documentation counts can be generated, never hand-maintained."""
+
+    def test_every_query_has_an_oracle_and_vice_versa(self):
+        import __spark_entry__ as entry_mod
+        qs, oracles = entry_mod.queries(), entry_mod.oracle_sql()
+        assert set(qs) == set(oracles)
+        assert len(qs) >= 69
