@@ -404,3 +404,46 @@ class TestIntFloatOverflow:
         got = one_col(spark, [1e20, 7.0], "double", ts.ToInt())
         assert got[0] == (False, "is_not_a_number")
         assert got[1] == (True, 7)
+
+
+class TestCallContext:
+    """Reference check-time context pass-through (trafaret/base.py:1349-1357,
+    tests/test_context.py) — the engine's context is a plan-time constant
+    captured into Call's Arrow kernel closure."""
+
+    @staticmethod
+    def _make_check_context():
+        # defined per-call so cloudpickle serializes it BY VALUE (a test
+        # module function would be pickled by reference and fail to import
+        # on the worker)
+        def check_context(values, context=None):
+            import pandas as pd
+            errs = [None if v == context else "have not context there"
+                    for v in values]
+            return values, pd.Series(errs)
+        return check_context
+
+    def test_context_reaches_call(self, spark):
+        g = ts.Call(self._make_check_context(), return_type="long")
+        assert g.check(123, context=123) == 123
+        err = ts.catch(g.check, 124, context=123)
+        assert isinstance(err, ts.GuardError)
+        assert err.errors["x"] == ("call_failed", "have not context there")
+
+    def test_context_through_apply_schema(self, spark):
+        df = spark.createDataFrame([(123,), (999,)], "b long")
+        schema = ts.Schema(ts.Key("b", ts.Call(self._make_check_context(),
+                                               return_type="long")))
+        rows = ts.apply_schema(df, schema, context=123).collect()
+        by_b = {r["b"] or "err": r for r in rows}
+        ok = [r for r in rows if r["errors"] == []]
+        bad = [r for r in rows if r["errors"]]
+        assert len(ok) == 1 and ok[0]["b"] == 123
+        assert len(bad) == 1 and bad[0]["errors"][0]["code"] == "call_failed"
+
+    def test_no_context_fn_unchanged(self, spark):
+        def plain(values):
+            import pandas as pd
+            return values, pd.Series([None] * len(values))
+        g = ts.Call(plain, return_type="long")
+        assert g.check(7) == 7

@@ -39,7 +39,9 @@ reference returns Python values of per-row-varying type.
 
 from __future__ import annotations
 
+import contextvars
 import dataclasses
+import inspect
 import re
 from typing import Callable as PyCallable, Optional, Sequence
 
@@ -76,6 +78,12 @@ ERROR_ENTRY_TYPE = T.StructType([
 ])
 
 _ERR_TYPE = "struct<code:string,message:string>"
+
+# check-time context for Call guards (trafaret/base.py:1354-1357): set by
+# Schema.apply(context=...) around compilation; Call captures the current
+# value into its Arrow kernel closure at compile time.
+CALL_CONTEXT: contextvars.ContextVar = contextvars.ContextVar(
+    "trafaret_spark_call_context", default=None)
 
 
 def err_struct(code: str, message) -> Column:
@@ -178,8 +186,9 @@ class Guard:
     # check / is_valid). The data plane is apply_schema; this runs the SAME
     # compiled Column stage on a one-row LocalRelation (Catalyst folds it
     # driver-side, no job) so the semantics are identical by construction.
-    def check(self, value, spark=None):
-        """Validate+coerce one value; raise GuardError on failure."""
+    def check(self, value, spark=None, context=None):
+        """Validate+coerce one value; raise GuardError on failure.
+        ``context`` flows to Call guards (trafaret/base.py:1354-1357)."""
         from pyspark.sql import SparkSession
         from trafaret_spark.schema import Key, Schema
         from trafaret_spark.validate import GuardError, apply_schema
@@ -190,7 +199,8 @@ class Guard:
             df = spark.createDataFrame([(None,)], "x string")
         else:
             df = spark.createDataFrame([(value,)], ["x"])
-        row = apply_schema(df, Schema(Key("x", self))).collect()[0]
+        row = apply_schema(df, Schema(Key("x", self)),
+                           context=context).collect()[0]
         errs = {e["path"]: (e["code"], e["message"]) for e in row["errors"]}
         if errs:
             raise GuardError(errs)
@@ -1428,6 +1438,14 @@ class Call(Guard):
     ``fn(values: pd.Series) -> (values: pd.Series, errors: pd.Series[str|None])``
     where a non-null error string marks a failed row. ``return_type`` is the
     Spark type of the returned values.
+
+    Context pass-through (trafaret/base.py:1349-1357, tests/test_context.py):
+    an ``fn`` declaring a ``context`` keyword receives the value given to
+    ``apply_schema(..., context=...)`` / ``Guard.check(value, context=...)``.
+    Catalyst compiles once, so the context is a plan-time constant captured
+    into the Arrow kernel's closure at compile time (via ``CALL_CONTEXT``)
+    — it must be picklable; per-ROW mutable context has no engine analogue
+    (documented n/a, same as with_context_caller).
     """
 
     def __init__(self, fn: PyCallable, return_type, code: str = "call_failed"):
@@ -1435,22 +1453,30 @@ class Call(Guard):
         self.return_type = (return_type if isinstance(return_type, T.DataType)
                             else T._parse_datatype_string(return_type))
         self.code = code
+        try:
+            sig = inspect.signature(fn)
+            self.supports_context = "context" in sig.parameters
+        except (TypeError, ValueError):
+            self.supports_context = False
+
+    def _build_udf(self, context):
         out_schema = T.StructType([
             T.StructField("value", self.return_type),
             T.StructField("err", T.StringType()),
         ])
-        fn_ref = fn
+        fn_ref, with_ctx = self.fn, self.supports_context
 
         @F.pandas_udf(out_schema)
         def _udf(s):
             import pandas as pd
-            values, errs = fn_ref(s)
+            values, errs = (fn_ref(s, context=context) if with_ctx
+                            else fn_ref(s))
             return pd.DataFrame({"value": values, "err": errs})
 
-        self._udf = _udf
+        return _udf
 
     def compile(self, col, dtype):
-        res = self._udf(col)
+        res = self._build_udf(CALL_CONTEXT.get())(col)
         e = F.when(res["err"].isNotNull(),
                    F.struct(F.lit(self.code).alias("code"), res["err"].alias("message")))
         value = F.when(e.isNull(), res["value"])

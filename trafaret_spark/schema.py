@@ -429,11 +429,24 @@ class Schema:
             keep_extra = []
         return compiled, keep_extra
 
-    def apply(self, df: DataFrame, errors_col: str = "errors") -> DataFrame:
+    def apply(self, df: DataFrame, errors_col: str = "errors",
+              context=None) -> DataFrame:
         """One wide `select`: coerced/renamed columns + accumulated errors
         array (the vectorized analogue of Dict.transform's error dict,
-        trafaret/base.py:1132-1179)."""
-        compiled, keep_extra = self.compile(df)
+        trafaret/base.py:1132-1179).
+
+        ``context`` is the reference's check-time context pass-through
+        (trafaret/base.py:1354-1357: ``check(value, context=...)`` reaches
+        ``Call`` fns declaring a ``context`` kwarg). The engine compiles
+        once, so the context is a plan-time constant captured by Call's
+        Arrow kernel closure — set for the duration of this compile via a
+        contextvar (guards.CALL_CONTEXT)."""
+        from trafaret_spark.guards import CALL_CONTEXT
+        token = CALL_CONTEXT.set(context)
+        try:
+            compiled, keep_extra = self.compile(df)
+        finally:
+            CALL_CONTEXT.reset(token)
         # concat-of-conditional-arrays, NOT array_compact: array_compact
         # desugars to a higher-order function (CodegenFallback), and one
         # CodegenFallback expression disqualifies the WHOLE projection from

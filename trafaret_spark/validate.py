@@ -22,11 +22,14 @@ __all__ = ["apply_schema", "split_valid", "validation_metrics", "is_valid_col",
            "catch", "catch_error", "extract_error", "ignore"]
 
 
-def apply_schema(df: DataFrame, schema: Schema, errors_col: str = "errors") -> DataFrame:
+def apply_schema(df: DataFrame, schema: Schema, errors_col: str = "errors",
+                 context=None) -> DataFrame:
     """Run the vectorized validate+coerce stage: one wide Catalyst `select`
     (whole-stage codegen; zero Python in the hot path unless the schema
-    contains `Call` guards)."""
-    return schema.apply(df, errors_col=errors_col)
+    contains `Call` guards). ``context`` reaches Call fns declaring a
+    ``context`` kwarg (trafaret's check-time context, base.py:1354-1357) as
+    a plan-time constant."""
+    return schema.apply(df, errors_col=errors_col, context=context)
 
 
 def is_valid_col(errors_col: str = "errors"):
