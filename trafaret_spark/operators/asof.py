@@ -198,6 +198,10 @@ def _asof_broadcast(left, right, on, by, direction, tolerance,
     # then re-expand duplicates. Identical left rows have identical
     # candidate sets, so collapsing them is semantics-preserving.
     #
+    # Grouping normalizes floats (NaN ≡ NaN, -0.0 ≡ 0.0 — Spark's
+    # NormalizeFloatingNumbers), so a left row carrying -0.0 re-expands as
+    # 0.0; such rows join identically, so match results are unaffected.
+    #
     # Map-typed columns are not groupable; fall back to the documented
     # per-row-id path (stable only under exactly-once task execution — use
     # strategy="sort" when retries with duplicate left rows are a concern).
