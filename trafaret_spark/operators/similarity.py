@@ -256,9 +256,21 @@ def centroid_literal(centroids: DataFrame) -> Column:
     the same kind :func:`train_ivf_centroids` already performs). Inlining
     the codebook as a literal is what lets corpus assignment be a pure
     scan-side projection with no join and no exchange.
+
+    The literal costs n_centroids × dim plan expressions; beyond ~250k the
+    plan itself becomes the bottleneck (compile time + task binary size),
+    so this raises rather than degrade silently — IVF coarse codebooks are
+    64-4096 entries in practice; for genuinely huge codebooks shard the
+    corpus and assign per shard, or use :func:`lsh_cosine_topk`.
     """
     cent_rows = sorted(centroids.select("__cid", "__cv").collect(),
                        key=lambda r: r["__cid"])
+    n_lit = sum(len(r["__cv"]) + 1 for r in cent_rows)
+    if n_lit > 250_000:
+        raise ValueError(
+            f"centroid_literal: codebook would inline {n_lit} literal "
+            f"expressions (> 250k) — too large for a plan-time literal; "
+            f"reduce n_centroids/dim or use lsh_cosine_topk")
     return F.array(*[
         F.struct(F.lit(int(r["__cid"])).alias("cid"),
                  F.array(*[F.lit(float(x)) for x in r["__cv"]]).alias("cv"))
