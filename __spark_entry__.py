@@ -18,7 +18,8 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 import trafaret_spark as ts
-from trafaret_spark.operators import dedup, features, multimodal, similarity, textstats
+from trafaret_spark.operators import (dedup, features, multimodal,
+                                      sampling, similarity, textstats)
 from trafaret_spark.operators.asof import asof_join
 
 EVENT_TYPES = ["click", "view", "signup", "purchase"]  # 'error' fails the Enum
@@ -742,6 +743,32 @@ def q_text_fingerprint(spark, sf_dir):
     return textstats.fingerprint(docs, portable=True).select("doc_id", "fingerprint")
 
 
+def q_text_redact(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    out = textstats.redact_pii(docs)
+    return out.select("doc_id", "text",
+                      F.col("n_email").cast("long").alias("n_email"),
+                      F.col("n_ipv4").cast("long").alias("n_ipv4"),
+                      F.col("n_phone").cast("long").alias("n_phone"))
+
+
+def q_text_sample(spark, sf_dir):
+    # portable md5/mod-M31 sampling hash: DuckDB recomputes the exact
+    # sample membership (deterministic, nested, scan-side — no shuffle)
+    docs = _t(spark, sf_dir, "documents")
+    out = sampling.sample_by_hash(docs, "doc_id", rate=0.2, seed=7,
+                                  portable=True)
+    return out.select("doc_id", "lang")
+
+
+def q_text_sample_strat(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    out = sampling.stratified_sample_by_hash(
+        docs, "lang", {"en": 0.1, "zh": 0.5}, key_cols="doc_id",
+        default_rate=1.0, seed=3, portable=True)
+    return out.select("doc_id", "lang")
+
+
 def q_knn_cosine(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings") \
         .select("vec_id", F.col("embedding").cast("array<double>").alias("embedding"))
@@ -850,6 +877,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_lang_id": q_text_lang_id,
         "text_tokens": q_text_tokens,
         "text_fingerprint": q_text_fingerprint,
+        "text_redact": q_text_redact,
+        "text_sample": q_text_sample,
+        "text_sample_strat": q_text_sample_strat,
         "knn_cosine": q_knn_cosine,
         "knn_lsh": q_knn_lsh,
         "knn_ivf": q_knn_ivf,
@@ -1235,6 +1265,43 @@ _EV_LIST = "('click', 'view', 'signup', 'purchase')"
 _TRUE_LIST = "('t','true','y','yes','on','1','1.0')"
 _FALSE_LIST = "('false','n','no','off','0','none','0.0')"
 _EN_STOP = "('the','of','and','to','a','in','is','that','for','it')"
+
+
+def _sample_hash_sql(seed: int) -> str:
+    """DuckDB expression for sampling.sample_hash(['doc_id'], seed,
+    portable=True): tok31 of concat_ws(chr(31), seed, doc_id)."""
+    key = f"concat_ws(chr(31), '{seed}', CAST(doc_id AS VARCHAR))"
+    return (f"(CAST(concat('0x', substr(md5({key}), 1, 15)) AS BIGINT) "
+            f"% {_M31})")
+
+
+def _sample_oracle(rate: float, seed: int) -> str:
+    thr = int(rate * _M31)
+    return f"""
+        SELECT doc_id, lang FROM documents
+        WHERE {_sample_hash_sql(seed)} < {thr}"""
+
+
+def _sample_strat_oracle() -> str:
+    te, tz = int(0.1 * _M31), int(0.5 * _M31)
+    return f"""
+        SELECT doc_id, lang FROM documents
+        WHERE {_sample_hash_sql(3)} < CASE lang WHEN 'en' THEN {te}
+                                                WHEN 'zh' THEN {tz}
+                                                ELSE {_M31} END"""
+
+
+def _text_redact_oracle() -> str:
+    from trafaret_spark.operators.textstats import PII_PATTERNS
+    red = "text"
+    for kind in sorted(PII_PATTERNS):
+        red = f"regexp_replace({red}, '{PII_PATTERNS[kind]}', '[REDACTED]', 'g')"
+    counts = ", ".join(
+        f"CAST(len(regexp_extract_all(text, '{PII_PATTERNS[k]}')) AS BIGINT) "
+        f"AS n_{k}" for k in ("email", "ipv4", "phone"))
+    return f"""
+        SELECT doc_id, {red} AS text, {counts}
+        FROM documents"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -1750,6 +1817,9 @@ def oracle_sql() -> dict[str, str]:
         "dedup_minhash": _minhash_oracle(),
         "dedup_simhash": _simhash_oracle(),
         "text_fingerprint": _fingerprint_oracle(),
+        "text_redact": _text_redact_oracle(),
+        "text_sample": _sample_oracle(rate=0.2, seed=7),
+        "text_sample_strat": _sample_strat_oracle(),
         "dedup_embedding_lsh": _embedding_lsh_oracle(),
         "knn_lsh": _knn_lsh_oracle(),
         "knn_ivf": _knn_ivf_oracle(),

@@ -11,9 +11,13 @@ from trafaret_spark.operators.features import (
     time_rollup,
 )
 from trafaret_spark.operators.rangejoin import range_join
+from trafaret_spark.operators.sampling import (
+    sample_by_hash,
+    stratified_sample_by_hash,
+)
 
 __all__ = [
     "asof_join", "range_join",
     "Features", "LeakageError", "sessionize", "session_stats", "backfill",
-    "time_rollup",
+    "time_rollup", "sample_by_hash", "stratified_sample_by_hash",
 ]

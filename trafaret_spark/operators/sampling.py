@@ -1,0 +1,88 @@
+"""Deterministic hash-based sampling for training-data pipelines.
+
+At 100 TB you never sample with ``rand()``: resumed/retried jobs must pick
+the SAME rows, subsets must nest (a 1% sample ⊂ the 10% sample), and two
+engines auditing each other must agree. The standard construction is a
+keyed hash threshold — keep a row iff ``h(key) mod D < rate·D`` — which is
+a pure scan-side filter: no shuffle, no state, pushdown-friendly, and the
+sample is a function of the data alone.
+
+Hash families mirror operators/hashing.py: ``xxhash64`` (fast, production)
+or the portable md5/mod-M31 family that DuckDB reproduces bit-for-bit (the
+driver oracle recomputes the exact sample membership).
+
+Reference analogue: none — brief-mandated training-data op (the reference
+is a validation library); the determinism contract follows the same
+cross-engine-reproducibility rules as operators/hashing.py.
+"""
+
+from __future__ import annotations
+
+from typing import Mapping, Sequence, Union
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from trafaret_spark.operators.hashing import M31, tok31
+
+__all__ = ["sample_hash", "sample_by_hash", "stratified_sample_by_hash"]
+
+_SEP = "\x1f"  # unit separator: never appears in normal text/keys
+_FAST_D = 1 << 31
+
+
+def sample_hash(key_cols: Sequence[str], seed: int = 0,
+                portable: bool = False) -> Column:
+    """Non-negative sampling hash in [0, D) over the key columns + seed.
+
+    D = 2^31 (fast xxhash64 path) or M31 (portable md5 path — the DuckDB
+    mirror is ``TOK31_DUCKDB`` over ``concat_ws(chr(31), seed, keys...)``).
+    Columns are cast to string and joined with an unambiguous separator so
+    (\"ab\", \"c\") never collides with (\"a\", \"bc\").
+    """
+    parts = [F.lit(str(seed))] + [F.col(c).cast("string") for c in key_cols]
+    key = F.concat_ws(_SEP, *parts)
+    if portable:
+        return tok31(key)
+    return F.pmod(F.xxhash64(key), F.lit(_FAST_D))
+
+
+def _threshold(rate: float, portable: bool) -> int:
+    if not 0.0 <= rate <= 1.0:
+        raise ValueError(f"rate must be in [0, 1], got {rate}")
+    return int(rate * (M31 if portable else _FAST_D))
+
+
+def sample_by_hash(df: DataFrame, key_cols: Union[str, Sequence[str]],
+                   rate: float, seed: int = 0,
+                   portable: bool = False) -> DataFrame:
+    """Keep a deterministic ~``rate`` fraction of rows keyed by
+    ``key_cols``: scan-side filter, no shuffle, stable under retries and
+    across engines; samples NEST across rates (rate 0.01 ⊆ rate 0.1 for
+    the same key/seed), which is what makes staged data ablations
+    comparable. Change ``seed`` for an independent sample."""
+    key_cols = [key_cols] if isinstance(key_cols, str) else list(key_cols)
+    thr = _threshold(rate, portable)
+    return df.filter(sample_hash(key_cols, seed, portable) < F.lit(thr))
+
+
+def stratified_sample_by_hash(df: DataFrame, strata_col: str,
+                              rates: Mapping[str, float],
+                              key_cols: Union[str, Sequence[str], None] = None,
+                              default_rate: float = 0.0, seed: int = 0,
+                              portable: bool = False) -> DataFrame:
+    """Per-stratum rates (e.g. downsample 'en' to 10%, keep 'fi' whole) in
+    ONE scan-side filter: the stratum value selects a hash threshold via a
+    CASE expression — no per-stratum jobs, no shuffle, same determinism
+    and nesting guarantees as :func:`sample_by_hash`.
+
+    ``key_cols`` defaults to the stratum column itself plus nothing — pass
+    the row's id column(s) for row-level sampling (recommended)."""
+    key_cols = ([strata_col] if key_cols is None else
+                [key_cols] if isinstance(key_cols, str) else list(key_cols))
+    h = sample_hash(key_cols, seed, portable)
+    thr: Column = F.lit(_threshold(default_rate, portable))
+    for value, rate in sorted(rates.items()):
+        thr = F.when(F.col(strata_col) == value,
+                     F.lit(_threshold(rate, portable))).otherwise(thr)
+    return df.filter(h < thr)

@@ -13,8 +13,18 @@ from pyspark.sql import functions as F
 
 __all__ = [
     "token_count", "bpe_ish_token_count", "quality_features",
-    "quality_score", "lang_id", "fingerprint",
+    "quality_score", "lang_id", "fingerprint", "redact_pii", "PII_PATTERNS",
 ]
+
+# Engine-agnostic PII patterns (valid and identical under Java regex AND
+# RE2/DuckDB — no lookarounds, no backrefs) so the redaction is
+# SQL-oracle-checkable. Deliberately conservative: curation-pipeline
+# scrubbing, not a compliance guarantee.
+PII_PATTERNS = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "ipv4": r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b",
+    "phone": r"(\+?\d{1,3}[-. ]?)?\(?\d{3}\)?[-. ]?\d{3}[-. ]?\d{4}",
+}
 
 # tiny per-language stopword marker sets for the n-gram heuristic — a
 # cheap first-pass router, not a classifier; 12 high-volume languages
@@ -158,3 +168,34 @@ def fingerprint(df: DataFrame, text_col: str = "text",
         toks, F.lit(0).cast("long"),
         lambda acc, t: combine31(acc, F.pmod(tok_hash(t, portable), F.lit(M31))))
     return df.withColumn(name, fp)
+
+
+def redact_pii(df: DataFrame, text_col: str = "text",
+               patterns: dict | None = None, token: str = "[REDACTED]",
+               out_col: str | None = None,
+               counts: bool = True) -> DataFrame:
+    """Scrub PII-looking spans (emails / IPv4 / phone numbers by default)
+    from a text column — the standard pre-training curation pass (CCNet /
+    Dolma style), expressed as chained scan-side ``regexp_replace`` calls:
+    zero shuffle, zero Python, SQL-oracle-checkable because every pattern
+    in ``PII_PATTERNS`` parses identically under Java regex and RE2.
+
+    Adds ``<out_col>`` (default: overwrite ``text_col``) and, with
+    ``counts=True``, one ``n_<kind>`` column per pattern counting matches
+    in the ORIGINAL text (counts are audit metrics — aggregate them per
+    shard to monitor scrub rates; replacement order is the sorted pattern
+    name order, applied to the running result).
+    """
+    patterns = PII_PATTERNS if patterns is None else patterns
+    out_col = out_col or text_col
+    src = F.col(text_col)
+    red = src
+    cols = []
+    for kind in sorted(patterns):
+        pat = patterns[kind]
+        if counts:
+            cols.append(F.size(F.regexp_extract_all(src, F.lit(pat), 0))
+                        .alias(f"n_{kind}"))
+        red = F.regexp_replace(red, pat, token)
+    keep = [c for c in df.columns if c != out_col]
+    return df.select(*keep, red.alias(out_col), *cols)
