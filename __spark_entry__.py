@@ -626,6 +626,15 @@ def q_dedup_components(spark, sf_dir):
                        F.col("component").cast("long").alias("component"))
 
 
+def q_dedup_keep_canonical(spark, sf_dir):
+    # end-to-end dedup: corpus minus non-canonical members of each
+    # minhash near-dup component (smallest doc_id survives)
+    docs = _t(spark, sf_dir, "documents")
+    pairs = _minhash_pairs(spark, sf_dir).select("a", "b")
+    out = dedup.keep_canonical(docs, pairs)
+    return out.select("doc_id", "lang")
+
+
 def q_range_join(spark, sf_dir):
     from trafaret_spark.operators.rangejoin import range_join
     ev = _t(spark, sf_dir, "events")
@@ -868,6 +877,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": q_dedup_exact,
         "dedup_minhash": q_dedup_minhash,
         "dedup_components": q_dedup_components,
+        "dedup_keep_canonical": q_dedup_keep_canonical,
         "dedup_winnow": q_dedup_winnow,
         "dedup_simhash": q_dedup_simhash,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
@@ -1043,6 +1053,24 @@ def _components_oracle() -> str:
           SELECT e.x, r.label FROM e JOIN reach r ON e.y = r.x)
         SELECT x AS node, min(label) AS component
         FROM reach GROUP BY x"""
+
+
+def _keep_canonical_oracle() -> str:
+    """Corpus minus the non-canonical members (node != min-label) of each
+    minhash near-dup component."""
+    return f"""
+        WITH RECURSIVE {_minhash_body()},
+        vp AS (SELECT a, b FROM v WHERE i::DOUBLE / u >= 0.3),
+        e AS (SELECT a AS x, b AS y FROM vp
+              UNION SELECT b, a FROM vp),
+        reach AS (
+          SELECT x, x AS label FROM (SELECT DISTINCT x FROM e)
+          UNION
+          SELECT e.x, r.label FROM e JOIN reach r ON e.y = r.x),
+        losers AS (
+          SELECT x FROM reach GROUP BY x HAVING x != min(label))
+        SELECT doc_id, lang FROM documents
+        WHERE doc_id NOT IN (SELECT x FROM losers)"""
 
 
 def _simhash_oracle() -> str:
@@ -1685,6 +1713,7 @@ def oracle_sql() -> dict[str, str]:
             FROM (SELECT * FROM events WHERE event_type = 'view') l
             LEFT JOIN ranked ON ranked.event_id = l.event_id AND ranked.rn = 1""",
         "dedup_components": _components_oracle(),
+        "dedup_keep_canonical": _keep_canonical_oracle(),
         "dedup_winnow": _winnow_oracle(),
         "range_join": """
             SELECT l.event_id, round(r.value, 6) AS value_r

@@ -173,3 +173,21 @@ class TestNgramJaccardPairs:
                                             max_block_size=10,
                                             on_drop="ignore")
             assert {(r.a, r.b) for r in out.collect()} == pairs
+
+
+class TestKeepCanonical:
+    def test_dedup_end_state(self, spark):
+        df = spark.createDataFrame(
+            [Row(doc_id=i, text=t) for i, t in
+             [(1, "x"), (2, "x"), (3, "x"), (10, "y"), (11, "y"), (20, "z")]])
+        pairs = spark.createDataFrame(
+            [Row(a=1, b=2), Row(a=2, b=3), Row(a=10, b=11)])
+        kept = sorted(r.doc_id for r in
+                      dedup.keep_canonical(df, pairs).collect())
+        # smallest id per component survives; unpaired rows always survive
+        assert kept == [1, 10, 20]
+
+    def test_no_pairs_keeps_everything(self, spark):
+        df = spark.createDataFrame([Row(doc_id=1, text="a")])
+        pairs = spark.createDataFrame([], "a long, b long")
+        assert dedup.keep_canonical(df, pairs).count() == 1

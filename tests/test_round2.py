@@ -585,4 +585,4 @@ class TestRegistryConsistency:
         import __spark_entry__ as entry_mod
         qs, oracles = entry_mod.queries(), entry_mod.oracle_sql()
         assert set(qs) == set(oracles)
-        assert len(qs) >= 72
+        assert len(qs) >= 73

@@ -50,8 +50,8 @@ __all__ = [
     "normalize_text", "shingles", "exact_dedup",
     "minhash_signature", "minhash_lsh_candidates", "minhash_dedup",
     "simhash", "simhash_dedup", "jaccard", "ngram_jaccard_pairs",
-    "connected_components", "winnow_fingerprints", "winnow_dedup",
-    "capped_blocks",
+    "connected_components", "keep_canonical",
+    "winnow_fingerprints", "winnow_dedup", "capped_blocks",
 ]
 
 
@@ -517,6 +517,25 @@ def connected_components(pairs: DataFrame, a_col: str = "a", b_col: str = "b",
             f"be split; raise max_iter for deep chain-shaped dup graphs",
             RuntimeWarning, stacklevel=2)
     return labels.select(F.col("x").alias("node"), "component")
+
+
+def keep_canonical(df: DataFrame, pairs: DataFrame, id_col: str = "doc_id",
+                   a_col: str = "a", b_col: str = "b",
+                   max_iter: int = 25) -> DataFrame:
+    """The dedup END-STATE: filter ``df`` to one canonical row per near-dup
+    component (the smallest id wins) plus every row that appears in no
+    pair — i.e. "give me the deduped corpus" for any pair family's output
+    (minhash/simhash/ngram/winnow/embedding).
+
+    Collapses ``pairs`` with :func:`connected_components`, then anti-joins
+    the losers (node != component) back — one extra broadcast-able join
+    over a table bounded by the number of duplicated docs, typically ≪
+    |corpus| at 100 TB.
+    """
+    comp = connected_components(pairs, a_col, b_col, max_iter)
+    losers = (comp.filter(F.col("node") != F.col("component"))
+              .select(F.col("node").alias(id_col)))
+    return df.join(losers, [id_col], "left_anti")
 
 
 def winnow_fingerprints(col: Column, k: int = 5, w: int = 4,
