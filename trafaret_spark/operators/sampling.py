@@ -40,6 +40,10 @@ def sample_hash(key_cols: Sequence[str], seed: int = 0,
     Columns are cast to string and joined with an unambiguous separator so
     (\"ab\", \"c\") never collides with (\"a\", \"bc\").
     """
+    if not key_cols:
+        raise ValueError("sample_hash: key_cols must be non-empty — with no "
+                         "key the hash is constant and the sample is "
+                         "all-or-nothing")
     parts = [F.lit(str(seed))] + [F.col(c).cast("string") for c in key_cols]
     key = F.concat_ws(_SEP, *parts)
     if portable:

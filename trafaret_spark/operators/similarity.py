@@ -265,6 +265,9 @@ def centroid_literal(centroids: DataFrame) -> Column:
     """
     cent_rows = sorted(centroids.select("__cid", "__cv").collect(),
                        key=lambda r: r["__cid"])
+    if not cent_rows:
+        raise ValueError("centroid_literal: empty centroid table "
+                         "(corpus empty or limit 0?)")
     n_lit = sum(len(r["__cv"]) + 1 for r in cent_rows)
     if n_lit > 250_000:
         raise ValueError(
