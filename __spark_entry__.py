@@ -1297,10 +1297,12 @@ _EN_STOP = "('the','of','and','to','a','in','is','that','for','it')"
 
 def _sample_hash_sql(seed: int) -> str:
     """DuckDB expression for sampling.sample_hash(['doc_id'], seed,
-    portable=True): tok31 of concat_ws(chr(31), seed, doc_id)."""
-    key = f"concat_ws(chr(31), '{seed}', CAST(doc_id AS VARCHAR))"
-    return (f"(CAST(concat('0x', substr(md5({key}), 1, 15)) AS BIGINT) "
-            f"% {_M31})")
+    portable=True): tok31 of concat_ws(chr(31), seed, coalesced doc_id)
+    — NULL key values encode as chr(30), matching the engine's
+    _NULL_MARK so membership is identical even on nullable keys."""
+    key = (f"concat_ws(chr(31), '{seed}', "
+           f"coalesce(CAST(doc_id AS VARCHAR), chr(30)))")
+    return _sql_tok31(key)
 
 
 def _sample_oracle(rate: float, seed: int) -> str:

@@ -396,7 +396,10 @@ class TestIntFloatOverflow:
                               5.0, 5.5], "double", ts.Int())
         assert got[0] == (False, "is_not_a_number")
         assert got[1] == (False, "is_not_a_number")
-        assert got[2][0] is False and got[3][0] is False
+        # NaN/inf are "not an integer" (reference float-integrality code),
+        # not an int64 overflow
+        assert got[2] == (False, "is_not_int")
+        assert got[3] == (False, "is_not_int")
         assert got[4] == (True, 5.0)
         assert got[5] == (False, "is_not_int")
 

@@ -85,7 +85,8 @@ class TestAudio:
         with NULL metrics, not a task failure."""
         wav = self._wav_bytes(n_frames=8000, rate=8000, amp=0.5)
         df = spark.createDataFrame(
-            [Row(doc_id=1, payload=wav), Row(doc_id=2, payload=b"not audio"),
+            [Row(doc_id=1, payload=wav),
+             Row(doc_id=2, payload=b"RIFFnot actually audio"),
              Row(doc_id=3, payload=None)])
         rows = {r.doc_id: r for r in
                 multimodal.audio_features(df, fake=False).collect()}
@@ -94,6 +95,19 @@ class TestAudio:
         assert abs(rows[1].rms - 0.5 / 2 ** 0.5) < 1e-3
         assert rows[2].decode_ok is False and rows[2].rms is None
         assert rows[3].decode_ok is False
+
+    def test_wave_only_decoder_rejects_non_riff_loudly(self, spark):
+        """With only the stdlib wave codec, a non-RIFF corpus must fail
+        loudly (missing codec), not silently mark every row
+        decode_ok=False."""
+        try:
+            import soundfile  # noqa: F401
+            pytest.skip("soundfile present — wave-only path not reachable")
+        except ImportError:
+            pass
+        df = spark.createDataFrame([Row(doc_id=1, payload=b"ID3mp3bytes")])
+        with pytest.raises(PythonException, match="NotImplementedError"):
+            multimodal.audio_features(df, fake=False).collect()
 
 
 class TestVideoRealProbe:

@@ -398,9 +398,19 @@ class Int(_NumberMixin, Guard):
             # the string branch, where unbounded Python int succeeds but the
             # engine's long cannot (surfaced as an error, not a null-pass)
             num = col.try_cast("long")
-            # overflow probe FIRST: floor(double) returns long, so beyond
-            # int64 the floor comparison itself is meaningless
+            # NaN/±inf are "not an integer" (reference float-integrality
+            # code, trafaret/numeric.py:177-181), NOT an int64-overflow;
+            # the overflow probe comes before the floor check because
+            # floor(double) returns long, so beyond int64 the floor
+            # comparison itself is meaningless
+            if isinstance(dtype, T.DecimalType):
+                non_finite = F.lit(False)  # decimals have no NaN/inf
+            else:
+                non_finite = F.isnan(col) | (F.abs(col) == float("inf"))
             type_err = F.when(
+                col.isNotNull() & non_finite,
+                err_struct(codes.IS_NOT_INT, "value is not int"),
+            ).when(
                 col.isNotNull() & num.isNull(),
                 err_struct(codes.IS_NOT_A_NUMBER, "value does not fit in int64"),
             ).when(

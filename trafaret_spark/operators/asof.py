@@ -34,6 +34,7 @@ __all__ = ["asof_join"]
 
 _SIDE, _PAYLOAD, _RON, _LID = "__asof_side", "__asof_payload", "__asof_r_on", "__asof_lid"
 _MULT = "__asof_mult"
+_DUP_CHUNK = 65_536  # max in-memory array length during duplicate re-expand
 
 
 def _as_list(x) -> list:
@@ -262,10 +263,20 @@ def _asof_broadcast(left, right, on, by, direction, tolerance,
                                  for c in left.columns])
                 .agg(F.first(F.col(f"__l.{_MULT}")).alias(_MULT),
                      pick.alias(_PAYLOAD)))
-        # re-expand collapsed duplicate left rows to their multiplicity
-        best = (best.withColumn("__asof_dup",
-                                F.explode(F.sequence(F.lit(1), F.col(_MULT))))
-                .drop(_MULT, "__asof_dup"))
+        # Re-expand collapsed duplicate left rows to their multiplicity.
+        # Two-level chunked explode: sequence(1, mult) materializes ONE
+        # in-memory array of length mult, so a sentinel row duplicated
+        # 100M times would build an ~800MB array in a single row (OOM).
+        # Chunking bounds every array at _DUP_CHUNK entries.
+        n_chunks = ((F.col(_MULT) - 1) / _DUP_CHUNK).cast("long")
+        best = best.withColumn(
+            "__asof_chunk", F.explode(F.sequence(F.lit(0), n_chunks)))
+        in_chunk = F.least(
+            F.lit(_DUP_CHUNK),
+            F.col(_MULT) - F.col("__asof_chunk") * _DUP_CHUNK)
+        best = (best.withColumn(
+                    "__asof_dup", F.explode(F.sequence(F.lit(1), in_chunk)))
+                .drop(_MULT, "__asof_chunk", "__asof_dup"))
     else:
         best = (joined.groupBy(_LID)
                 .agg(*[F.first(F.col(f"__l.{c}"), ignorenulls=False).alias(c)

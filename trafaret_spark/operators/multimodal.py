@@ -245,9 +245,21 @@ def _probe_audio():
 
 
 def _real_audio(decoder, payload: bytes):
-    """(duration_ms, rms, n_samples) or None if the bytes don't decode."""
+    """(duration_ms, rms, n_samples) or None if the bytes don't decode.
+
+    The stdlib-wave fallback only CLAIMS WAV (RIFF magic): handing it a
+    non-RIFF payload raises NotImplementedError rather than returning
+    None — otherwise an MP3/FLAC corpus on executors without soundfile
+    would 'succeed' with decode_ok=False on every row (a silent
+    full-corpus data-quality wipeout instead of a loud missing-codec
+    failure)."""
     import io
     kind, mod = decoder
+    if kind == "wave" and not (payload or b"").startswith(b"RIFF"):
+        raise NotImplementedError(
+            "non-WAV audio payload but only the stdlib wave codec is "
+            "available — install soundfile on the executors (or pass "
+            "fake=True for plumbing tests)")
     try:
         if kind == "sf":
             data, rate = mod.read(io.BytesIO(payload), dtype="float64",

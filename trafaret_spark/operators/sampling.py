@@ -27,7 +27,8 @@ from trafaret_spark.operators.hashing import M31, tok31
 
 __all__ = ["sample_hash", "sample_by_hash", "stratified_sample_by_hash"]
 
-_SEP = "\x1f"  # unit separator: never appears in normal text/keys
+_SEP = "\x1f"        # unit separator: never appears in normal text/keys
+_NULL_MARK = "\x1e"  # record separator: encodes a NULL key value
 _FAST_D = 1 << 31
 
 
@@ -36,15 +37,20 @@ def sample_hash(key_cols: Sequence[str], seed: int = 0,
     """Non-negative sampling hash in [0, D) over the key columns + seed.
 
     D = 2^31 (fast xxhash64 path) or M31 (portable md5 path — the DuckDB
-    mirror is ``TOK31_DUCKDB`` over ``concat_ws(chr(31), seed, keys...)``).
+    mirror is ``TOK31_DUCKDB`` over the same coalesced concat_ws key).
     Columns are cast to string and joined with an unambiguous separator so
-    (\"ab\", \"c\") never collides with (\"a\", \"bc\").
+    (\"ab\", \"c\") never collides with (\"a\", \"bc\"); NULL key values
+    encode as a record-separator marker (concat_ws would silently SKIP
+    them, making ('x', NULL) collide with (NULL, 'x') and all-NULL keys
+    share one hash).
     """
     if not key_cols:
         raise ValueError("sample_hash: key_cols must be non-empty — with no "
                          "key the hash is constant and the sample is "
                          "all-or-nothing")
-    parts = [F.lit(str(seed))] + [F.col(c).cast("string") for c in key_cols]
+    parts = [F.lit(str(seed))] + [
+        F.coalesce(F.col(c).cast("string"), F.lit(_NULL_MARK))
+        for c in key_cols]
     key = F.concat_ws(_SEP, *parts)
     if portable:
         return tok31(key)
@@ -72,7 +78,7 @@ def sample_by_hash(df: DataFrame, key_cols: Union[str, Sequence[str]],
 
 def stratified_sample_by_hash(df: DataFrame, strata_col: str,
                               rates: Mapping[str, float],
-                              key_cols: Union[str, Sequence[str], None] = None,
+                              key_cols: Union[str, Sequence[str]],
                               default_rate: float = 0.0, seed: int = 0,
                               portable: bool = False) -> DataFrame:
     """Per-stratum rates (e.g. downsample 'en' to 10%, keep 'fi' whole) in
@@ -80,10 +86,16 @@ def stratified_sample_by_hash(df: DataFrame, strata_col: str,
     CASE expression — no per-stratum jobs, no shuffle, same determinism
     and nesting guarantees as :func:`sample_by_hash`.
 
-    ``key_cols`` defaults to the stratum column itself plus nothing — pass
-    the row's id column(s) for row-level sampling (recommended)."""
-    key_cols = ([strata_col] if key_cols is None else
-                [key_cols] if isinstance(key_cols, str) else list(key_cols))
+    ``key_cols`` is REQUIRED and must identify rows (e.g. the id column):
+    hashing the stratum column itself would give every row of a stratum
+    the same hash, degenerating each rate to an all-or-nothing coin flip
+    instead of a ~rate fraction."""
+    key_cols = [key_cols] if isinstance(key_cols, str) else list(key_cols)
+    if key_cols == [strata_col]:
+        raise ValueError(
+            "stratified_sample_by_hash: key_cols must not be just the "
+            "stratum column — a per-stratum-constant hash makes each rate "
+            "all-or-nothing; pass the row id column(s)")
     h = sample_hash(key_cols, seed, portable)
     thr: Column = F.lit(_threshold(default_rate, portable))
     for value, rate in sorted(rates.items()):

@@ -286,23 +286,31 @@ def assign_to_centroids(df: DataFrame, cent_lit: Column, vec_col: str,
     the literal codebook ``cent_lit`` — as a pure scan-side projection.
 
     Per row: score every centroid with ``transform`` (native cosine),
-    order (sim DESC, cid ASC — the same tiebreak the SQL oracle's
-    ``row_number`` uses) with an ``array_sort`` comparator, ``slice`` the
-    top ``nprobe``, ``explode``. NO join, NO window, NO exchange — the
-    round-2 verdict's #1 plan bug was a broadcast-join +
+    order (sim DESC NULLS LAST, NaN greatest, cid ASC — the same tiebreak
+    the SQL oracle's ``row_number`` uses) via a NATURAL-ORDER sort key,
+    ``slice`` the top ``nprobe``, ``explode``. NO join, NO window, NO
+    exchange — the round-2 verdict's #1 plan bug was a broadcast-join +
     ``Window.partitionBy(id)`` argmax here, which hash-exchanged
     corpus × n_centroids rows (tests/test_plans.py now pins this stage
     exchange-free).
+
+    The sort key is a total order encoded as plain CASE expressions
+    (null_rank, -sim with NaN below every real, cid) rather than an
+    ``array_sort`` comparator lambda: a comparator whose branches return
+    0 when either side is NaN/NULL is non-transitive, which Java TimSort
+    may reject at runtime ('comparison method violates its general
+    contract') — and a zero-norm centroid yields exactly such a NaN sim.
     """
-    scored = F.transform(
-        cent_lit,
-        lambda c: F.struct(cosine(F.col(vec_col), c["cv"]).alias("sim"),
-                           c["cid"].alias("cid")))
-    ordered = F.array_sort(
-        scored,
-        lambda l, r: F.when(l["sim"] > r["sim"], F.lit(-1))
-                      .when(l["sim"] < r["sim"], F.lit(1))
-                      .otherwise(l["cid"] - r["cid"]))
+    def key(c):
+        sim = cosine(F.col(vec_col), c["cv"])
+        return F.struct(
+            sim.isNull().cast("int").alias("nr"),           # nulls last
+            F.when(sim.isNull(), F.lit(float("inf")))
+             .when(F.isnan(sim), F.lit(float("-inf")))       # NaN first
+             .otherwise(-sim).alias("k"),
+            c["cid"].alias("cid"))
+
+    ordered = F.array_sort(F.transform(cent_lit, key))
     probed = F.slice(ordered, 1, nprobe)
     return df.withColumn(
         "__cid", F.explode(F.transform(probed, lambda s: s["cid"])))
