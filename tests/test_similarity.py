@@ -115,3 +115,26 @@ class TestCosineNeardup:
             df, threshold=0.9, nbits=6, bands=8).collect()}
         assert (0, 1) in got and got[(0, 1)] > 0.99
         assert all(s >= 0.9 for s in got.values())
+
+
+class TestIvfDegenerateCentroids:
+    def test_zero_norm_centroid_does_not_break_assignment(self, spark):
+        """A zero vector in the codebook yields NaN cosine sims; the
+        natural-order sort key must still produce a total order (the old
+        comparator was non-transitive here and TimSort could reject it)."""
+        from pyspark.sql import functions as F
+        rows = [(0, [0.0, 0.0, 0.0, 0.0])] + \
+               [(i, [float(i), 1.0, 0.0, 0.0]) for i in range(1, 40)]
+        corpus = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+        q = corpus.filter(F.col("vec_id").isin(1, 2)) \
+            .select(F.col("vec_id").alias("query_id"), "embedding")
+        # head-based centroids include the zero vector (vec_id 0)
+        out = similarity.ivf_cosine_topk(corpus, q, k=3, n_centroids=4,
+                                         nprobe=2).collect()
+        assert len(out) > 0
+        by_q = {}
+        for r in out:
+            by_q.setdefault(r.query_id, []).append(r)
+        for qid, rs in by_q.items():
+            ranks = sorted(r.rank for r in rs)
+            assert ranks == list(range(1, len(rs) + 1))
