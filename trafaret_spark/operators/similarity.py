@@ -50,7 +50,11 @@ def l2_norm(a: Column) -> Column:
 
 
 def cosine(a: Column, b: Column) -> Column:
-    return dot(a, b) / (l2_norm(a) * l2_norm(b))
+    # try_divide: a zero-norm vector must yield NULL in BOTH ANSI modes —
+    # plain `/` throws DIVIDE_BY_ZERO under ansi=true (the library is
+    # ANSI-neutral by contract; found by the zero-norm-centroid test) and
+    # returns NULL under ansi=false, which try_divide reproduces exactly.
+    return F.try_divide(dot(a, b), l2_norm(a) * l2_norm(b))
 
 
 def cosine_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
