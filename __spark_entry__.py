@@ -866,13 +866,46 @@ def entry(spark: SparkSession) -> DataFrame:
     return out
 
 
+def _attestation_rounds() -> dict[str, int]:
+    """Last driver-attested round per query, read from CORRECTNESS_r*.json.
+
+    The driver writes at most 50 correctness rows per round while the registry
+    holds 73 queries, so registry order (== driver execution order) decides
+    which queries get a fresh hard attestation row.  To keep any query's
+    driver row from going stale by more than one round (VERDICT r3 "Next
+    round" #1), ``queries()`` sorts the registry stalest-first using the
+    per-round artifacts already in the repo root.  Never-attested queries
+    sort first of all.
+    """
+    import json
+    import os
+    import re
+
+    rounds: dict[str, int] = {}
+    here = os.path.dirname(os.path.abspath(__file__))
+    try:
+        names = sorted(os.listdir(here))
+    except OSError:
+        return rounds
+    for fn in names:
+        m = re.fullmatch(r"CORRECTNESS_r(\d+)\.json", fn)
+        if not m:
+            continue
+        rnd = int(m.group(1))
+        try:
+            with open(os.path.join(here, fn)) as fh:
+                data = json.load(fh)
+        except (OSError, ValueError):
+            continue
+        if not isinstance(data, dict):
+            continue
+        for qname in data:
+            rounds[qname] = max(rounds.get(qname, -1), rnd)
+    return rounds
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return {
-        # Training-data / timeseries ops FIRST: the round-2 driver run
-        # truncated after 50 of 68 queries, leaving these with no
-        # driver-attested correctness row (VERDICT r2, "Next round" #1).
-        # Registry order == driver execution order, so the previously
-        # unattested ops lead and the long-attested guard queries trail.
+    reg = {
         "time_rollup": q_time_rollup,
         "dedup_exact": q_dedup_exact,
         "dedup_minhash": q_dedup_minhash,
@@ -951,6 +984,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_strict": q_asof_strict,
         "range_join": q_range_join,
     }
+    # Stalest-first rotation: queries whose newest driver CORRECTNESS row is
+    # oldest run first (never-attested first of all), so the driver's 50-row
+    # window always refreshes the rows that need it most.  Ties broken by
+    # registry (insertion) order for determinism.
+    pos = {name: i for i, name in enumerate(reg)}
+    last = _attestation_rounds()
+    ordered = sorted(reg, key=lambda n: (last.get(n, -1), pos[n]))
+    return {name: reg[name] for name in ordered}
 
 
 # ---- portable-hash oracle fragments -----------------------------------

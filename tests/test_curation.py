@@ -79,6 +79,10 @@ class TestRedactPII:
         (3, "call +1 (555) 123-4567 or 555-987-6543"),
         (4, "clean text, nothing to scrub"),
         (5, "two mails a@b.io c@d.org and ip 1.2.3.4"),
+        # digit-run safety: 10-digit windows inside longer numeric ids /
+        # epoch-ms timestamps must NOT be redacted (boundary-anchored phone)
+        (6, "order 17553920000001 at ts 1755392000123 ok"),
+        (7, "intl +15551234567 and spaced 1 555 987 6543"),
     ]
 
     def test_redacts_and_counts(self, spark):
@@ -90,6 +94,9 @@ class TestRedactPII:
         assert rows[4].text == "clean text, nothing to scrub"
         assert rows[5].n_email == 2 and rows[5].n_ipv4 == 1
         assert rows[5].text.count("[REDACTED]") == 3
+        assert rows[6].text == self.CASES[5][1] and rows[6].n_phone == 0
+        assert rows[7].n_phone == 2 and "4567" not in rows[7].text \
+            and "6543" not in rows[7].text
 
     def test_matches_duckdb(self, spark, tmp_path):
         df = spark.createDataFrame(self.CASES, "doc_id long, text string")

@@ -58,8 +58,10 @@ class TestAudio:
         out = multimodal.audio_features(media, fake=True).collect()
         rows = {r.doc_id: r for r in out}
         assert rows[5].n_samples == 6
-        assert rows[99].n_samples == 0
-        assert all(0 <= r.rms <= 1 for r in out)
+        # decode_ok=False ⇒ NULL metrics (same failure shape as the real path)
+        assert rows[99].n_samples is None and rows[99].rms is None \
+            and rows[99].duration_ms is None
+        assert all(0 <= r.rms <= 1 for r in out if r.rms is not None)
         assert rows[99].decode_ok is False and rows[0].decode_ok is True
 
     @staticmethod

@@ -160,6 +160,17 @@ class Guard:
     # Key layer turns it into code 'required' (trafaret/base.py:982).
     accepts_null = False
 
+    # Column type used by check(None)'s one-row probe DataFrame, so a bare
+    # NULL is validated through the guard's NATURAL compile branch (a NULL
+    # boolean for Bool, a NULL timestamp for DateTime, ...), matching what a
+    # NULL in a typed column of a real table would see. Guards whose string
+    # and typed branches could emit different codes override this; wrappers
+    # (And/OnError/WithRepr) delegate via _null_probe_dtype().
+    null_probe_dtype: T.DataType = T.StringType()
+
+    def _null_probe_dtype(self) -> T.DataType:
+        return self.null_probe_dtype
+
     def compile(self, col: Column, dtype: T.DataType) -> Compiled:
         raise NotImplementedError
 
@@ -188,7 +199,12 @@ class Guard:
     # driver-side, no job) so the semantics are identical by construction.
     def check(self, value, spark=None, context=None):
         """Validate+coerce one value; raise GuardError on failure.
-        ``context`` flows to Call guards (trafaret/base.py:1354-1357)."""
+        ``context`` flows to Call guards (trafaret/base.py:1354-1357).
+
+        ``check(None)`` probes through the guard's ``null_probe_dtype``
+        column (boolean for Bool, long for Int, timestamp for DateTime, …;
+        string for untyped guards), so a bare NULL takes the same compile
+        branch a NULL in a typed table column would."""
         from pyspark.sql import SparkSession
         from trafaret_spark.schema import Key, Schema
         from trafaret_spark.validate import GuardError, apply_schema
@@ -196,7 +212,9 @@ class Guard:
         if spark is None:
             raise PlanTimeError("Guard.check() needs an active SparkSession")
         if value is None:
-            df = spark.createDataFrame([(None,)], "x string")
+            probe = T.StructType(
+                [T.StructField("x", self._null_probe_dtype(), True)])
+            df = spark.createDataFrame([(None,)], probe)
         else:
             df = spark.createDataFrame([(value,)], ["x"])
         row = apply_schema(df, Schema(Key("x", self)),
@@ -305,6 +323,8 @@ class Enum(Guard):
 class Bool(Guard):
     """Strict boolean (trafaret/base.py:363-386)."""
 
+    null_probe_dtype = T.BooleanType()
+
     def compile(self, col, dtype):
         if isinstance(dtype, T.BooleanType):
             e = F.when(col.isNull(), err_struct(codes.IS_NOT_BOOL, "value should be True or False"))
@@ -385,6 +405,8 @@ class Int(_NumberMixin, Guard):
     """Integer check: int, int-valued float, or int-string; non-integral
     floats and '1.0'-style strings rejected (trafaret/numeric.py:163-181)."""
 
+    null_probe_dtype = T.LongType()
+
     coerce = False  # Int validates; ToInt returns the converted value
 
     def compile(self, col, dtype):
@@ -460,6 +482,7 @@ class Float(_NumberMixin, Guard):
     """Real number or numeric string, with bounds
     (trafaret/numeric.py:55-152)."""
 
+    null_probe_dtype = T.DoubleType()
     coerce = False
 
     def compile(self, col, dtype):
@@ -554,6 +577,8 @@ class String(Guard):
 class Bytes(String):
     """bytes with the String blank/length policy (trafaret/base.py:680-684:
     ``Bytes(String)`` with ``str_type = (bytes,)``)."""
+
+    null_probe_dtype = T.BinaryType()
 
     def compile(self, col, dtype):
         if not isinstance(dtype, T.BinaryType):
@@ -658,6 +683,8 @@ class FromBytes(Guard):
     total. Gating is mandatory on Spark 4 (decode throws on malformed input
     in any ANSI mode)."""
 
+    null_probe_dtype = T.BinaryType()
+
     def __init__(self, encoding: str = "utf-8"):
         self.encoding = encoding
         self._charset = _CHARSET_ALIAS.get(encoding.lower(), encoding)
@@ -722,6 +749,7 @@ class DateTime(Guard):
     """strptime-validated datetime (trafaret/base.py:610-662). Accepts native
     timestamp columns like the reference accepts datetime instances."""
 
+    null_probe_dtype = T.TimestampType()
     coerce = False
     default_format = "%Y-%m-%d %H:%M:%S"
     _cast_to = "timestamp"
@@ -763,6 +791,8 @@ class ToDateTime(DateTime):
 
 class Date(DateTime):
     """strptime-validated date (trafaret/base.py:530-588)."""
+
+    null_probe_dtype = T.DateType()
     default_format = "%Y-%m-%d"
     _cast_to = "date"
 
@@ -1192,6 +1222,9 @@ class And(Guard):
         self.left = ensure_guard(left)
         self.right = ensure_guard(right)
 
+    def _null_probe_dtype(self):
+        return self.left._null_probe_dtype()
+
     @property
     def accepts_null(self):
         return self.left.accepts_null
@@ -1298,6 +1331,9 @@ class Or(Guard):
 class OnError(Guard):
     """Replace the message/code of an inner failure (trafaret/base.py:155-170)."""
 
+    def _null_probe_dtype(self):
+        return self.guard._null_probe_dtype()
+
     def __init__(self, guard, message: str, code: Optional[str] = None):
         self.guard = ensure_guard(guard)
         self.message = message
@@ -1329,6 +1365,9 @@ class OnError(Guard):
 
 class WithRepr(Guard):
     """Cosmetic repr override around an inner guard (trafaret/base.py:173-182)."""
+
+    def _null_probe_dtype(self):
+        return self.guard._null_probe_dtype()
 
     def __init__(self, guard, repr_: str):
         self.guard = ensure_guard(guard)

@@ -74,6 +74,14 @@ def asof_join(
     picks the last/first *input-order* tied row; pass an input-order index
     to reproduce it exactly). Without it the choice among exact ties is
     partition-order dependent.
+
+    strategy="broadcast" normalizes float/double LEFT columns the way any
+    Spark groupBy does (NormalizeFloatingNumbers: -0.0 → 0.0, all NaN bit
+    patterns → one canonical NaN), because it collapses identical left rows
+    before the broadcast join. A left row carrying -0.0 therefore comes
+    back as 0.0 (== comparisons and join results are unaffected — Spark
+    already treats them equal); strategy="sort" passes left bytes through
+    untouched. Pick "sort" when byte-level float identity matters.
     """
     if direction not in ("backward", "forward", "nearest"):
         raise ValueError(

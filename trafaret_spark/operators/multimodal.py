@@ -313,15 +313,20 @@ def audio_features(df: DataFrame, payload_col: str = "payload",
                     "module on the executors; pass fake=True for plumbing "
                     "tests")
             if fake:
-                dig = [hashlib.sha256(p or b"").digest()
+                # failure-shape parity with the real decoder: decode_ok=False
+                # (NULL payload) ⇒ all metric columns NULL
+                dig = [None if p is None else hashlib.sha256(p).digest()
                        for p in pdf[payload_col]]
                 yield pd.DataFrame({
                     id_col: pdf[id_col],
-                    "duration_ms": [int.from_bytes(d[:4], "little") % 60000
+                    "duration_ms": [None if d is None
+                                    else int.from_bytes(d[:4], "little") % 60000
                                     for d in dig],
-                    "rms": [int.from_bytes(d[4:8], "little") / 2**32
+                    "rms": [None if d is None
+                            else int.from_bytes(d[4:8], "little") / 2**32
                             for d in dig],
-                    "n_samples": [len(p or b"") for p in pdf[payload_col]],
+                    "n_samples": [None if p is None else len(p)
+                                  for p in pdf[payload_col]],
                     "decode_ok": [p is not None for p in pdf[payload_col]],
                 })
                 continue

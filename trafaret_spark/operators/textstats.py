@@ -17,13 +17,25 @@ __all__ = [
 ]
 
 # Engine-agnostic PII patterns (valid and identical under Java regex AND
-# RE2/DuckDB — no lookarounds, no backrefs) so the redaction is
-# SQL-oracle-checkable. Deliberately conservative: curation-pipeline
-# scrubbing, not a compliance guarantee.
+# RE2/DuckDB — no lookarounds, no backrefs; \b is ASCII-word in both) so the
+# redaction is SQL-oracle-checkable. Deliberately conservative:
+# curation-pipeline scrubbing, not a compliance guarantee.
+#
+# The phone pattern anchors every entry point on a word boundary (or an
+# explicit '+'/'(' sigil) and the tail on \b, so a 10-digit window INSIDE a
+# longer digit run (ids, epoch timestamps) is never redacted — only spans
+# that start and end at a digit-run boundary qualify.
+#
+# Count-vs-replacement caveat: redact_pii's n_<kind> audit counts are taken
+# on the ORIGINAL text while replacements chain on the running result, so
+# when patterns overlap (digits inside an address already scrubbed by the
+# email pass) the counts can exceed the replacements actually visible in the
+# output. They are shard-level scrub-rate metrics, not a per-row diff.
 PII_PATTERNS = {
     "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
     "ipv4": r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b",
-    "phone": r"(\+?\d{1,3}[-. ]?)?\(?\d{3}\)?[-. ]?\d{3}[-. ]?\d{4}",
+    "phone": (r"(\+\d{1,3}[-. ]?\(\d{3}\)|\+\d{1,3}[-. ]?\d{3}|\(\d{3}\)"
+              r"|\b\d{1,3}[-. ]\d{3}|\b\d{3})[-. ]?\d{3}[-. ]?\d{4}\b"),
 }
 
 # tiny per-language stopword marker sets for the n-gram heuristic — a
