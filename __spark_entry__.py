@@ -722,7 +722,9 @@ def q_dedup_embedding_lsh(spark, sf_dir):
 
 def q_text_quality(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
-    out = textstats.quality_features(docs)
+    # per-language stopword_ratio keyed on the table's lang column
+    # (unknown langs — zh here — fall back to the 'en' marker set)
+    out = textstats.quality_features(docs, lang_col="lang")
     return out.select(
         "doc_id",
         F.col("n_tokens").cast("long").alias("n_tokens"),
@@ -1336,6 +1338,18 @@ _FALSE_LIST = "('false','n','no','off','0','none','0.0')"
 _EN_STOP = "('the','of','and','to','a','in','is','that','for','it')"
 
 
+def _stop_case_sql(lang_col: str) -> str:
+    """DuckDB CASE expression yielding the per-language marker-stopword
+    list (mirrors quality_features(lang_col=...): unknown langs → 'en')."""
+    from trafaret_spark.operators.textstats import _LANG_MARKERS
+
+    def lst(lang):
+        return "[" + ", ".join(f"'{w}'" for w in _LANG_MARKERS[lang]) + "]"
+
+    whens = " ".join(f"WHEN '{l}' THEN {lst(l)}" for l in _LANG_MARKERS)
+    return f"(CASE {lang_col} {whens} ELSE {lst('en')} END)"
+
+
 def _sample_hash_sql(seed: int) -> str:
     """DuckDB expression for sampling.sample_hash(['doc_id'], seed,
     portable=True): tok31 of concat_ws(chr(31), seed, coalesced doc_id)
@@ -1821,7 +1835,7 @@ def oracle_sql() -> dict[str, str]:
             FROM p WHERE rawsim >= 0.3""",
         "text_quality": rf"""
             WITH t AS (
-              SELECT doc_id, text,
+              SELECT doc_id, text, lang,
                      CASE WHEN trim(text) = '' THEN 0
                           ELSE len(string_split_regex(trim(text), '\s+')) END AS n_tok,
                      string_split_regex(trim(lower(text)), '\s+') AS toks,
@@ -1836,7 +1850,8 @@ def oracle_sql() -> dict[str, str]:
                          / greatest(n_chars, 1)::DOUBLE, 6) AS alpha_ratio,
                    round(length(regexp_replace(text, '[^0-9]', '', 'g'))
                          / greatest(n_chars, 1)::DOUBLE, 6) AS digit_ratio,
-                   round(len(list_filter(toks, x -> x IN {_EN_STOP}))
+                   round(len(list_filter(toks,
+                           x -> list_contains({_stop_case_sql('lang')}, x)))
                          / greatest(n_tok, 1)::DOUBLE, 6) AS stopword_ratio,
                    round(1.0 - len(list_distinct(list_transform(lines,
                            l -> trim(l)))) / greatest(len(lines), 1)::DOUBLE,

@@ -35,7 +35,7 @@ Scale notes (100 TB design):
 from __future__ import annotations
 
 import warnings
-from typing import Sequence
+from typing import Optional, Sequence
 
 import numpy as np
 import pandas as pd
@@ -456,7 +456,8 @@ def simhash_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
 
 
 def connected_components(pairs: DataFrame, a_col: str = "a", b_col: str = "b",
-                         max_iter: int = 25) -> DataFrame:
+                         max_iter: int = 25,
+                         checkpoint_dir: Optional[str] = None) -> DataFrame:
     """Collapse near-dup pairs into groups: (node, component) where
     ``component`` is the smallest node id reachable through the pair graph
     — the standard final step after :func:`minhash_dedup` /
@@ -480,7 +481,24 @@ def connected_components(pairs: DataFrame, a_col: str = "a", b_col: str = "b",
     a RuntimeWarning is emitted rather than silently returning partial
     labels (advice r2): raise ``max_iter`` or pre-collapse with exact
     dedup when it fires.
+
+    ``checkpoint_dir``: by default lineage is cut with ``localCheckpoint``
+    — executor-local blocks, fastest, but LOST on executor failure, which
+    kills the job (r3 verdict "What's wrong" #2). For cluster runs where
+    an hours-long dedup must survive preemption, pass a reliable
+    (HDFS/object-store) directory: the loop then uses ``checkpoint()``
+    against it, so a lost executor recomputes from the checkpoint files
+    instead of failing. One file set is written per round; clean the
+    directory after the job (Spark leaves them for post-mortem restart).
     """
+    if checkpoint_dir is not None:
+        pairs.sparkSession.sparkContext.setCheckpointDir(checkpoint_dir)
+
+    def _cut(df: DataFrame) -> DataFrame:
+        if checkpoint_dir is not None:
+            return df.checkpoint(eager=True)
+        return df.localCheckpoint(eager=True)
+
     edges = (pairs.select(F.col(a_col).alias("x"), F.col(b_col).alias("y"))
              .unionByName(pairs.select(F.col(b_col).alias("x"),
                                        F.col(a_col).alias("y")))
@@ -488,10 +506,10 @@ def connected_components(pairs: DataFrame, a_col: str = "a", b_col: str = "b",
     # edges join every propagation round: checkpoint ONCE so each round
     # reads the materialized edge list instead of re-running the whole
     # upstream candidate pipeline (e.g. minhash) per round
-    edges = edges.localCheckpoint(eager=True)
+    edges = _cut(edges)
     labels = (edges.select("x").distinct()
               .withColumn("component", F.col("x")))
-    labels = labels.localCheckpoint(eager=True)
+    labels = _cut(labels)
     for _ in range(max_iter):
         neighbor_min = (edges
                         .join(labels.select(F.col("x").alias("y"),
@@ -502,7 +520,7 @@ def connected_components(pairs: DataFrame, a_col: str = "a", b_col: str = "b",
                                            F.coalesce(F.col("nmin"),
                                                       F.col("component")))
                               .alias("component")))
-        new_labels = new_labels.localCheckpoint(eager=True)
+        new_labels = _cut(new_labels)
         changed = (new_labels.alias("n")
                    .join(labels.alias("o"), "x")
                    .filter(F.col("n.component") != F.col("o.component"))
@@ -521,7 +539,8 @@ def connected_components(pairs: DataFrame, a_col: str = "a", b_col: str = "b",
 
 def keep_canonical(df: DataFrame, pairs: DataFrame, id_col: str = "doc_id",
                    a_col: str = "a", b_col: str = "b",
-                   max_iter: int = 25) -> DataFrame:
+                   max_iter: int = 25,
+                   checkpoint_dir: Optional[str] = None) -> DataFrame:
     """The dedup END-STATE: filter ``df`` to one canonical row per near-dup
     component (the smallest id wins) plus every row that appears in no
     pair — i.e. "give me the deduped corpus" for any pair family's output
@@ -532,7 +551,8 @@ def keep_canonical(df: DataFrame, pairs: DataFrame, id_col: str = "doc_id",
     over a table bounded by the number of duplicated docs, typically ≪
     |corpus| at 100 TB.
     """
-    comp = connected_components(pairs, a_col, b_col, max_iter)
+    comp = connected_components(pairs, a_col, b_col, max_iter,
+                                checkpoint_dir=checkpoint_dir)
     losers = (comp.filter(F.col("node") != F.col("component"))
               .select(F.col("node").alias(id_col)))
     return df.join(losers, [id_col], "left_anti")

@@ -75,14 +75,22 @@ def bpe_ish_token_count(col: Column) -> Column:
         .otherwise(F.greatest(F.lit(1), (F.length(p) / 4).cast("int"))))
 
 
-def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
+def quality_features(df: DataFrame, text_col: str = "text",
+                     lang_col: str | None = None) -> DataFrame:
     """Adds the standard curation signals: n_chars_norm, n_tokens,
     avg_token_len, alpha_ratio, punct_ratio, digit_ratio, upper_ratio,
     stopword_ratio, max_word_repeat_ratio, plus the Gopher line-shape
     rules: dup_line_ratio (fraction of non-blank lines that repeat),
     bullet_line_ratio (lines opening with a bullet), ellipsis_line_ratio
     (lines trailing off with ... / …). All native array/regex expressions,
-    zero shuffle."""
+    zero shuffle.
+
+    ``stopword_ratio`` counts hits against a marker-stopword set. By
+    default that set is ENGLISH — on non-English text the signal reads
+    near-zero and would mis-score quality (r3 verdict "What's wrong" #3).
+    Pass ``lang_col`` (e.g. the output of :func:`lang_id`) to pick the
+    per-row marker set from ``_LANG_MARKERS`` instead, still as one
+    scan-side map lookup (unknown/``'und'`` languages fall back to 'en')."""
     t = F.col(text_col)
     lines = F.filter(F.split(t, "\n"), lambda l: F.trim(l) != "")
     n_lines = F.greatest(F.size(lines), F.lit(1)).cast("double")
@@ -98,7 +106,15 @@ def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     n_tok = token_count(t)
     safe_tok = F.greatest(n_tok, F.lit(1)).cast("double")
     safe_chars = F.greatest(n_chars, F.lit(1)).cast("double")
-    stop = F.array(*[F.lit(w) for w in _LANG_MARKERS["en"]])
+    if lang_col is None:
+        stop = F.array(*[F.lit(w) for w in _LANG_MARKERS["en"]])
+    else:
+        marker_map = F.create_map(*[
+            c for lang, words in _LANG_MARKERS.items()
+            for c in (F.lit(lang), F.array(*[F.lit(w) for w in words]))])
+        stop = F.coalesce(
+            F.try_element_at(marker_map, F.col(lang_col)),
+            F.array(*[F.lit(w) for w in _LANG_MARKERS["en"]]))
     n_stop = F.size(F.filter(toks, lambda w: F.array_contains(stop, w)))
     # max token multiplicity == longest equal run in the SORTED array —
     # one O(T log T) pass. (A filter-count per distinct token is O(T²) per
@@ -131,10 +147,14 @@ def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
 
 
 def quality_score(df: DataFrame, text_col: str = "text",
-                  name: str = "quality") -> DataFrame:
+                  name: str = "quality",
+                  lang_col: str | None = None) -> DataFrame:
     """Scalar [0,1] quality score from the standard signals (Gopher-rule
-    flavored: penalize too-short, non-alpha, repetitive docs)."""
-    feat = quality_features(df, text_col)
+    flavored: penalize too-short, non-alpha, repetitive docs). The score
+    itself is language-neutral (stopword_ratio is not one of its terms),
+    but ``lang_col`` is threaded through so the emitted stopword_ratio
+    column is per-language too."""
+    feat = quality_features(df, text_col, lang_col=lang_col)
     s = (
         F.when(F.col("n_tokens").between(5, 100000), 0.25).otherwise(0.0)
         + F.when(F.col("avg_token_len").between(2.0, 12.0), 0.25).otherwise(0.0)
