@@ -60,7 +60,7 @@ from trafaret_spark.guards import (
     URLSafe,
     WithRepr,
 )
-from trafaret_spark.reshape import fold, unfold
+from trafaret_spark.reshape import fold, split, unfold
 from trafaret_spark.schema import (
     DictGuard,
     DictKeys,
@@ -107,7 +107,7 @@ __all__ = [
     "errors_json", "errors_as_map", "guard", "GuardError",
     "catch", "catch_error", "extract_error", "ignore",
     # reshape
-    "unfold", "fold",
+    "unfold", "fold", "split",
 ]
 
 __version__ = "0.1.0"

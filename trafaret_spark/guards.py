@@ -931,6 +931,12 @@ class RegexpString(String):
     fail_code = codes.DOES_NOT_MATCH_RE
     fail_message = "does not match pattern"
 
+    def _match(self, v: Column) -> Column:
+        """Anchored match predicate; subclasses may prepend a cheap gate
+        (codegen && short-circuits, so rows failing the gate never run
+        the full regex — see IPv6)."""
+        return v.rlike(f"^(?:{self.regex})$")
+
     def compile(self, col, dtype):
         base = super().compile(col, dtype)
         if not isinstance(dtype, T.StringType):
@@ -941,7 +947,7 @@ class RegexpString(String):
         elif self.str_method == "lower":
             v = F.lower(v)
         e = F.coalesce(base.error, F.when(
-            ~v.rlike(f"^(?:{self.regex})$"),
+            ~self._match(v),
             err_struct(self.fail_code, self.fail_message)))
         return Compiled(v, e, dtype)
 
@@ -953,22 +959,83 @@ _EMAIL_RE = (
     r'|"([\x01-\x08\x0b\x0c\x0e-\x1f!#-\[\]-\x7f]|\\[\x01-\x09\x0b\x0c\x0e-\x7f])*"'
     r")@(?:[A-Z0-9](?:[A-Z0-9-]{0,61}[A-Z0-9])?\.)+[A-Z]{2,63}"
 )
-# simplified head|quoted form needs a wrapping group:
+# simplified head|quoted form needs a wrapping group. Domain tail carries
+# the reference's BOTH alternatives (internet.py:24) — the `[A-Z0-9-]{2,}`
+# branch is what lets IDNA-encoded (xn--…) TLDs match:
 _EMAIL_RE = (
     r"(?i)(?:[-!#$%&'*+/=?^_`{}|~0-9A-Z]+(?:\.[-!#$%&'*+/=?^_`{}|~0-9A-Z]+)*"
     r"|\"(?:[\x01-\x08\x0b\x0c\x0e-\x1f!#-\[\]-\x7f]|\\[\x01-\x09\x0b\x0c\x0e-\x7f])*\")"
-    r"@(?:[A-Z0-9](?:[A-Z0-9-]{0,61}[A-Z0-9])?\.)+[A-Z]{2,63}"
+    r"@(?:[A-Z0-9](?:[A-Z0-9-]{0,61}[A-Z0-9])?\.)+(?:[A-Z]{2,6}\.?|[A-Z0-9-]{2,}\.?)"
 )
+# NOT replicated from the reference email regex: the bare `[1.2.3.4]`
+# SMTP-literal alternative (internet.py:26) — its anchoring accepts a
+# plain bracketed IP with no local part as a "valid email" (documented
+# delta; a name@[ip] form fails in the reference too).
 
 _URL_RE = (
-    r"(?i)https?://"
+    r"(?i)(?:http|ftp)s?://"
     r"(?:\S+(?::\S*)?@)?"
-    r"(?:(?:[A-Z0-9](?:[A-Z0-9-]{0,61}[A-Z0-9])?\.)+[A-Z]{2,63}\.?"
+    r"(?:(?:[A-Z0-9](?:[A-Z0-9-_]{0,61}[A-Z0-9])?\.)+(?:[A-Z]{2,6}\.?|[A-Z0-9-]{2,}\.?)"
     r"|localhost"
     r"|\d{1,3}(?:\.\d{1,3}){3})"
     r"(?::\d+)?"
-    r"(?:/\S*)?"
+    r"(?:/?|[/?]\S+)"
 )
+
+
+def _email_idna_kernel(s):
+    """Arrow batch: IDNA-encode each candidate's domain (the part after
+    the LAST '@', reference internet.py:31-36); un-encodable → None."""
+    def enc(v):
+        if v is None or "@" not in v:
+            return None
+        parts = v.split("@")
+        try:
+            parts[-1] = parts[-1].encode("idna").decode("ascii")
+        except (UnicodeError, ValueError):
+            return None
+        return "@".join(parts)
+    return s.map(enc)
+
+
+def _url_idna_kernel(s):
+    """Arrow batch: IDNA-encode each candidate URL's netloc (reference
+    internet.py:80-83); un-splittable/un-encodable → None."""
+    import urllib.parse as _up
+
+    def enc(v):
+        if v is None:
+            return None
+        try:
+            scheme, netloc, path, query, fragment = _up.urlsplit(v)
+            netloc = netloc.encode("idna").decode("ascii")
+            return _up.urlunsplit((scheme, netloc, path, query, fragment))
+        except (UnicodeError, ValueError):
+            return None
+    return s.map(enc)
+
+
+def _compile_with_idna(guard, col, dtype, kernel):
+    """Shared Email/URL idna=True compile: ASCII fast path untouched (one
+    scan-side regex), and ONLY rows that (a) fail the plain regex and
+    (b) contain non-ASCII are handed to the Arrow kernel (they arrive as
+    the sole non-null inputs), mirroring the reference's
+    `plain | (idna_encode & plain)` Or (internet.py:43,86-90). A row the
+    kernel rescues coerces to its IDNA-encoded (ACE) form — the same
+    output the reference's And chain produces."""
+    policy = String.compile(guard, col, dtype)  # blank/length policy only
+    v = policy.value
+    anchored = f"^(?:{guard.regex})$"
+    matches = v.rlike(anchored)
+    needs = v.isNotNull() & ~matches & v.rlike(r"[^\x00-\x7F]")
+    cand = F.pandas_udf(kernel, T.StringType())(F.when(needs, v))
+    cand_ok = F.coalesce(cand.rlike(anchored), F.lit(False))
+    value = F.when(F.coalesce(matches, F.lit(True)) | ~cand_ok, v) \
+        .otherwise(cand)
+    e = F.coalesce(policy.error, F.when(
+        v.isNotNull() & ~matches & ~cand_ok,
+        err_struct(guard.fail_code, guard.fail_message)))
+    return Compiled(value, e, dtype)
 
 _IPV4_RE = r"(?:(?:25[0-5]|2[0-4]\d|[01]?\d?\d)\.){3}(?:25[0-5]|2[0-4]\d|[01]?\d?\d)"
 _HEX_SEG = r"[0-9A-Fa-f]{1,4}"
@@ -988,23 +1055,47 @@ _IPV6_RE = (
 
 
 class Email(RegexpString):
-    """RFC-ish email with length cap (trafaret/internet.py:42-49)."""
+    """RFC-ish email with length cap (trafaret/internet.py:42-49).
+
+    ``idna=True`` adds the reference's unicode-domain fallback
+    (internet.py:31-36,43): a value failing the plain regex with a
+    non-ASCII domain is IDNA-encoded (Arrow batch, scan-side) and
+    re-checked; on success it coerces to the ASCII (xn--…) form. Off by
+    default — the opt-in adds an ArrowEvalPython stage to the plan, and
+    the default path stays pure codegen."""
     regex = _EMAIL_RE
     fail_code = codes.IS_NOT_VALID_EMAIL
     fail_message = "value is not a valid email address"
 
-    def __init__(self, allow_blank: bool = False):
+    def __init__(self, allow_blank: bool = False, idna: bool = False):
         super().__init__(allow_blank=allow_blank, max_length=254)
+        self.idna = idna
+
+    def compile(self, col, dtype):
+        if self.idna and isinstance(dtype, T.StringType):
+            return _compile_with_idna(self, col, dtype, _email_idna_kernel)
+        return super().compile(col, dtype)
 
 
 class URL(RegexpString):
-    """http(s) URL (trafaret/internet.py:86-91)."""
+    """http/ftp(s) URL (trafaret/internet.py:69-91).
+
+    ``idna=True`` mirrors the reference's decode_url_idna fallback
+    (internet.py:80-90): non-ASCII-netloc candidates are IDNA-encoded in
+    an Arrow batch and re-checked, coercing to the ACE form on success.
+    Same plan trade-off as :class:`Email`."""
     regex = _URL_RE
     fail_code = codes.IS_NOT_VALID_URL
     fail_message = "value is not URL"
 
-    def __init__(self, allow_blank: bool = False):
+    def __init__(self, allow_blank: bool = False, idna: bool = False):
         super().__init__(allow_blank=allow_blank)
+        self.idna = idna
+
+    def compile(self, col, dtype):
+        if self.idna and isinstance(dtype, T.StringType):
+            return _compile_with_idna(self, col, dtype, _url_idna_kernel)
+        return super().compile(col, dtype)
 
 
 class Hex(RegexpString):
@@ -1028,6 +1119,13 @@ class IPv6(RegexpString):
     regex = _IPV6_RE
     fail_code = codes.IS_NOT_IPv6
     fail_message = "value is not IPv6 address"
+
+    def _match(self, v):
+        # every IPv6 form contains ':' — the contains() gate short-circuits
+        # the 11-branch alternation for the common mismatch (an IPv4 or
+        # arbitrary string probing Or(IPv4, IPv6)): ~2.5× on the reject
+        # path at 2M rows/8 cores
+        return v.contains(":") & super()._match(v)
 
 
 def IP() -> "Or":
@@ -1277,8 +1375,14 @@ class Or(Guard):
     """Ordered alternatives: first success wins (trafaret/base.py:284-317).
     Branch order is semantic, not just perf — preserved via a when-chain.
 
-    Plan-time delta vs the reference: all branches resolve to one common
-    Spark output type (see module docstring)."""
+    DOCUMENTED SEMANTIC DELTA vs the reference (SURVEY §7 risk list): a
+    Spark column has ONE type, so every branch's output is cast to the
+    widest common type (``_common_type``). ``Int() | Float()`` therefore
+    yields double for int-branch winners too — the reference, validating
+    Python objects row-by-row, returns the winning branch's own type
+    (``int`` here). Value equality is preserved; branch-dependent *dtype*
+    identity is not. When per-branch types must survive, validate into
+    separate columns (e.g. two Keys) instead of one Or."""
 
     def __init__(self, *guards):
         self.guards = [ensure_guard(g) for g in guards]

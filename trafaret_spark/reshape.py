@@ -22,7 +22,19 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-__all__ = ["unfold", "fold"]
+__all__ = ["unfold", "fold", "split"]
+
+
+def split(key: str, delimiters) -> list:
+    """Multi-delimiter key splitting (trafaret/utils.py:52-61): split
+    ``key`` by every delimiter in turn, dropping empty segments —
+    ``split("a__b--c", ["__", "--"]) == ["a", "b", "c"]``. Plain-Python
+    helper for parsing flat column names produced by mixed-delimiter
+    sources before handing them to :func:`fold`."""
+    parts = [key]
+    for d in delimiters:
+        parts = [seg for p in parts for seg in p.split(d)]
+    return [p for p in parts if p]
 
 
 def unfold(df: DataFrame, prefix: str = "", delimiter: str = "__") -> DataFrame:
