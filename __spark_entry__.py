@@ -650,6 +650,52 @@ def q_range_join(spark, sf_dir):
     return out.select("event_id", F.round("value_r", 6).alias("value_r"))
 
 
+def q_range_join_long(spark, sf_dir):
+    # exercises BOTH paths in one result: per-user purchase intervals plus
+    # one open-ended interval per user that spans > max_buckets_per_interval
+    # buckets and takes the by-key long fallback (r4: bounded + observable).
+    # on_long="ignore" keeps the driver query lazy (warn's count job and
+    # the RuntimeWarning are pytest-covered).
+    from trafaret_spark.operators.rangejoin import range_join
+    ev = _t(spark, sf_dir, "events")
+    left = ev.filter(F.col("event_type") == "view") \
+        .select("event_id", "user_id", "ts")
+    short_iv = ev.filter(F.col("event_type") == "purchase") \
+        .select("user_id",
+                (F.col("ts") - F.expr("INTERVAL 30 MINUTES")).alias("start"),
+                (F.col("ts") + F.expr("INTERVAL 30 MINUTES")).alias("end"),
+                F.col("value"))
+    long_iv = (ev.filter(F.col("event_type") == "signup")
+               .groupBy("user_id")
+               .agg(F.min("ts").alias("start"))
+               .select("user_id", "start",
+                       (F.col("start") + F.expr("INTERVAL 3650 DAYS")
+                        ).alias("end"),
+                       F.lit(-1.0).alias("value")))
+    right = short_iv.unionByName(long_iv)
+    out = range_join(left, right, on="ts", by="user_id",
+                     bucket_width=1800.0, max_buckets_per_interval=1000,
+                     suffix="_r", on_long="ignore")
+    return (out.groupBy("event_id")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_matches"),
+                 F.round(F.sum("value_r"), 6).alias("val_sum")))
+
+
+def q_v_email_idna(spark, sf_dir):
+    # deterministic unicode-domain addresses → the oracle hard-codes the
+    # expected ACE form ('пример.рф' → 'xn--e1afmkfd.xn--p1ai'), so the
+    # Arrow IDNA recheck path gets a hard driver attestation
+    ev = _t(spark, sf_dir, "events")
+    addr = (F.when(F.col("event_id") % 5 == 0, F.lit("ivan@пример.рф"))
+            .when(F.col("event_id") % 5 == 1, F.lit("not an email"))
+            .otherwise(F.concat(F.lit("user"), F.col("event_id"),
+                                F.lit("@example.com"))))
+    df = ev.select("event_id", addr.alias("addr"))
+    out = ts.Schema(ts.Key("event_id", ts.Int()),
+                    ts.Key("addr", ts.Email(idna=True))).apply(df)
+    return out.select("event_id", "addr", _err_code())
+
+
 def q_time_rollup(spark, sf_dir):
     # decimal sum: exact and independent of partial-agg grouping order
     # (same rationale as f_salted_agg)
@@ -985,15 +1031,34 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_nearest": q_asof_nearest,
         "asof_strict": q_asof_strict,
         "range_join": q_range_join,
+        # round-4 additions
+        "range_join_long": q_range_join_long,
+        "v_email_idna": q_v_email_idna,
     }
-    # Stalest-first rotation: queries whose newest driver CORRECTNESS row is
-    # oldest run first (never-attested first of all), so the driver's 50-row
-    # window always refreshes the rows that need it most.  Ties broken by
-    # registry (insertion) order for determinism.
+    # Rotation (r3 verdict "Next round" #1): the driver attests at most 50
+    # rows per round, so order the registry (== driver execution order) by
+    # attestation need: (0) queries with no driver row ever, (1) queries
+    # whose IMPLEMENTATION changed since their newest row (the soft-
+    # attestation gap the r3 verdict flagged — update _TOUCHED each round),
+    # (2) everything else stalest-first. Ties broken by registry order.
+    touched = {
+        # round 4: regex parity rewrite (v_email/v_url_hex), phone-pattern
+        # anchors (text_redact), per-language stopwords (text_quality),
+        # fake-path failure shape (mm_audio), on_drop/checkpoint params on
+        # the minhash/components family, long-path bounding (range_join),
+        # IPv6 gate (v_ip)
+        "v_email", "v_url_hex", "text_redact", "text_quality", "mm_audio",
+        "dedup_minhash", "dedup_components", "dedup_keep_canonical",
+        "range_join", "v_ip",
+    }
     pos = {name: i for i, name in enumerate(reg)}
     last = _attestation_rounds()
-    ordered = sorted(reg, key=lambda n: (last.get(n, -1), pos[n]))
-    return {name: reg[name] for name in ordered}
+
+    def key(n):
+        tier = (0 if n not in last else 1 if n in touched else 2)
+        return (tier, last.get(n, -1), pos[n])
+
+    return {name: reg[name] for name in sorted(reg, key=key)}
 
 
 # ---- portable-hash oracle fragments -----------------------------------
@@ -1779,6 +1844,31 @@ def oracle_sql() -> dict[str, str]:
                          ts + INTERVAL 30 MINUTE AS e, value
                   FROM events WHERE event_type = 'purchase') r
               ON l.user_id = r.user_id AND l.ts >= r.s AND l.ts <= r.e""",
+        "range_join_long": """
+            WITH l AS (SELECT event_id, user_id, ts FROM events
+                       WHERE event_type = 'view'),
+            r AS (
+              SELECT user_id, ts - INTERVAL 30 MINUTE AS s,
+                     ts + INTERVAL 30 MINUTE AS e, value
+              FROM events WHERE event_type = 'purchase'
+              UNION ALL
+              SELECT user_id, min(ts) AS s,
+                     min(ts) + INTERVAL 3650 DAY AS e, -1.0 AS value
+              FROM events WHERE event_type = 'signup' GROUP BY user_id)
+            SELECT l.event_id, count(*) AS n_matches,
+                   round(sum(r.value), 6) AS val_sum
+            FROM l JOIN r
+              ON l.user_id = r.user_id AND l.ts >= r.s AND l.ts <= r.e
+            GROUP BY l.event_id""",
+        "v_email_idna": """
+            SELECT event_id,
+                   CASE WHEN event_id % 5 = 0
+                          THEN 'ivan@xn--e1afmkfd.xn--p1ai'
+                        WHEN event_id % 5 = 1 THEN NULL
+                        ELSE 'user' || event_id || '@example.com' END AS addr,
+                   CASE WHEN event_id % 5 = 1
+                        THEN 'is_not_valid_email' END AS err_code
+            FROM events""",
         "time_rollup": """
             WITH d AS (SELECT event_type, ts,
                               CAST(value AS DECIMAL(18,6)) AS v FROM events)

@@ -1,0 +1,138 @@
+"""Curation-family scaling measurement at a single parallelism level.
+
+Usage: python scripts/scaling_curation.py <cores> [dedup|ann|both]
+
+The transcript pipeline's scaling evidence (scripts/scaling_run.py) does
+not cover the dedup/ANN families, whose 100 TB story rests on uniform
+bucket keys (SCALE.md §3) — this measures it (r3 verdict "Next round" #3).
+
+Workloads over FIXED cached inputs (same rows, same files, same partition
+count at every core count — strong scaling of identical work):
+
+  * ``dedup`` — MinHash+LSH near-dup pairs (64 hashes / 16 bands, exact
+    Jaccard verify ≥0.8) → connected components → keep_canonical, over a
+    deterministic corpus with a controlled 15% near-dup fraction at 40×
+    the sf0.1 document count. The hot-bucket cap's drop count is measured
+    once (untimed) via minhash_lsh_candidates(on_drop="warn").
+  * ``ann`` — lsh_cosine_topk (10-bit sign-hash, 4 bands, k=10) of 512
+    queries against the full corpus at 250× the sf0.1 embedding count.
+
+Same evidence protocol as scaling_run.py: N vs 4N executors proxied by
+local[N] vs local[4N], identical JVM memory/GC, min over timed runs after
+one warm run, noop sink (full execution, no collect).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import statistics
+import sys
+import time
+import warnings
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from trafaret_spark import datagen  # noqa: E402
+from trafaret_spark.operators import dedup, similarity  # noqa: E402
+from trafaret_spark.session import get_spark  # noqa: E402
+
+N_DOCS = int(os.environ.get("SPARK_GRAFT_SCALE_DOCS", "200000"))
+N_VECS = int(os.environ.get("SPARK_GRAFT_SCALE_VECS", "500000"))
+N_QUERIES = int(os.environ.get("SPARK_GRAFT_SCALE_QUERIES", "512"))
+# 2% of the corpus is boilerplate concentrated in 3 near-identical
+# clusters (~N_DOCS/150 docs each) — large enough that the LSH hot-bucket
+# cap (max_bucket_size=1000) actually fires at the default 200k scale
+HOT_DOCS = int(os.environ.get("SPARK_GRAFT_SCALE_HOT_DOCS", str(N_DOCS // 50)))
+DIM = 64
+PARTITIONS = int(os.environ.get("SPARK_GRAFT_SCALE_PARTS", "64"))
+TIMED_RUNS = int(os.environ.get("SPARK_GRAFT_SCALE_RUNS", "3"))
+CACHE = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                     ".scaling_cache")
+
+
+def materialize(spark) -> tuple[str, str]:
+    docs_path = f"{CACHE}/documents_{N_DOCS}_hot{HOT_DOCS}"
+    emb_path = f"{CACHE}/embeddings_{N_VECS}"
+    if not os.path.exists(docs_path + "/_SUCCESS"):
+        datagen.documents(spark, n_docs=N_DOCS, hot_docs=HOT_DOCS,
+                          hot_bases=3, partitions=PARTITIONS) \
+            .write.mode("overwrite").parquet(docs_path)
+    if not os.path.exists(emb_path + "/_SUCCESS"):
+        datagen.embeddings(spark, n_vecs=N_VECS, dim=DIM,
+                           partitions=PARTITIONS) \
+            .write.mode("overwrite").parquet(emb_path)
+    return docs_path, emb_path
+
+
+def dedup_job(spark, docs_path):
+    docs = spark.read.parquet(docs_path).select("doc_id", "text")
+    pairs = dedup.minhash_dedup(docs, threshold=0.8)
+    return dedup.keep_canonical(docs, pairs)
+
+
+def ann_job(spark, emb_path):
+    corpus = spark.read.parquet(emb_path)
+    queries = (corpus.filter(F.col("vec_id") < N_QUERIES)
+               .select(F.col("vec_id").alias("query_id"), "embedding"))
+    return similarity.lsh_cosine_topk(corpus, queries, k=10,
+                                      nbits=10, bands=4, dim=DIM)
+
+
+def measure(make_df) -> dict:
+    def run():
+        make_df().write.format("noop").mode("overwrite").save()
+
+    run()  # warm: codegen, JIT, file listing
+    times = []
+    for _ in range(TIMED_RUNS):
+        t0 = time.perf_counter()
+        run()
+        times.append(time.perf_counter() - t0)
+    return {
+        "seconds_min": round(min(times), 3),
+        "seconds_median": round(statistics.median(times), 3),
+        "seconds_all": [round(t, 3) for t in times],
+    }
+
+
+def main() -> None:
+    cores = int(sys.argv[1])
+    which = sys.argv[2] if len(sys.argv) > 2 else "both"
+    spark = get_spark(f"scaling-curation-{cores}", cores=cores,
+                      shuffle_partitions=PARTITIONS,
+                      **{"spark.driver.memory": "28g",
+                         "spark.driver.extraJavaOptions":
+                         "-XX:+UseG1GC -XX:ReservedCodeCacheSize=1g "
+                         "-XX:+UseCodeCacheFlushing -XX:-DontCompileHugeMethods"})
+    docs_path, emb_path = materialize(spark)
+    out: dict = {"cores": cores, "partitions": PARTITIONS}
+
+    if which in ("dedup", "both"):
+        docs = spark.read.parquet(docs_path).select("doc_id", "text")
+        # hot-bucket cap observability, once, untimed (r3 verdict #3)
+        with warnings.catch_warnings(record=True) as caught:
+            warnings.simplefilter("always")
+            dedup.minhash_lsh_candidates(docs, on_drop="warn").count()
+        out["n_docs"] = N_DOCS
+        out["capped_bucket_drops"] = next(
+            (str(w.message) for w in caught
+             if "minhash_lsh_candidates" in str(w.message)), "none")
+        m = measure(lambda: dedup_job(spark, docs_path))
+        m["docs_per_sec"] = round(N_DOCS / m["seconds_min"], 1)
+        out["dedup"] = m
+
+    if which in ("ann", "both"):
+        out["n_vecs"] = N_VECS
+        out["n_queries"] = N_QUERIES
+        m = measure(lambda: ann_job(spark, emb_path))
+        m["vecs_per_sec"] = round(N_VECS / m["seconds_min"], 1)
+        out["ann"] = m
+
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

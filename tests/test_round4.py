@@ -164,6 +164,80 @@ class TestIdnaOptIn:
         assert not e.is_valid("someone@example", spark=spark)
 
 
+class TestMinhashCapObservability:
+    """minhash_lsh_candidates(on_drop=...) surfaces the hot-bucket cap
+    (capped_blocks semantics) — measured in the curation scaling runs."""
+
+    @pytest.fixture(scope="class")
+    def hot_corpus(self, spark):
+        # 8 identical docs (one hot bucket in every band) + 2 distinct
+        rows = [(i, "alpha beta gamma delta epsilon zeta eta theta")
+                for i in range(8)]
+        rows += [(100, "one two three four five six seven eight nine"),
+                 (101, "nine eight seven six five four three two one")]
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    def test_warn_fires_with_counts(self, hot_corpus):
+        from trafaret_spark.operators.dedup import minhash_lsh_candidates
+        with pytest.warns(RuntimeWarning, match="dropping .* bucket"):
+            out = minhash_lsh_candidates(hot_corpus, max_bucket_size=4,
+                                         on_drop="warn")
+            assert out.count() == 0  # every dup bucket was over the cap
+
+    def test_error_mode_raises(self, hot_corpus):
+        from trafaret_spark.operators.dedup import minhash_lsh_candidates
+        with pytest.raises(ValueError, match="max_bucket_size=4"):
+            minhash_lsh_candidates(hot_corpus, max_bucket_size=4,
+                                   on_drop="error")
+
+    def test_ignore_stays_lazy_and_default_keeps_pairs(self, hot_corpus):
+        from trafaret_spark.operators.dedup import minhash_lsh_candidates
+        out = minhash_lsh_candidates(hot_corpus)  # cap 1000, nothing drops
+        got = {(r.a, r.b) for r in out.collect()}
+        assert {(a, b) for a in range(8) for b in range(8) if a < b} <= got
+
+
+class TestScalingGenerators:
+    """datagen.documents/embeddings — deterministic, distributed, with
+    real near-dup structure for the curation scaling workloads."""
+
+    def test_documents_deterministic_with_dup_clusters(self, spark):
+        from trafaret_spark import datagen
+        from trafaret_spark.operators.dedup import minhash_dedup
+        d1 = datagen.documents(spark, n_docs=400, dup_frac=0.2)
+        d2 = datagen.documents(spark, n_docs=400, dup_frac=0.2)
+        r1 = {r.doc_id: r.text for r in d1.collect()}
+        r2 = {r.doc_id: r.text for r in d2.collect()}
+        assert r1 == r2 and len(r1) == 400
+        n_dup = d1.filter("is_dup").count()
+        assert n_dup == 80  # doc_id >= n_base are the mutated copies
+        # minhash actually finds the planted near-dup clusters
+        pairs = minhash_dedup(d1.select("doc_id", "text"), threshold=0.6)
+        found = pairs.count()
+        assert found >= n_dup * 0.5
+
+    def test_embeddings_deterministic_cluster_structure(self, spark):
+        from trafaret_spark import datagen
+        from trafaret_spark.operators.similarity import cosine
+        e = datagen.embeddings(spark, n_vecs=256, dim=16, n_clusters=8)
+        rows = e.collect()
+        assert len(rows) == 256 and all(len(r.embedding) == 16 for r in rows)
+        again = {r.vec_id: r.embedding for r in
+                 datagen.embeddings(spark, n_vecs=256, dim=16,
+                                    n_clusters=8).collect()}
+        assert {r.vec_id: r.embedding for r in rows} == again
+        # same-cluster vectors are far more similar than cross-cluster
+        a = e.alias("a").crossJoin(e.alias("b")) \
+             .filter(F.col("a.vec_id") < F.col("b.vec_id")) \
+             .select(((F.col("a.vec_id") % 8) == (F.col("b.vec_id") % 8))
+                     .alias("same"),
+                     cosine(F.col("a.embedding"),
+                            F.col("b.embedding")).alias("sim"))
+        stats = {r.same: r.avg for r in
+                 a.groupBy("same").agg(F.avg("sim").alias("avg")).collect()}
+        assert stats[True] > 0.8 > stats[False] + 0.3
+
+
 def test_split_multi_delimiter():
     """utils.split parity (trafaret/utils.py:52-61) — the last uncovered
     reference helper (r3 verdict 'What's missing' #3)."""

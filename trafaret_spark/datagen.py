@@ -16,7 +16,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-__all__ = ["transcripts", "conv_events", "to_raw_strings"]
+__all__ = ["transcripts", "conv_events", "to_raw_strings",
+           "documents", "embeddings"]
 
 _BASE_TS = "2026-03-01 00:00:00"
 _WORDS = ("the quick brown fox jumps over a lazy dog while answering "
@@ -142,3 +143,81 @@ def to_raw_strings(df: DataFrame, seed: int = 42, dirty_frac: float = 0.02) -> D
                 F.date_format("ts", "dd-MM-yyyy"))
          .otherwise(F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS"))).alias("ts"),
     )
+
+
+def documents(spark: SparkSession, n_docs: int = 10_000, seed: int = 7,
+              dup_frac: float = 0.15, mutate_rate: float = 0.05,
+              vocab_size: int = 500, min_tokens: int = 20,
+              max_tokens: int = 120, hot_docs: int = 0, hot_bases: int = 4,
+              partitions: int | None = None) -> DataFrame:
+    """Deterministic document corpus ``(doc_id, text, lang)`` with a
+    CONTROLLED near-dup fraction — the dedup-family scaling input.
+
+    ~``dup_frac`` of docs are token-level mutations of a base doc (same
+    token stream with ~``mutate_rate`` of positions swapped), so
+    MinHash/SimHash/ngram dedup finds real clusters at any scale. The
+    LAST ``hot_docs`` ids are boilerplate: mutations of only ``hot_bases``
+    distinct bases, giving clusters of ~hot_docs/hot_bases near-identical
+    docs — the degenerate shape the LSH hot-bucket cap exists for. Pure
+    Column expressions on ``spark.range`` — no driver data, scales to any
+    ``n_docs``.
+    """
+    n_base = max(1, int(n_docs * (1.0 - dup_frac)))
+    base = spark.range(n_docs).select(F.col("id").alias("doc_id"))
+    is_hot = F.col("doc_id") >= n_docs - hot_docs
+    is_dup = (F.col("doc_id") >= n_base) | is_hot
+    src = (F.when(is_hot,
+                  F.pmod(F.xxhash64(F.col("doc_id"), F.lit(seed + 3)),
+                         F.lit(hot_bases)))
+           .when(is_dup,
+                 F.pmod(F.xxhash64(F.col("doc_id"), F.lit(seed)),
+                        F.lit(n_base))).otherwise(F.col("doc_id")))
+    n_tok = (F.lit(min_tokens)
+             + (_u(41, seed, src) * (max_tokens - min_tokens)).cast("int"))
+
+    def tok(i):
+        base_idx = F.pmod(F.xxhash64(src, i, F.lit(seed + 1)),
+                          F.lit(vocab_size))
+        # boilerplate is near-identical (0.1× the mutation rate) — that is
+        # precisely the shape whose LSH buckets blow past max_bucket_size
+        rate = F.when(is_hot, F.lit(mutate_rate / 10)) \
+            .otherwise(F.lit(mutate_rate))
+        mut = is_dup & (_u(42, seed, F.col("doc_id"), i) < rate)
+        idx = F.when(mut, F.pmod(F.xxhash64(F.col("doc_id"), i,
+                                            F.lit(seed + 2)),
+                                 F.lit(vocab_size))).otherwise(base_idx)
+        return F.concat(F.lit("w"), idx.cast("string"))
+
+    text = F.array_join(
+        F.transform(F.sequence(F.lit(0), n_tok - 1), tok), " ")
+    lang = F.element_at(
+        F.array(F.lit("en"), F.lit("de"), F.lit("fr"), F.lit("es"),
+                F.lit("zh")),
+        (_u(43, seed, src) * 5).cast("int") + 1)
+    out = base.select("doc_id", text.alias("text"), lang.alias("lang"),
+                      is_dup.alias("is_dup"))
+    if partitions:
+        out = out.repartition(partitions, "doc_id")
+    return out
+
+
+def embeddings(spark: SparkSession, n_vecs: int = 10_000, dim: int = 64,
+               seed: int = 11, n_clusters: int = 64, noise: float = 0.3,
+               partitions: int | None = None) -> DataFrame:
+    """Deterministic cluster-structured embeddings ``(vec_id,
+    embedding array<float>)`` — the ANN-family scaling input. Each vector
+    is its cluster's center plus hash-derived noise, so LSH/IVF recall is
+    non-trivial and reproducible. Pure Column expressions."""
+    base = spark.range(n_vecs).select(F.col("id").alias("vec_id"))
+    c = F.pmod(F.col("vec_id"), F.lit(n_clusters))
+
+    def comp(j):
+        center = (_u(51, seed, c, j) - 0.5) * 2.0
+        jitter = (_u(52, seed, F.col("vec_id"), j) - 0.5) * 2.0 * noise
+        return (center + jitter).cast("float")
+
+    vec = F.transform(F.sequence(F.lit(0), F.lit(dim - 1)), comp)
+    out = base.select("vec_id", vec.alias("embedding"))
+    if partitions:
+        out = out.repartition(partitions, "vec_id")
+    return out

@@ -236,13 +236,19 @@ def minhash_lsh_candidates(df: DataFrame, text_col: str = "text",
                            id_col: str = "doc_id", num_hashes: int = 64,
                            bands: int = 16, n: int = 3, seed: int = 17,
                            max_bucket_size: int = 1000,
-                           portable: bool = False) -> DataFrame:
+                           portable: bool = False,
+                           on_drop: str = "ignore") -> DataFrame:
     """LSH candidate pairs: band the signature, bucket-join, orient pairs.
 
     Returns distinct (a, b) id pairs with a < b. The self-join shuffles on
     the (band, bucket-hash) key; buckets larger than ``max_bucket_size``
-    (degenerate boilerplate) are dropped with a count you can monitor.
+    (degenerate boilerplate) are dropped. ``on_drop`` follows
+    :func:`capped_blocks` semantics: ``"ignore"`` (default) is fully lazy;
+    ``"warn"``/``"error"`` run one bounded count of the over-cap buckets
+    now and surface how many buckets/rows the cap removed.
     """
+    if on_drop not in ("warn", "error", "ignore"):
+        raise ValueError(f"on_drop must be warn|error|ignore, got {on_drop!r}")
     rows_per_band = num_hashes // bands
     # two projection boundaries: shingle hashes materialize once per row,
     # then the signature once, before the K-fold banding fan-out
@@ -266,10 +272,22 @@ def minhash_lsh_candidates(df: DataFrame, text_col: str = "text",
                         ","),
                     b),
             )).alias("band", "bucket"))
-    sized = (banded.groupBy("band", "bucket")
-             .agg(F.collect_list(id_col).alias("ids"),
-                  F.count(F.lit(1)).alias("bsz"))
-             .filter((F.col("bsz") > 1) & (F.col("bsz") <= max_bucket_size)))
+    sized_all = (banded.groupBy("band", "bucket")
+                 .agg(F.collect_list(id_col).alias("ids"),
+                      F.count(F.lit(1)).alias("bsz")))
+    if on_drop != "ignore":
+        row = (sized_all.filter(F.col("bsz") > max_bucket_size)
+               .agg(F.count(F.lit(1)).alias("nb"),
+                    F.sum("bsz").alias("nr")).collect()[0])
+        if row["nb"]:
+            msg = (f"minhash_lsh_candidates: dropping {row['nb']} bucket(s) "
+                   f"({row['nr']} banded rows) larger than "
+                   f"max_bucket_size={max_bucket_size}")
+            if on_drop == "error":
+                raise ValueError(msg)
+            warnings.warn(msg, RuntimeWarning, stacklevel=3)
+    sized = sized_all.filter(
+        (F.col("bsz") > 1) & (F.col("bsz") <= max_bucket_size))
     pairs = (sized
              .select(F.explode("ids").alias("a"), F.col("ids"))
              .select("a", F.explode("ids").alias("b"))
@@ -308,7 +326,7 @@ def jaccard(df_pairs: DataFrame, docs: DataFrame, text_col: str = "text",
 def minhash_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
                   threshold: float = 0.8, num_hashes: int = 64, bands: int = 16,
                   n: int = 3, seed: int = 17,
-                  portable: bool = False) -> DataFrame:
+                  portable: bool = False, on_drop: str = "ignore") -> DataFrame:
     """Full MinHash+LSH near-dup pass → (a, b, jaccard) pairs ≥ threshold.
 
     Connected-component collapse is left to the caller (iterative; for the
@@ -319,7 +337,8 @@ def minhash_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     against a SQL oracle.
     """
     cands = minhash_lsh_candidates(df, text_col, id_col, num_hashes, bands,
-                                   n, seed, portable=portable)
+                                   n, seed, portable=portable,
+                                   on_drop=on_drop)
     verified = jaccard(cands, df, text_col, id_col, n, portable=portable)
     return verified.filter(F.col("jaccard") >= threshold)
 
@@ -515,17 +534,21 @@ def connected_components(pairs: DataFrame, a_col: str = "a", b_col: str = "b",
                         .join(labels.select(F.col("x").alias("y"),
                                             F.col("component").alias("nc")), "y")
                         .groupBy("x").agg(F.min("nc").alias("nmin")))
+        # the changed flag rides INSIDE the checkpointed frame, so the
+        # convergence probe below is a limit(1) scan of already-
+        # materialized blocks — not a second labels⋈labels join per round
+        # (that join serialized the loop and capped scaling efficiency)
         new_labels = (labels.join(neighbor_min, "x", "left")
-                      .select("x", F.least(F.col("component"),
-                                           F.coalesce(F.col("nmin"),
-                                                      F.col("component")))
-                              .alias("component")))
+                      .select("x",
+                              F.least(F.col("component"),
+                                      F.coalesce(F.col("nmin"),
+                                                 F.col("component")))
+                              .alias("component"),
+                              F.coalesce(F.col("nmin") < F.col("component"),
+                                         F.lit(False)).alias("__chg")))
         new_labels = _cut(new_labels)
-        changed = (new_labels.alias("n")
-                   .join(labels.alias("o"), "x")
-                   .filter(F.col("n.component") != F.col("o.component"))
-                   .limit(1).count())
-        labels = new_labels
+        changed = new_labels.filter(F.col("__chg")).limit(1).count()
+        labels = new_labels.drop("__chg")
         if changed == 0:
             break
     else:
