@@ -1,0 +1,77 @@
+"""Aggregate curation scaling passes into BENCH/scaling.json.
+
+Usage:
+    python scripts/record_curation_scaling.py N 4N KEY_SUFFIX \
+        <legN.json>... --hi <leg4N.json>...
+
+e.g. ``... 1 4 primary_1_to_4 runs/d1a.json --hi runs/d4a.json``
+
+Each input file is one ``scaling_curation.py`` output line (a JSON dict
+with ``dedup`` and/or ``ann`` blocks). Per leg the estimator is the MIN
+across all passes' seconds_min — the documented noise-robust protocol:
+host-scheduled vCPUs swing identical runs up to 40%, so legs aggregate
+several passes. Writes ``round4_{dedup,ann}_<KEY_SUFFIX>`` entries;
+prose notes (knee decomposition, caveats) are added by hand afterwards.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+
+
+def load(paths):
+    runs = [json.load(open(p)) for p in paths]
+    out = {}
+    for w in ("dedup", "ann"):
+        if not all(w in r for r in runs):
+            continue
+        times = [t for r in runs for t in r[w]["seconds_all"]]
+        out[w] = {
+            "seconds_min": min(r[w]["seconds_min"] for r in runs),
+            "seconds_all": times,
+            "passes": len(runs),
+        }
+    out["meta"] = runs[0]
+    return out
+
+
+def main():
+    lo_cores, hi_cores, suffix = int(sys.argv[1]), int(sys.argv[2]), sys.argv[3]
+    argv = sys.argv[4:]
+    split = argv.index("--hi")
+    lo, hi = load(argv[:split]), load(argv[split + 1:])
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    path = os.path.join(repo, "BENCH", "scaling.json")
+    data = json.load(open(path))
+    m = lo["meta"]
+    factor = hi_cores / lo_cores
+    for w in ("dedup", "ann"):
+        if w not in lo or w not in hi:
+            continue
+        t_lo, t_hi = lo[w]["seconds_min"], hi[w]["seconds_min"]
+        n_key = "n_docs" if w == "dedup" else "n_vecs"
+        entry = {
+            "workload": m[w].get("workload", w),
+            "input": {n_key: m.get(n_key), "partitions": m["partitions"]},
+            "N_cores": lo_cores,
+            "N": {"seconds_min": t_lo, "seconds_all": lo[w]["seconds_all"],
+                  "passes": lo[w]["passes"]},
+            "4N_cores": hi_cores,
+            "4N": {"seconds_min": t_hi, "seconds_all": hi[w]["seconds_all"],
+                   "passes": hi[w]["passes"]},
+            "speedup": round(t_lo / t_hi, 3),
+            "efficiency": round(t_lo / t_hi / factor, 3),
+        }
+        if w == "dedup" and "capped_bucket_drops" in m:
+            entry["capped_bucket_drops"] = m["capped_bucket_drops"]
+        data[f"round4_{w}_{suffix}"] = entry
+        print(f"{w}: t{lo_cores}={t_lo} t{hi_cores}={t_hi} "
+              f"eff={entry['efficiency']}")
+    json.dump(data, open(path, "w"), indent=1)
+    print("wrote", path)
+
+
+if __name__ == "__main__":
+    main()

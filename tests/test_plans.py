@@ -177,3 +177,32 @@ class TestBroadcast:
         assert "Exchange" not in plan
         assert "Window" not in plan
         assert "Join" not in plan
+
+
+class TestRound4Plans:
+    def test_email_default_path_stays_jvm(self, spark, events):
+        """The r4 regex-parity rewrite must not move the default (non-idna)
+        Email/URL guards out of codegen; only idna=True may add an
+        ArrowEvalPython stage."""
+        df = events.select(F.col("props").alias("addr"),
+                           F.col("props").alias("url"))
+        q = ts.apply_schema(df, ts.Schema(
+            ts.Key("addr", ts.Email()), ts.Key("url", ts.URL())))
+        p = executed_plan_of(q)
+        assert "EvalPython" not in p
+        q2 = ts.apply_schema(df, ts.Schema(
+            ts.Key("addr", ts.Email(idna=True)),
+            ts.Key("url", ts.URL(idna=True))))
+        assert "ArrowEvalPython" in executed_plan_of(q2)
+
+    def test_per_language_stopwords_stay_scan_side(self, spark):
+        """quality_features(lang_col=...) is one scan-side projection:
+        the per-language marker lookup must add no Exchange and no
+        Python stage."""
+        from trafaret_spark.operators import textstats
+        docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        q = textstats.quality_features(docs, lang_col="lang") \
+            .select("doc_id", "stopword_ratio")
+        p = plan_of(q, "simple")
+        assert "Exchange" not in p
+        assert "EvalPython" not in executed_plan_of(q)
