@@ -696,6 +696,53 @@ def q_v_email_idna(spark, sf_dir):
     return out.select("event_id", "addr", _err_code())
 
 
+def q_cur_decontaminate(spark, sf_dir):
+    # benchmark = every 7th doc; corpus = the rest. n=3 portable grams so
+    # the DuckDB oracle reproduces the hash family bit-for-bit; min_hits=2
+    # exercises the threshold (1-gram brushes stay clean).
+    from trafaret_spark.operators import curation
+    docs = _t(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 7 == 0)
+    corpus = docs.filter(F.col("doc_id") % 7 != 0)
+    out = curation.ngram_decontaminate(corpus, bench, n=3, min_hits=2,
+                                       portable=True)
+    return out.select("doc_id",
+                      F.col("n_grams").cast("long").alias("n_grams"),
+                      F.col("n_hits").cast("long").alias("n_hits"),
+                      F.round("overlap_frac", 6).alias("overlap_frac"),
+                      "contaminated")
+
+
+def q_cur_cap_per_key(spark, sf_dir):
+    # per-(user, event_type) cap at 3 most-recent — runs the SALTED
+    # two-phase path (salt_partitions=4) so the hot-key plan is what gets
+    # attested; the oracle is the plain window definition the two-phase
+    # plan must equal exactly.
+    from trafaret_spark.operators import curation
+    ev = _t(spark, sf_dir, "events")
+    out = curation.cap_per_key(
+        ev, ["user_id", "event_type"], n=3,
+        order_by=[F.col("ts").desc(), F.col("event_id").desc()],
+        salt_partitions=4, salt_col="event_id")
+    return out.select("event_id", "user_id", "event_type")
+
+
+def q_cur_pack(spark, sf_dir):
+    # concat-and-chunk packing of the documents stream into 512-token
+    # packs, sharded 4 ways — pure prefix-sum arithmetic, exactly
+    # reproducible as a SQL cumulative window.
+    from trafaret_spark.operators import curation, textstats
+    docs = _t(spark, sf_dir, "documents") \
+        .select("doc_id", F.pmod("doc_id", F.lit(4)).alias("shard"),
+                textstats.token_count(F.col("text")).alias("n_tokens"))
+    out = curation.pack_sequences(docs, capacity=512, token_col="n_tokens",
+                                  order_by="doc_id", shard_col="shard")
+    return out.select("doc_id", "shard",
+                      F.col("pack_id").cast("long").alias("pack_id"),
+                      F.col("offset").cast("long").alias("offset"),
+                      "n_chunks")
+
+
 def q_time_rollup(spark, sf_dir):
     # decimal sum: exact and independent of partial-agg grouping order
     # (same rationale as f_salted_agg)
@@ -1034,6 +1081,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # round-4 additions
         "range_join_long": q_range_join_long,
         "v_email_idna": q_v_email_idna,
+        "cur_decontaminate": q_cur_decontaminate,
+        "cur_cap_per_key": q_cur_cap_per_key,
+        "cur_pack": q_cur_pack,
     }
     # Rotation (r3 verdict "Next round" #1): the driver attests at most 50
     # rows per round, so order the registry (== driver execution order) by
@@ -1869,6 +1919,50 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN event_id % 5 = 1
                         THEN 'is_not_valid_email' END AS err_code
             FROM events""",
+        "cur_decontaminate": f"""
+            WITH t AS (
+              SELECT doc_id,
+                     list_transform({_NORM_TOKS.format(src='text')},
+                                    t -> {_sql_tok31('t')}) AS th
+              FROM documents),
+            g AS (SELECT doc_id, {_sql_gram31('th', 3)} AS grams FROM t),
+            bench AS (SELECT list_distinct(flatten(list(grams))) AS bg
+                      FROM g WHERE doc_id % 7 = 0),
+            c AS (SELECT doc_id, grams FROM g WHERE doc_id % 7 <> 0)
+            SELECT c.doc_id, CAST(len(grams) AS BIGINT) AS n_grams,
+                   CAST(len(list_intersect(grams, bg)) AS BIGINT) AS n_hits,
+                   round(len(list_intersect(grams, bg))::DOUBLE
+                         / greatest(len(grams), 1), 6) AS overlap_frac,
+                   len(list_intersect(grams, bg)) >= 2 AS contaminated
+            FROM c CROSS JOIN bench""",
+        "cur_cap_per_key": """
+            SELECT event_id, user_id, event_type
+            FROM events
+            QUALIFY row_number() OVER (
+                PARTITION BY user_id, event_type
+                ORDER BY ts DESC, event_id DESC) <= 3""",
+        "cur_pack": r"""
+            WITH t AS (
+              SELECT doc_id, doc_id % 4 AS shard,
+                     CASE WHEN trim(text) = '' THEN 0
+                          ELSE len(string_split_regex(trim(text), '\s+'))
+                     END AS n_tokens
+              FROM documents),
+            c AS (
+              SELECT doc_id, shard, n_tokens,
+                     coalesce(SUM(n_tokens) OVER (
+                        PARTITION BY shard ORDER BY doc_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                        0) AS cb
+              FROM t)
+            SELECT doc_id, shard,
+                   CAST(floor(cb / 512) AS BIGINT) AS pack_id,
+                   CAST(cb % 512 AS BIGINT) AS offset,
+                   CAST(CASE WHEN n_tokens > 0
+                             THEN floor((cb + n_tokens - 1) / 512)
+                                  - floor(cb / 512) + 1
+                             ELSE 1 END AS BIGINT) AS n_chunks
+            FROM c""",
         "time_rollup": """
             WITH d AS (SELECT event_type, ts,
                               CAST(value AS DECIMAL(18,6)) AS v FROM events)

@@ -358,3 +358,110 @@ class TestRangeJoinLongPathObservability:
         plan = out._jdf.queryExecution().optimizedPlan().toString()
         assert "Union" not in plan  # fallback join pruned from the plan
         assert {(r.lid, r.rid_r) for r in out.collect()} == {(1, 0)}
+
+
+class TestCuration:
+    """ngram_decontaminate / cap_per_key / pack_sequences
+    (operators/curation.py): the dedup→tokenizer curation steps."""
+
+    def test_decontaminate_flags_and_fractions(self, spark):
+        from trafaret_spark.operators import curation
+        bench = spark.createDataFrame(
+            [(100, "the quick brown fox jumps over the lazy dog")],
+            "doc_id long, text string")
+        corpus = spark.createDataFrame(
+            [(1, "the quick brown fox jumps over the lazy dog"),  # exact
+             (2, "he said the quick brown fox runs far away today"),
+             (3, "completely unrelated words with nothing shared here"),
+             (4, "fox")],  # short doc: whole-text fold, no 3-gram match
+            "doc_id long, text string")
+        out = {r.doc_id: r for r in curation.ngram_decontaminate(
+            corpus, bench, n=3, min_hits=1).collect()}
+        assert out[1].contaminated and out[1].overlap_frac == 1.0
+        # doc 2 shares exactly 'the quick brown' + 'quick brown fox'
+        assert out[2].n_hits == 2 and out[2].contaminated
+        assert not out[3].contaminated and out[3].n_hits == 0
+        assert not out[4].contaminated and out[4].n_grams == 1
+        # end-state variant removes exactly the flagged ids
+        kept = {r.doc_id for r in curation.decontaminate(
+            corpus, bench, n=3, min_hits=1).collect()}
+        assert kept == {3, 4}
+
+    def test_decontaminate_min_hits_threshold(self, spark):
+        from trafaret_spark.operators import curation
+        bench = spark.createDataFrame(
+            [(0, "alpha beta gamma delta")], "doc_id long, text string")
+        corpus = spark.createDataFrame(
+            [(1, "alpha beta gamma nine eight seven")],  # 1 shared 3-gram
+            "doc_id long, text string")
+        one = curation.ngram_decontaminate(corpus, bench, n=3,
+                                           min_hits=1).collect()[0]
+        two = curation.ngram_decontaminate(corpus, bench, n=3,
+                                           min_hits=2).collect()[0]
+        assert one.n_hits == 1 and one.contaminated and not two.contaminated
+
+    def test_decontaminate_plan(self, spark):
+        """Benchmark side broadcasts; corpus side never sort-merge-joins
+        and stays Python-free."""
+        from trafaret_spark.operators import curation
+        docs = spark.read.parquet(
+            "/root/testdata/sf0.001/documents.parquet")
+        q = curation.ngram_decontaminate(
+            docs.filter(F.col("doc_id") % 7 != 0),
+            docs.filter(F.col("doc_id") % 7 == 0), n=3)
+        p = q._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" in p
+        assert "SortMergeJoin" not in p
+        assert "EvalPython" not in p
+
+    def test_cap_per_key_salted_equals_plain(self, spark):
+        """The two-phase hot-key path must return EXACTLY the plain
+        window's rows (exactness argument: every true top-n row wins its
+        own salt bucket)."""
+        from trafaret_spark.operators import curation
+        ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+        order = [F.col("ts").desc(), F.col("event_id").desc()]
+        plain = curation.cap_per_key(ev, ["user_id", "event_type"], 3,
+                                     order_by=order)
+        salted = curation.cap_per_key(ev, ["user_id", "event_type"], 3,
+                                      order_by=order,
+                                      salt_partitions=4, salt_col="event_id")
+        a = {r.event_id for r in plain.select("event_id").collect()}
+        b = {r.event_id for r in salted.select("event_id").collect()}
+        assert a == b and len(a) > 0
+        with pytest.raises(ValueError):
+            curation.cap_per_key(ev, "user_id", 3, order_by=order,
+                                 salt_partitions=4)
+
+    def test_pack_sequences_hand_example(self, spark):
+        from trafaret_spark.operators import curation
+        df = spark.createDataFrame(
+            [(1, 4), (2, 5), (3, 3), (4, 10), (5, 0), (6, 12)],
+            "doc_id long, n_tokens long")
+        out = {r.doc_id: (r.pack_id, r.offset, r.n_chunks)
+               for r in curation.pack_sequences(
+                   df, capacity=10, order_by="doc_id").collect()}
+        assert out == {1: (0, 0, 1), 2: (0, 4, 1), 3: (0, 9, 2),
+                       4: (1, 2, 2), 5: (2, 2, 1), 6: (2, 2, 2)}
+
+    def test_pack_sequences_sharded_plan_and_totals(self, spark):
+        """One exchange (the shard window); every pack except a shard's
+        last is exactly full: sum(tokens) in shard == (max pack_id)*cap +
+        last-doc end offset."""
+        from trafaret_spark.operators import curation, textstats
+        docs = spark.read.parquet(
+            "/root/testdata/sf0.001/documents.parquet") \
+            .select("doc_id", F.pmod("doc_id", F.lit(4)).alias("shard"),
+                    textstats.token_count(F.col("text")).alias("n_tokens"))
+        out = curation.pack_sequences(docs, capacity=512,
+                                      token_col="n_tokens",
+                                      order_by="doc_id", shard_col="shard")
+        p = out._jdf.queryExecution().executedPlan().toString()
+        assert p.count("Exchange hashpartitioning") == 1
+        rows = out.collect()
+        for shard in {r.shard for r in rows}:
+            sh = sorted((r for r in rows if r.shard == shard),
+                        key=lambda r: r.doc_id)
+            total = sum(r.n_tokens for r in sh)
+            last = sh[-1]
+            assert last.pack_id * 512 + last.offset + last.n_tokens == total

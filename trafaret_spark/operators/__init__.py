@@ -10,6 +10,12 @@ from trafaret_spark.operators.features import (
     sessionize,
     time_rollup,
 )
+from trafaret_spark.operators.curation import (
+    cap_per_key,
+    decontaminate,
+    ngram_decontaminate,
+    pack_sequences,
+)
 from trafaret_spark.operators.rangejoin import range_join
 from trafaret_spark.operators.sampling import (
     sample_by_hash,
@@ -20,4 +26,5 @@ __all__ = [
     "asof_join", "range_join",
     "Features", "LeakageError", "sessionize", "session_stats", "backfill",
     "time_rollup", "sample_by_hash", "stratified_sample_by_hash",
+    "ngram_decontaminate", "decontaminate", "cap_per_key", "pack_sequences",
 ]

@@ -1,0 +1,171 @@
+"""Corpus-curation operators for training-data pipelines: benchmark
+decontamination, per-key caps, and sequence packing.
+
+These cover the three standard steps between dedup and the tokenizer in a
+web-scale curation flow:
+
+  * ``ngram_decontaminate`` — flag/remove corpus documents that share
+    n-grams with an evaluation benchmark (the GPT-3 appendix-C / Llama
+    style 13-gram overlap check). Spark plan: the benchmark's distinct
+    gram-hash set is orders of magnitude smaller than the corpus, so it
+    BROADCASTS; the corpus side is one scan (shingle hashes are computed
+    once per row, exploded, hash-joined map-side) and the per-doc hit
+    count partially aggregates before its shuffle. No all-pairs join
+    anywhere.
+  * ``cap_per_key`` — keep at most ``n`` rows per key (per-domain caps,
+    per-source quotas). Exact two-phase mode bounds hot keys: a salted
+    partial top-n runs before the per-key exchange, so no single reducer
+    ever sorts a whole hot domain.
+  * ``pack_sequences`` — concat-and-chunk packing: assign every document
+    its pack id / offset under a fixed token capacity, the exact layout a
+    sequence-packed training run reads. Pure window arithmetic over a
+    cumulative token sum — one exchange per shard column.
+
+Shingle semantics (normalization, whole-text fold for short docs, the
+fast/portable hash families) are shared with the dedup family —
+operators/dedup.py `shingle_hashes` — so decontamination buckets agree
+bit-for-bit with the minhash/Jaccard operators' view of a document.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence, Union
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from trafaret_spark.operators.dedup import shingle_hashes
+
+__all__ = ["ngram_decontaminate", "decontaminate", "cap_per_key",
+           "pack_sequences"]
+
+
+def ngram_decontaminate(corpus: DataFrame, benchmark: DataFrame,
+                        text_col: str = "text", id_col: str = "doc_id",
+                        n: int = 13, min_hits: int = 1,
+                        portable: bool = False,
+                        broadcast_benchmark: bool = True) -> DataFrame:
+    """Per-document benchmark-overlap report.
+
+    Returns one row per corpus document: ``id_col``, ``n_grams`` (distinct
+    n-gram count), ``n_hits`` (how many of them appear anywhere in the
+    benchmark), ``overlap_frac`` = n_hits/n_grams, and ``contaminated``
+    (n_hits >= min_hits). Documents shorter than ``n`` tokens fold to a
+    single whole-text gram (same rule as `dedup.shingles`), so exact short
+    duplicates of benchmark lines still flag.
+
+    Scale story (100 TB corpus, ~10^7-gram benchmark): the benchmark gram
+    set reduces to distinct hashes and broadcasts (`broadcast_benchmark`),
+    so the corpus side is ONE scan — shingle hashes computed once per row,
+    exploded, left-joined against the broadcast map-side — and the only
+    exchange carries one partially-aggregated row per document (exploded
+    rows of a doc are co-partitioned, so the per-doc count collapses
+    before the shuffle). ``portable=True`` selects the md5/mod-M31 hash
+    family the DuckDB oracle reproduces bit-for-bit.
+    """
+    grams = shingle_hashes(F.col(text_col), n=n, portable=portable)
+    bench = (benchmark.select(F.explode(
+        shingle_hashes(F.col(text_col), n=n, portable=portable))
+        .alias("gram")).distinct()
+        .withColumn("_hit", F.lit(1)))
+    if broadcast_benchmark:
+        bench = F.broadcast(bench)
+    corpus_g = corpus.select(F.col(id_col), grams.alias("_grams")) \
+        .select(id_col, F.size("_grams").alias("n_grams"),
+                F.explode("_grams").alias("gram"))
+    out = (corpus_g.join(bench, "gram", "left")
+           .groupBy(id_col)
+           .agg(F.max("n_grams").alias("n_grams"),
+                F.count("_hit").alias("n_hits")))
+    return out.select(
+        id_col, "n_grams", "n_hits",
+        F.round(F.col("n_hits") / F.greatest(F.col("n_grams"), F.lit(1)),
+                9).alias("overlap_frac"),
+        (F.col("n_hits") >= F.lit(min_hits)).alias("contaminated"))
+
+
+def decontaminate(corpus: DataFrame, benchmark: DataFrame,
+                  text_col: str = "text", id_col: str = "doc_id",
+                  n: int = 13, min_hits: int = 1,
+                  portable: bool = False,
+                  broadcast_benchmark: bool = True) -> DataFrame:
+    """The end-state: corpus rows (all columns) with contaminated documents
+    removed — `ngram_decontaminate` distilled to an anti-join against the
+    flagged id set (small: broadcast by AQE when it fits)."""
+    flagged = ngram_decontaminate(
+        corpus, benchmark, text_col=text_col, id_col=id_col, n=n,
+        min_hits=min_hits, portable=portable,
+        broadcast_benchmark=broadcast_benchmark) \
+        .filter(F.col("contaminated")).select(id_col)
+    return corpus.join(flagged, id_col, "left_anti")
+
+
+def cap_per_key(df: DataFrame, key_cols: Union[str, Sequence[str]],
+                n: int, order_by: Sequence[Column],
+                salt_partitions: Optional[int] = None,
+                salt_col: Optional[str] = None) -> DataFrame:
+    """Keep at most ``n`` rows per key — per-domain caps, per-source quotas.
+
+    ``order_by`` must be a TOTAL order within a key (include a unique
+    tiebreak column) or the kept set is nondeterministic under retries.
+
+    Default plan: one `row_number` window (one exchange + per-key sort).
+    A key holding 10^9 rows makes that one task's sort; for such hot keys
+    pass ``salt_partitions=S`` and ``salt_col=<unique col>``: a partial
+    top-n runs per (key, pmod(xxhash64(salt_col), S)) BEFORE the per-key
+    exchange, so at most n·S rows per key reach the final window — the
+    same two-phase shape as `partitioning.salted_agg`. Exact for any
+    ``salt_col``: every row of the true top-n wins its own salt bucket.
+    """
+    keys = [key_cols] if isinstance(key_cols, str) else list(key_cols)
+    if salt_partitions is not None:
+        if salt_col is None:
+            raise ValueError("salt_partitions requires salt_col "
+                             "(a unique column to derive salt buckets)")
+        salt = F.pmod(F.xxhash64(F.col(salt_col)), F.lit(salt_partitions))
+        pre = Window.partitionBy(*keys, salt).orderBy(*order_by)
+        df = df.withColumn("_pre_rn", F.row_number().over(pre)) \
+            .filter(F.col("_pre_rn") <= n).drop("_pre_rn")
+    w = Window.partitionBy(*keys).orderBy(*order_by)
+    return df.withColumn("_rn", F.row_number().over(w)) \
+        .filter(F.col("_rn") <= n).drop("_rn")
+
+
+def pack_sequences(df: DataFrame, capacity: int,
+                   token_col: str = "n_tokens",
+                   order_by: Union[str, Sequence[str]] = "doc_id",
+                   shard_col: Optional[str] = None) -> DataFrame:
+    """Concat-and-chunk sequence packing: the token stream formed by
+    concatenating documents in ``order_by`` order is cut into fixed
+    ``capacity``-token packs, and every document is annotated with where
+    it lands: ``pack_id`` (pack containing its first token), ``offset``
+    (its first token's position within that pack) and ``n_chunks`` (how
+    many packs it spans — 1 unless it straddles a boundary).
+
+    This is the layout GPT-style pretraining actually reads (documents
+    are not padded; they straddle pack boundaries), so the assignment is
+    pure prefix-sum arithmetic: cum_before = sum(tokens) over the
+    preceding rows; pack_id = cum_before div capacity. Zero-token rows
+    get n_chunks = 1 at their current offset.
+
+    Scale: one window exchange on ``shard_col`` (pack ids are then local
+    to a shard — at 10^12 docs pack WITHIN shards; a global single-stream
+    order (shard_col=None) funnels the cumsum through one partition and
+    is only for small frames). ``order_by`` must be a total order within
+    a shard for a deterministic layout.
+    """
+    order = [order_by] if isinstance(order_by, str) else list(order_by)
+    part = [shard_col] if shard_col is not None else [F.lit(0)]
+    w = Window.partitionBy(*part).orderBy(*order) \
+        .rowsBetween(Window.unboundedPreceding, -1)
+    cum_before = F.coalesce(F.sum(token_col).over(w),
+                            F.lit(0).cast("long"))
+    tok = F.col(token_col).cast("long")
+    pack_id = F.floor(cum_before / capacity)
+    last_pack = F.floor((cum_before + tok - F.lit(1)) / capacity)
+    return df.select(
+        "*",
+        pack_id.alias("pack_id"),
+        F.pmod(cum_before, F.lit(capacity)).alias("offset"),
+        F.when(tok > 0, last_pack - pack_id + 1).otherwise(F.lit(1))
+        .cast("long").alias("n_chunks"))
