@@ -5,6 +5,8 @@ observability / robustness surfaces added this round."""
 import math
 
 import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
 from pyspark.sql import Row, functions as F, types as T
 
 import trafaret_spark as ts
@@ -465,3 +467,45 @@ class TestCuration:
             total = sum(r.n_tokens for r in sh)
             last = sh[-1]
             assert last.pack_id * 512 + last.offset + last.n_tokens == total
+
+
+class TestCurationProperties:
+    """Randomized pins for the two curation algorithms with nontrivial
+    arithmetic: packing vs a sequential Python reference, and the salted
+    two-phase cap vs the plain window on adversarial tie/hot-key shapes."""
+
+    @settings(max_examples=20, deadline=None,
+              suppress_health_check=[HealthCheck.function_scoped_fixture])
+    @given(st.lists(st.integers(0, 37), min_size=1, max_size=40),
+           st.integers(1, 23))
+    def test_pack_matches_sequential_reference(self, spark, tokens, cap):
+        from trafaret_spark.operators import curation
+        df = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(tokens)],
+            "doc_id long, n_tokens long").repartition(4)
+        got = {r.doc_id: (r.pack_id, r.offset, r.n_chunks)
+               for r in curation.pack_sequences(
+                   df, capacity=cap, order_by="doc_id").collect()}
+        cum = 0
+        for i, t in enumerate(tokens):
+            pack, off = divmod(cum, cap)
+            chunks = ((cum + t - 1) // cap - pack + 1) if t > 0 else 1
+            assert got[i] == (pack, off, chunks), (i, t, cum, cap)
+            cum += t
+
+    @settings(max_examples=15, deadline=None,
+              suppress_health_check=[HealthCheck.function_scoped_fixture])
+    @given(st.lists(st.tuples(st.integers(0, 2), st.integers(0, 5),
+                              st.integers(0, 999)),
+                    min_size=1, max_size=60, unique_by=lambda r: r[2]),
+           st.integers(1, 4), st.integers(1, 5))
+    def test_salted_cap_equals_plain(self, spark, rows, n, salts):
+        from trafaret_spark.operators import curation
+        df = spark.createDataFrame(rows, "k long, v long, uid long") \
+            .repartition(4)
+        order = [F.col("v").desc(), F.col("uid").asc()]
+        plain = curation.cap_per_key(df, "k", n, order_by=order)
+        salted = curation.cap_per_key(df, "k", n, order_by=order,
+                                      salt_partitions=salts, salt_col="uid")
+        assert ({tuple(r) for r in plain.collect()}
+                == {tuple(r) for r in salted.collect()})

@@ -117,6 +117,8 @@ def cap_per_key(df: DataFrame, key_cols: Union[str, Sequence[str]],
     same two-phase shape as `partitioning.salted_agg`. Exact for any
     ``salt_col``: every row of the true top-n wins its own salt bucket.
     """
+    if n < 1:
+        raise ValueError(f"n must be >= 1, got {n}")
     keys = [key_cols] if isinstance(key_cols, str) else list(key_cols)
     if salt_partitions is not None:
         if salt_col is None:
@@ -124,11 +126,11 @@ def cap_per_key(df: DataFrame, key_cols: Union[str, Sequence[str]],
                              "(a unique column to derive salt buckets)")
         salt = F.pmod(F.xxhash64(F.col(salt_col)), F.lit(salt_partitions))
         pre = Window.partitionBy(*keys, salt).orderBy(*order_by)
-        df = df.withColumn("_pre_rn", F.row_number().over(pre)) \
-            .filter(F.col("_pre_rn") <= n).drop("_pre_rn")
+        df = df.withColumn("__cap_pre_rn", F.row_number().over(pre)) \
+            .filter(F.col("__cap_pre_rn") <= n).drop("__cap_pre_rn")
     w = Window.partitionBy(*keys).orderBy(*order_by)
-    return df.withColumn("_rn", F.row_number().over(w)) \
-        .filter(F.col("_rn") <= n).drop("_rn")
+    return df.withColumn("__cap_rn", F.row_number().over(w)) \
+        .filter(F.col("__cap_rn") <= n).drop("__cap_rn")
 
 
 def pack_sequences(df: DataFrame, capacity: int,
@@ -146,7 +148,10 @@ def pack_sequences(df: DataFrame, capacity: int,
     are not padded; they straddle pack boundaries), so the assignment is
     pure prefix-sum arithmetic: cum_before = sum(tokens) over the
     preceding rows; pack_id = cum_before div capacity. Zero-token rows
-    get n_chunks = 1 at their current offset.
+    get n_chunks = 1 at their current offset. ``token_col`` must be
+    non-negative (a negative count corrupts every later offset in its
+    shard — validate upstream; a count this operator could trust is
+    exactly what `textstats.token_count` produces).
 
     Scale: one window exchange on ``shard_col`` (pack ids are then local
     to a shard — at 10^12 docs pack WITHIN shards; a global single-stream
@@ -154,6 +159,12 @@ def pack_sequences(df: DataFrame, capacity: int,
     is only for small frames). ``order_by`` must be a total order within
     a shard for a deterministic layout.
     """
+    if capacity < 1:
+        raise ValueError(f"capacity must be >= 1, got {capacity}")
+    clash = {"pack_id", "offset", "n_chunks"} & set(df.columns)
+    if clash:
+        raise ValueError(f"input already has columns {sorted(clash)}; "
+                         f"rename them before packing")
     order = [order_by] if isinstance(order_by, str) else list(order_by)
     part = [shard_col] if shard_col is not None else [F.lit(0)]
     w = Window.partitionBy(*part).orderBy(*order) \
