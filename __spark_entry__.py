@@ -15,11 +15,12 @@ from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 import trafaret_spark as ts
-from trafaret_spark.operators import (dedup, features, multimodal,
-                                      sampling, similarity, textstats)
+from trafaret_spark.operators import (conversations, dedup, features,
+                                      multimodal, sampling, similarity,
+                                      textstats)
 from trafaret_spark.operators.asof import asof_join
 
 EVENT_TYPES = ["click", "view", "signup", "purchase"]  # 'error' fails the Enum
@@ -743,6 +744,91 @@ def q_cur_pack(spark, sf_dir):
                       "n_chunks")
 
 
+def _transcript(spark, sf_dir):
+    """Deterministic transcript-shaped frame (conv_id, turn_idx, role,
+    text, ts, event_id) derived from `events` — the BASELINE input_hint
+    shape, reproducible as a SQL CTE (`_TRANSCRIPT_CTE`) so every
+    conversation-operator query gets a full value-level oracle. Every
+    structural defect class is seeded on purpose so all five turn_errors
+    codes fire on driver data: error→'tool' breaks alternation and opens
+    conversations illegally; dropping event_id%53 rows AFTER ranking
+    punches holes in turn_idx (turn_gap); shifting error-turn timestamps
+    back an hour manufactures ts_regress without touching the (unique)
+    turn_idx ordering key."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("event_id")
+    t = ev.withColumn("turn_idx", (F.row_number().over(w) - 1).cast("long")) \
+        .filter(F.col("event_id") % 53 != 0)
+    return t.select(
+        F.col("user_id").cast("string").alias("conv_id"),
+        "turn_idx",
+        F.when(F.col("event_type") == "error", F.lit("tool"))
+         .when(F.col("turn_idx") == 0, F.lit("system"))
+         .when(F.col("turn_idx") % 2 == 1, F.lit("user"))
+         .otherwise(F.lit("assistant")).alias("role"),
+        F.col("props").alias("text"),
+        F.when(F.col("event_type") == "error",
+               F.col("ts") - F.expr("INTERVAL 1 HOUR"))
+         .otherwise(F.col("ts")).alias("ts"),
+        "event_id")
+
+
+def q_conv_turn_errors(spark, sf_dir):
+    # per-turn structural error codes, joined to a comma string so the
+    # array contents (and their check order) are hash-attested
+    t = _transcript(spark, sf_dir)
+    out = conversations.turn_errors(t)
+    return out.select("conv_id", "turn_idx", "role",
+                      F.array_join("turn_errs", ",").alias("errs"))
+
+
+def q_conv_report(spark, sf_dir):
+    t = _transcript(spark, sf_dir)
+    out = conversations.conversation_report(t)
+    return out.select("conv_id", F.col("n_turns").cast("long").alias("n_turns"),
+                      F.col("n_bad_turns").cast("long").alias("n_bad_turns"),
+                      "first_err", "is_valid")
+
+
+def q_conv_stutter(spark, sf_dir):
+    # collapse consecutive repeated (role, first-char-of-text) turns —
+    # the coarse text key manufactures real stutter runs in `events`
+    t = _transcript(spark, sf_dir) \
+        .withColumn("tkey", F.substring("text", 1, 1))
+    out = conversations.dedup_stutter(t, text_col="tkey")
+    return out.select("conv_id", "turn_idx", "role", "tkey")
+
+
+def q_conv_truncate(spark, sf_dir):
+    # head-truncate each conversation to a 120-codepoint budget at turn
+    # boundaries (token_col = length(text))
+    t = _transcript(spark, sf_dir) \
+        .withColumn("n_tokens", F.length("text").cast("long"))
+    out = conversations.truncate_turns(t, 120, token_col="n_tokens")
+    return out.select("conv_id", "turn_idx", "n_tokens")
+
+
+def q_conv_render(spark, sf_dir):
+    # byte-equality surface: one deterministic render per conversation —
+    # the DuckDB oracle's string_agg must agree on every byte
+    t = _transcript(spark, sf_dir)
+    out = conversations.render_conversation(t)
+    return out.select("conv_id", F.col("n_turns").cast("long").alias("n_turns"),
+                      F.col("n_chars").cast("long").alias("n_chars"),
+                      "rendered")
+
+
+def q_mixture_sample(spark, sf_dir):
+    # data-mixture downsample of documents to 50% en / 20% de / 30% zh
+    # (binding domain keeps everything); portable hash family so the
+    # oracle recomputes membership AND the thresholds bit-for-bit
+    docs = _t(spark, sf_dir, "documents")
+    out = sampling.mixture_sample(docs, "lang",
+                                  {"en": 0.5, "de": 0.2, "zh": 0.3},
+                                  key_cols="doc_id", seed=11, portable=True)
+    return out.select("doc_id", "lang")
+
+
 def q_time_rollup(spark, sf_dir):
     # decimal sum: exact and independent of partial-agg grouping order
     # (same rationale as f_salted_agg)
@@ -1084,6 +1170,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cur_decontaminate": q_cur_decontaminate,
         "cur_cap_per_key": q_cur_cap_per_key,
         "cur_pack": q_cur_pack,
+        "conv_turn_errors": q_conv_turn_errors,
+        "conv_report": q_conv_report,
+        "conv_stutter": q_conv_stutter,
+        "conv_truncate": q_conv_truncate,
+        "conv_render": q_conv_render,
+        "mixture_sample": q_mixture_sample,
     }
     # Rotation (r3 verdict "Next round" #1): the driver attests at most 50
     # rows per round, so order the registry (== driver execution order) by
@@ -1473,6 +1565,60 @@ def _sample_hash_sql(seed: int) -> str:
     key = (f"concat_ws(chr(31), '{seed}', "
            f"coalesce(CAST(doc_id AS VARCHAR), chr(30)))")
     return _sql_tok31(key)
+
+
+# Shared CTEs for the conversation-operator oracles: the same transcript
+# derivation as _transcript() (dense turn_idx over event_id, mixed
+# legal/illegal roles), plus the per-turn lag frame turn_errors uses.
+_TRANSCRIPT_CTE = """
+    t0 AS (
+      SELECT CAST(user_id AS VARCHAR) AS conv_id,
+             CAST(row_number() OVER (PARTITION BY user_id ORDER BY event_id)
+                  - 1 AS BIGINT) AS turn_idx,
+             event_type, props AS text, ts, event_id
+      FROM events),
+    tr AS (
+      SELECT conv_id, turn_idx,
+             CASE WHEN event_type = 'error' THEN 'tool'
+                  WHEN turn_idx = 0 THEN 'system'
+                  WHEN turn_idx % 2 = 1 THEN 'user'
+                  ELSE 'assistant' END AS role,
+             text,
+             CASE WHEN event_type = 'error' THEN ts - INTERVAL 1 HOUR
+                  ELSE ts END AS ts,
+             event_id
+      FROM t0 WHERE event_id % 53 <> 0)"""
+
+_TURN_LAG_CTE = """
+    lg AS (
+      SELECT conv_id, turn_idx, role, text, ts,
+             lag(turn_idx) OVER w AS p_turn,
+             lag(role) OVER w AS p_role,
+             lag(ts) OVER w AS p_ts
+      FROM tr
+      WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx))"""
+
+# Fired codes joined by ',' in the engine's check order (turn_gap,
+# null_role, bad_start_role, bad_transition, ts_regress) — concat_ws
+# skips the NULL (unfired) slots in both engines. The transition list is
+# sorted(conversations.DEFAULT_TRANSITIONS).
+_TURN_ERRS_SQL = """concat_ws(',',
+  CASE WHEN (p_turn IS NULL AND turn_idx <> 0)
+         OR (p_turn IS NOT NULL AND turn_idx <> p_turn + 1)
+       THEN 'turn_gap' END,
+  CASE WHEN role IS NULL THEN 'null_role' END,
+  CASE WHEN p_turn IS NULL AND role IS NOT NULL
+         AND role NOT IN ('system', 'user') THEN 'bad_start_role' END,
+  CASE WHEN p_turn IS NOT NULL AND role IS NOT NULL AND p_role IS NOT NULL
+         AND NOT ((p_role = 'assistant' AND role = 'tool')
+               OR (p_role = 'assistant' AND role = 'user')
+               OR (p_role = 'system' AND role = 'user')
+               OR (p_role = 'tool' AND role = 'assistant')
+               OR (p_role = 'tool' AND role = 'tool')
+               OR (p_role = 'user' AND role = 'assistant'))
+       THEN 'bad_transition' END,
+  CASE WHEN ts IS NOT NULL AND p_ts IS NOT NULL AND ts < p_ts
+       THEN 'ts_regress' END)"""
 
 
 def _sample_oracle(rate: float, seed: int) -> str:
@@ -2116,4 +2262,82 @@ def oracle_sql() -> dict[str, str]:
                    CAST(nb AS BIGINT) AS n_samples,
                    TRUE AS decode_ok
             FROM h""",
+        # conversation-structure operators: shared transcript derivation
+        # (_TRANSCRIPT_CTE) + lag frame (_TURN_LAG_CTE) + the per-turn
+        # error expression (_TURN_ERRS_SQL) mirror conversations.py exactly
+        "conv_turn_errors": f"""
+            WITH {_TRANSCRIPT_CTE},
+            {_TURN_LAG_CTE}
+            SELECT conv_id, turn_idx, role, {_TURN_ERRS_SQL} AS errs
+            FROM lg""",
+        "conv_report": f"""
+            WITH {_TRANSCRIPT_CTE},
+            {_TURN_LAG_CTE},
+            e AS (
+              SELECT conv_id, turn_idx, {_TURN_ERRS_SQL} AS errs FROM lg)
+            SELECT conv_id,
+                   count(*) AS n_turns,
+                   CAST(coalesce(sum(CASE WHEN errs <> '' THEN 1 END), 0)
+                        AS BIGINT) AS n_bad_turns,
+                   min_by(string_split(errs, ',')[1], turn_idx)
+                     FILTER (WHERE errs <> '') AS first_err,
+                   coalesce(sum(CASE WHEN errs <> '' THEN 1 END), 0) = 0
+                     AS is_valid
+            FROM e GROUP BY conv_id""",
+        "conv_stutter": f"""
+            WITH {_TRANSCRIPT_CTE},
+            s AS (
+              SELECT conv_id, turn_idx, role, substr(text, 1, 1) AS tkey,
+                     lag(role) OVER w AS p_role,
+                     lag(substr(text, 1, 1)) OVER w AS p_tkey,
+                     lag(turn_idx) OVER w AS p_turn
+              FROM tr
+              WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx))
+            SELECT conv_id, turn_idx, role, tkey
+            FROM s
+            WHERE NOT (role IS NOT DISTINCT FROM p_role
+                       AND tkey IS NOT DISTINCT FROM p_tkey
+                       AND p_turn IS NOT NULL)""",
+        "conv_truncate": f"""
+            WITH {_TRANSCRIPT_CTE},
+            c AS (
+              SELECT conv_id, turn_idx,
+                     CAST(length(text) AS BIGINT) AS n_tokens,
+                     sum(coalesce(length(text), 0)) OVER (
+                       PARTITION BY conv_id ORDER BY turn_idx
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS cum
+              FROM tr)
+            SELECT conv_id, turn_idx, n_tokens FROM c WHERE cum <= 120""",
+        "conv_render": f"""
+            WITH {_TRANSCRIPT_CTE},
+            r AS (
+              SELECT conv_id,
+                     count(*) AS n_turns,
+                     string_agg('<|' || coalesce(role, '') || '|>'
+                                || coalesce(text, ''),
+                                chr(10) ORDER BY turn_idx) AS rendered
+              FROM tr GROUP BY conv_id)
+            SELECT conv_id, n_turns, CAST(length(rendered) AS BIGINT)
+                     AS n_chars, rendered
+            FROM r""",
+        # mixture_sample: thresholds recomputed in-SQL with the exact FP
+        # operation order of sampling.mixture_thresholds (normative:
+        # ((D * w_d) * cnt_b) / (w_b * cnt_d), D = M31 portable); binding
+        # domain = argmin(cnt/wt, lang); membership via the portable
+        # doc_id hash (seed 11)
+        "mixture_sample": f"""
+            WITH c AS (SELECT lang, CAST(count(*) AS DOUBLE) AS cnt
+                       FROM documents GROUP BY lang),
+            w(lang, wt) AS (VALUES ('de', 0.2), ('en', 0.5), ('zh', 0.3)),
+            j AS (SELECT c.lang, c.cnt, w.wt FROM c JOIN w USING (lang)),
+            b AS (SELECT cnt AS cb, wt AS wb FROM j
+                  ORDER BY cnt / wt, lang LIMIT 1),
+            thr AS (SELECT j.lang,
+                           least({_M31}, floor((({_M31} * j.wt) * b.cb)
+                                               / (b.wb * j.cnt))) AS t
+                    FROM j CROSS JOIN b)
+            SELECT d.doc_id, d.lang
+            FROM documents d JOIN thr ON d.lang = thr.lang
+            WHERE {_sample_hash_sql(11)} < thr.t""",
     }

@@ -1,0 +1,264 @@
+"""Conversation-structure operators: per-turn error codes, per-conversation
+reports, stutter dedup, token-budget truncation, deterministic rendering —
+plus the data-mixture sampler. Complements the driver oracles (which attest
+DuckDB value parity on events-derived transcripts) with hand-built
+conversations whose expected codes are known by construction."""
+
+import datetime as dt
+import math
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from trafaret_spark.operators import conversations, sampling
+from trafaret_spark.operators.hashing import M31
+
+
+def _ts(minute):
+    return dt.datetime(2024, 1, 1, 0, minute)
+
+
+def _conv(spark, rows):
+    return spark.createDataFrame([
+        Row(conv_id=c, turn_idx=i, role=r, text=t, ts=ts)
+        for (c, i, r, t, ts) in rows])
+
+
+@pytest.fixture(scope="module")
+def legal(spark):
+    # a perfectly legal conversation: system -> user -> assistant -> tool
+    # -> tool -> assistant -> user
+    return _conv(spark, [
+        ("a", 0, "system", "sys prompt", _ts(0)),
+        ("a", 1, "user", "hi", _ts(1)),
+        ("a", 2, "assistant", "hello", _ts(2)),
+        ("a", 3, "tool", "result", _ts(3)),
+        ("a", 4, "tool", "result2", _ts(4)),
+        ("a", 5, "assistant", "done", _ts(5)),
+        ("a", 6, "user", "thanks", _ts(6)),
+    ])
+
+
+class TestTurnErrors:
+    def test_legal_conversation_is_clean(self, legal):
+        out = conversations.turn_errors(legal).collect()
+        assert all(r.turn_errs == [] for r in out)
+
+    def test_each_code_fires(self, spark):
+        df = _conv(spark, [
+            ("b", 1, "tool", "x", _ts(0)),      # gap (starts at 1) + bad start
+            ("b", 3, "user", "y", _ts(2)),      # gap (1->3), tool->user illegal
+            ("b", 4, None, "z", _ts(1)),        # null role, ts regresses
+        ])
+        got = {r.turn_idx: r.turn_errs
+               for r in conversations.turn_errors(df).collect()}
+        assert got[1] == ["turn_gap", "bad_start_role"]
+        assert got[3] == ["turn_gap", "bad_transition"]
+        assert got[4] == ["null_role", "ts_regress"]
+
+    def test_dense_from_none_skips_gap_check(self, spark):
+        df = _conv(spark, [("c", 5, "user", "x", _ts(0)),
+                           ("c", 9, "assistant", "y", _ts(1))])
+        out = conversations.turn_errors(df, dense_from=None).collect()
+        assert all(r.turn_errs == [] for r in out)
+
+    def test_ts_col_none_skips_regress(self, spark):
+        df = _conv(spark, [("d", 0, "user", "x", _ts(5)),
+                           ("d", 1, "assistant", "y", _ts(1))])
+        out = {r.turn_idx: r.turn_errs
+               for r in conversations.turn_errors(df, ts_col=None).collect()}
+        assert out[1] == []
+
+    def test_custom_policy(self, spark):
+        df = _conv(spark, [("e", 0, "user", "x", _ts(0)),
+                           ("e", 1, "user", "y", _ts(1))])
+        out = {r.turn_idx: r.turn_errs for r in conversations.turn_errors(
+            df, transitions=frozenset({("user", "user")})).collect()}
+        assert out[1] == []
+
+    def test_single_exchange_plan(self, legal):
+        plan = conversations.turn_errors(legal) \
+            ._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("Exchange") == 1
+        assert "EvalPython" not in plan
+
+
+class TestConversationReport:
+    def test_report_shape(self, spark, legal):
+        bad = _conv(spark, [
+            ("b", 0, "user", "x", _ts(0)),
+            ("b", 1, "tool", "y", _ts(1)),      # user->tool illegal
+            ("b", 2, "assistant", "z", _ts(2)),
+        ])
+        out = {r.conv_id: r for r in conversations.conversation_report(
+            legal.unionByName(bad)).collect()}
+        a, b = out["a"], out["b"]
+        assert (a.n_turns, a.n_bad_turns, a.first_err, a.is_valid) == \
+            (7, 0, None, True)
+        assert (b.n_turns, b.n_bad_turns, b.first_err, b.is_valid) == \
+            (3, 1, "bad_transition", False)
+
+    def test_first_err_is_earliest_turn(self, spark):
+        df = _conv(spark, [
+            ("c", 0, "user", "x", _ts(5)),
+            ("c", 1, "assistant", "y", _ts(1)),   # ts_regress at turn 1
+            ("c", 2, None, "z", _ts(2)),          # null_role at turn 2
+        ])
+        r = conversations.conversation_report(df).collect()[0]
+        assert r.first_err == "ts_regress" and r.n_bad_turns == 2
+
+    def test_precomputed_errs_col_reused(self, legal):
+        pre = conversations.turn_errors(legal)
+        out = conversations.conversation_report(pre).collect()[0]
+        assert out.is_valid
+
+
+class TestDedupStutter:
+    def test_collapses_runs_keeps_first(self, spark):
+        df = _conv(spark, [
+            ("a", 0, "user", "hi", _ts(0)),
+            ("a", 1, "assistant", "ok", _ts(1)),
+            ("a", 2, "assistant", "ok", _ts(2)),   # stutter
+            ("a", 3, "assistant", "ok", _ts(3)),   # stutter
+            ("a", 4, "assistant", "done", _ts(4)),
+            ("a", 5, "user", "ok", _ts(5)),        # same text, new role: keep
+        ])
+        kept = sorted(r.turn_idx
+                      for r in conversations.dedup_stutter(df).collect())
+        assert kept == [0, 1, 4, 5]
+
+    def test_null_text_stutters(self, spark):
+        df = _conv(spark, [("a", 0, "user", None, _ts(0)),
+                           ("a", 1, "user", None, _ts(1)),
+                           ("z", 0, "user", "anchor", _ts(0))])
+        kept = [r.turn_idx for r in
+                conversations.dedup_stutter(df).collect()
+                if r.conv_id == "a"]
+        assert kept == [0]
+
+    def test_first_turn_always_survives(self, spark):
+        df = _conv(spark, [("a", 0, "user", "x", _ts(0)),
+                           ("b", 0, "user", "x", _ts(0))])
+        assert conversations.dedup_stutter(df).count() == 2
+
+
+class TestTruncateTurns:
+    def _budget_df(self, spark):
+        rows = [("a", i, "user", "t", _ts(i)) for i in range(5)]
+        df = _conv(spark, rows)
+        return df.withColumn("n_tokens", F.lit(10) * (F.col("turn_idx") + 1))
+
+    def test_head_keeps_longest_prefix(self, spark):
+        # cum: 10, 30, 60, 100, 150 -> budget 100 keeps turns 0..3
+        out = conversations.truncate_turns(self._budget_df(spark), 100)
+        assert sorted(r.turn_idx for r in out.collect()) == [0, 1, 2, 3]
+
+    def test_tail_keeps_longest_suffix(self, spark):
+        # reversed cum: 50, 90, 120 -> budget 100 keeps turns 4, 3
+        out = conversations.truncate_turns(self._budget_df(spark), 100,
+                                           keep="tail")
+        assert sorted(r.turn_idx for r in out.collect()) == [3, 4]
+
+    def test_oversized_first_turn_drops_all(self, spark):
+        out = conversations.truncate_turns(self._budget_df(spark), 5)
+        assert out.count() == 0
+
+    def test_null_tokens_count_zero(self, spark):
+        df = _conv(spark, [("a", 0, "user", "x", _ts(0))]) \
+            .withColumn("n_tokens", F.lit(None).cast("long"))
+        assert conversations.truncate_turns(df, 0).count() == 1
+
+    def test_bad_args_raise(self, spark):
+        df = self._budget_df(spark)
+        with pytest.raises(ValueError, match="max_tokens"):
+            conversations.truncate_turns(df, -1)
+        with pytest.raises(ValueError, match="keep"):
+            conversations.truncate_turns(df, 10, keep="middle")
+
+
+class TestRenderConversation:
+    def test_render_bytes(self, spark):
+        df = _conv(spark, [
+            ("a", 1, "assistant", "hello", _ts(1)),
+            ("a", 0, "user", "hi", _ts(0)),   # out of order on purpose
+        ])
+        r = conversations.render_conversation(df).collect()[0]
+        assert r.rendered == "<|user|>hi\n<|assistant|>hello"
+        assert (r.n_turns, r.n_chars) == (2, len(r.rendered))
+
+    def test_null_role_text_render_empty(self, spark):
+        df = _conv(spark, [("a", 0, None, None, _ts(0)),
+                           ("z", 0, "user", "anchor", _ts(0))])
+        r = {x.conv_id: x for x in
+             conversations.render_conversation(df).collect()}["a"]
+        assert r.rendered == "<||>"
+
+    def test_custom_tags(self, spark):
+        df = _conv(spark, [("a", 0, "user", "x", _ts(0))])
+        r = conversations.render_conversation(
+            df, open_tag="[", close_tag="] ", sep="||").collect()[0]
+        assert r.rendered == "[user] x"
+
+    def test_single_exchange_plan(self, spark):
+        df = _conv(spark, [("a", 0, "user", "x", _ts(0))])
+        plan = conversations.render_conversation(df) \
+            ._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("Exchange") == 1
+
+
+@pytest.fixture(scope="module")
+def mix_docs(spark):
+    # 300 en, 60 de, 40 zh: with weights en .5 / de .2 / zh .3, zh is the
+    # binding domain (40/.3 = 133 < de 300, en 600)
+    rows = ([Row(doc_id=i, lang="en") for i in range(300)]
+            + [Row(doc_id=300 + i, lang="de") for i in range(60)]
+            + [Row(doc_id=360 + i, lang="zh") for i in range(40)])
+    return spark.createDataFrame(rows)
+
+
+class TestMixtureSample:
+    WEIGHTS = {"en": 0.5, "de": 0.2, "zh": 0.3}
+
+    def test_thresholds_binding_domain_keeps_all(self):
+        thr = sampling.mixture_thresholds(
+            {"en": 300, "de": 60, "zh": 40}, self.WEIGHTS, portable=True)
+        assert thr["zh"] == M31                      # binding: keep all
+        # en target = 40/.3*.5 = 66.67 docs -> threshold = that fraction,
+        # in the docstring's normative FP operation order
+        assert thr["en"] == math.floor(M31 * 0.5 * 40 / (0.3 * 300))
+        assert thr["de"] < M31
+
+    def test_mixture_proportions(self, mix_docs):
+        out = sampling.mixture_sample(
+            mix_docs, "lang", self.WEIGHTS, key_cols="doc_id", seed=1)
+        counts = {r.lang: r.cnt for r in
+                  out.groupBy("lang").agg(F.count("*").alias("cnt")).collect()}
+        assert counts["zh"] == 40                    # binding kept whole
+        # expectation 66.7 en / 26.7 de, hash noise is O(sqrt(n))
+        assert 50 <= counts["en"] <= 85
+        assert 15 <= counts["de"] <= 40
+
+    def test_unweighted_domains_dropped(self, spark, mix_docs):
+        extra = mix_docs.unionByName(
+            spark.createDataFrame([Row(doc_id=999, lang="fr")]))
+        out = sampling.mixture_sample(
+            extra, "lang", self.WEIGHTS, key_cols="doc_id")
+        assert out.filter(F.col("lang") == "fr").count() == 0
+
+    def test_deterministic_and_nested_in_seedspace(self, mix_docs):
+        a = {r.doc_id for r in sampling.mixture_sample(
+            mix_docs, "lang", self.WEIGHTS, key_cols="doc_id", seed=2).collect()}
+        b = {r.doc_id for r in sampling.mixture_sample(
+            mix_docs, "lang", self.WEIGHTS, key_cols="doc_id", seed=2).collect()}
+        assert a == b
+
+    def test_bad_inputs_raise(self, mix_docs):
+        with pytest.raises(ValueError, match="non-empty"):
+            sampling.mixture_sample(mix_docs, "lang", {}, key_cols="doc_id")
+        with pytest.raises(ValueError, match="> 0"):
+            sampling.mixture_sample(mix_docs, "lang", {"en": 0.0},
+                                    key_cols="doc_id")
+        with pytest.raises(ValueError, match="no rows"):
+            sampling.mixture_sample(mix_docs, "lang", {"en": 1.0, "xx": 1.0},
+                                    key_cols="doc_id")

@@ -16,8 +16,16 @@ from trafaret_spark.operators.curation import (
     ngram_decontaminate,
     pack_sequences,
 )
+from trafaret_spark.operators.conversations import (
+    conversation_report,
+    dedup_stutter,
+    render_conversation,
+    truncate_turns,
+    turn_errors,
+)
 from trafaret_spark.operators.rangejoin import range_join
 from trafaret_spark.operators.sampling import (
+    mixture_sample,
     sample_by_hash,
     stratified_sample_by_hash,
 )
@@ -26,5 +34,8 @@ __all__ = [
     "asof_join", "range_join",
     "Features", "LeakageError", "sessionize", "session_stats", "backfill",
     "time_rollup", "sample_by_hash", "stratified_sample_by_hash",
+    "mixture_sample",
     "ngram_decontaminate", "decontaminate", "cap_per_key", "pack_sequences",
+    "turn_errors", "conversation_report", "dedup_stutter", "truncate_turns",
+    "render_conversation",
 ]

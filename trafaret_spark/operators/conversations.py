@@ -1,0 +1,271 @@
+"""Conversation-structure operators for multi-turn transcript curation.
+
+The engine's flagship input is a transcript table ``(conv_id, turn_idx,
+role, text, tool, ts)`` (BASELINE input_hint). Before such a table feeds
+the as-of/feature layer — or an SFT training run — a curation pipeline
+needs conversation-LEVEL structure checks and transforms that the per-row
+guard layer (guards.py) cannot express, because they relate a turn to its
+neighbours:
+
+* :func:`turn_errors` / :func:`conversation_report` — structural
+  validation: dense turn indices, legal role transitions, monotonic
+  timestamps. Per-turn error codes follow the same errors-array
+  convention as the guard layer (validate.py), so downstream splitting /
+  quarantine logic is shared.
+* :func:`dedup_stutter` — drop consecutive repeated turns (agent
+  stutter / retry echo), the transcript analogue of exact dedup.
+* :func:`truncate_turns` — longest prefix (or suffix) of each
+  conversation under a token budget, cut at turn boundaries.
+* :func:`render_conversation` — deterministic single-string chat render
+  per conversation (stable ``order_by`` ordering), the byte-equality
+  surface for the north-star "per-turn text byte-equal under stable
+  (conv_id, turn_idx) ordering" invariant.
+
+Scale: every operator here is ONE window/group exchange on the
+conversation key — the same ``hashpartitioning(conv_id)`` the as-of join
+and the feature layer already use, so in a fused pipeline Catalyst reuses
+one exchange across all of them. No driver-side loops, no Python UDFs:
+all logic is Catalyst Column expressions (whole-stage codegen), so at
+10^12 turns each operator is a shuffle-once, stream-through pass.
+Conversations are assumed to fit a partition (transcripts are KB-MB —
+the 100 TB risk is conversation COUNT, which partitions freely).
+
+Reference analogue: none — the reference validates rows in isolation
+(trafaret/base.py check-contract); these are the brief-mandated
+transcript-pipeline extensions of the same "validate, report codes, keep
+going" philosophy (per-turn codes, not exceptions).
+"""
+
+from __future__ import annotations
+
+from typing import Mapping, Optional, Sequence, Union
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = [
+    "DEFAULT_TRANSITIONS", "DEFAULT_START_ROLES",
+    "turn_errors", "conversation_report", "dedup_stutter",
+    "truncate_turns", "render_conversation",
+]
+
+# Legal (previous role -> current role) moves for a standard
+# system/user/assistant/tool chat. A "system" preamble turn may only open
+# the conversation; tools answer assistants; the assistant may follow a
+# tool result with another tool call or a reply.
+DEFAULT_TRANSITIONS: frozenset[tuple[str, str]] = frozenset({
+    ("system", "user"),
+    ("user", "assistant"),
+    ("assistant", "user"),
+    ("assistant", "tool"),
+    ("tool", "assistant"),
+    ("tool", "tool"),
+})
+
+DEFAULT_START_ROLES: frozenset[str] = frozenset({"system", "user"})
+
+# Error-code vocabulary (snake_case, mirroring codes.py style).
+ERR_TURN_GAP = "turn_gap"            # turn_idx not dense from 0
+ERR_BAD_START = "bad_start_role"     # first turn's role not allowed to open
+ERR_BAD_TRANSITION = "bad_transition"  # (prev_role, role) not in the policy
+ERR_TS_REGRESS = "ts_regress"        # ts earlier than the previous turn's
+ERR_NULL_ROLE = "null_role"          # role is NULL
+
+
+def _conv_window(by: Sequence[str], order: str) -> Window:
+    return Window.partitionBy(*by).orderBy(F.col(order).asc())
+
+
+def _listify(by: Union[str, Sequence[str]]) -> list[str]:
+    return [by] if isinstance(by, str) else list(by)
+
+
+def turn_errors(df: DataFrame,
+                by: Union[str, Sequence[str]] = "conv_id",
+                order: str = "turn_idx",
+                role_col: str = "role",
+                ts_col: Optional[str] = "ts",
+                transitions: frozenset = DEFAULT_TRANSITIONS,
+                start_roles: frozenset = DEFAULT_START_ROLES,
+                dense_from: Optional[int] = 0,
+                out_col: str = "turn_errs") -> DataFrame:
+    """Per-turn structural error codes as ``array<string>`` ``out_col``.
+
+    Checks, each a lag-window comparison (codes in registry order):
+
+    * ``turn_gap`` — ``order`` is not dense: first turn != ``dense_from``
+      or a later turn != previous + 1 (pass ``dense_from=None`` to skip).
+    * ``null_role`` / ``bad_start_role`` / ``bad_transition`` — role
+      present, allowed to open, and (prev, cur) in ``transitions``.
+    * ``ts_regress`` — ``ts_col`` strictly earlier than the previous
+      turn's (NULL timestamps never regress; pass ``ts_col=None`` to
+      skip).
+
+    One window exchange on ``by``; everything else is scan-side codegen.
+    An empty array means the turn is structurally sound. The array is
+    ordered by the check list above, so equality comparisons (and the
+    DuckDB oracle) are deterministic.
+    """
+    by = _listify(by)
+    w = _conv_window(by, order)
+    prev_role = F.lag(role_col, 1).over(w)
+    prev_order = F.lag(order, 1).over(w)
+    is_first = prev_order.isNull()
+
+    checks: list[tuple[str, Column]] = []
+    if dense_from is not None:
+        checks.append((ERR_TURN_GAP, F.when(
+            is_first, F.col(order) != F.lit(dense_from)
+        ).otherwise(F.col(order) != prev_order + F.lit(1))))
+    role = F.col(role_col)
+    checks.append((ERR_NULL_ROLE, role.isNull()))
+    checks.append((ERR_BAD_START,
+                   is_first & role.isNotNull()
+                   & ~role.isin(*sorted(start_roles))))
+    # Membership of the (prev, cur) pair in the legal-move set compiles to
+    # a boolean OR chain — pure codegen, no lookup structure needed; the
+    # policy set is tiny (|roles|^2 at most).
+    legal = F.lit(False)
+    for p, c in sorted(transitions):
+        legal = legal | ((prev_role == F.lit(p)) & (role == F.lit(c)))
+    checks.append((ERR_BAD_TRANSITION,
+                   ~is_first & role.isNotNull() & prev_role.isNotNull()
+                   & ~legal))
+    if ts_col is not None:
+        prev_ts = F.lag(ts_col, 1).over(w)
+        checks.append((ERR_TS_REGRESS,
+                       F.col(ts_col).isNotNull() & prev_ts.isNotNull()
+                       & (F.col(ts_col) < prev_ts)))
+
+    errs = F.array_compact(F.array(*[
+        F.when(cond, F.lit(code)) for code, cond in checks]))
+    return df.withColumn(out_col, errs)
+
+
+def conversation_report(df: DataFrame,
+                        by: Union[str, Sequence[str]] = "conv_id",
+                        order: str = "turn_idx",
+                        errs_col: str = "turn_errs",
+                        **turn_errors_kwargs) -> DataFrame:
+    """Per-conversation structural verdict: ``n_turns``, ``n_bad_turns``,
+    ``first_err`` (code of the earliest bad turn, by ``order``; ties
+    broken by check order within the turn), ``is_valid``.
+
+    Runs :func:`turn_errors` first unless ``errs_col`` already exists.
+    The groupBy key equals the window partition key, so Catalyst plans
+    ONE exchange for both steps.
+    """
+    by = _listify(by)
+    if errs_col not in df.columns:
+        df = turn_errors(df, by=by, order=order, out_col=errs_col,
+                         **turn_errors_kwargs)
+    bad = F.size(F.col(errs_col)) > 0
+    first_struct = F.min(F.when(bad, F.struct(
+        F.col(order).alias("o"),
+        F.col(errs_col)[0].alias("code"))))
+    return df.groupBy(*by).agg(
+        F.count(F.lit(1)).alias("n_turns"),
+        F.sum(bad.cast("int")).alias("n_bad_turns"),
+        first_struct["code"].alias("first_err"),
+        (F.sum(bad.cast("int")) == 0).alias("is_valid"),
+    )
+
+
+def dedup_stutter(df: DataFrame,
+                  by: Union[str, Sequence[str]] = "conv_id",
+                  order: str = "turn_idx",
+                  role_col: str = "role",
+                  text_col: str = "text") -> DataFrame:
+    """Drop a turn when it exactly repeats the PREVIOUS turn's
+    (role, text) in the same conversation — agent stutter / retry echo
+    removal. The first occurrence survives; a run of k identical turns
+    keeps 1. NULL text equals NULL text (a repeated null turn is still a
+    stutter): comparison uses null-safe equality.
+
+    One lag window on ``by``; scan-side filter. Turn indices are NOT
+    re-densified (callers that need dense indices re-rank afterwards) so
+    surviving rows are byte-identical to their input rows.
+    """
+    by = _listify(by)
+    w = _conv_window(by, order)
+    same = (F.col(role_col).eqNullSafe(F.lag(role_col, 1).over(w))
+            & F.col(text_col).eqNullSafe(F.lag(text_col, 1).over(w))
+            # lag yields NULL for the first row of both columns; require a
+            # previous ROW (lag of the order key, never NULL mid-stream)
+            & F.lag(order, 1).over(w).isNotNull())
+    return df.withColumn("__stutter", same) \
+        .filter(~F.col("__stutter")).drop("__stutter")
+
+
+def truncate_turns(df: DataFrame, max_tokens: int,
+                   by: Union[str, Sequence[str]] = "conv_id",
+                   order: str = "turn_idx",
+                   token_col: str = "n_tokens",
+                   keep: str = "head") -> DataFrame:
+    """Keep the longest prefix (``keep='head'``) or suffix
+    (``keep='tail'``) of each conversation whose token sum fits
+    ``max_tokens``, cutting ONLY at turn boundaries (a turn either fits
+    whole or is dropped — the SFT convention; a turn larger than the
+    whole budget is dropped with the rest of its side).
+
+    Cumulative-sum window over ``by`` ordered by ``order`` (descending
+    for ``tail``), then a scan-side filter — one exchange. NULL token
+    counts count as 0 (sum ignores NULL); negative counts are invalid
+    upstream (same contract as curation.pack_sequences).
+    """
+    if max_tokens < 0:
+        raise ValueError(f"max_tokens must be >= 0, got {max_tokens}")
+    if keep not in ("head", "tail"):
+        raise ValueError(f"keep must be 'head' or 'tail', got {keep!r}")
+    by = _listify(by)
+    direction = F.col(order).asc() if keep == "head" else F.col(order).desc()
+    w = Window.partitionBy(*by).orderBy(direction) \
+        .rowsBetween(Window.unboundedPreceding, 0)
+    cum = F.sum(F.coalesce(F.col(token_col), F.lit(0))).over(w)
+    return df.withColumn("__cum_tok", cum) \
+        .filter(F.col("__cum_tok") <= F.lit(max_tokens)).drop("__cum_tok")
+
+
+def render_conversation(df: DataFrame,
+                        by: Union[str, Sequence[str]] = "conv_id",
+                        order: str = "turn_idx",
+                        role_col: str = "role",
+                        text_col: str = "text",
+                        open_tag: str = "<|",
+                        close_tag: str = "|>",
+                        sep: str = "\n",
+                        out_col: str = "rendered") -> DataFrame:
+    """Render each conversation to ONE deterministic string:
+    ``open_tag + role + close_tag + text`` per turn, joined by ``sep``
+    in ``order`` order. NULL role/text render as empty strings (the
+    render never drops a turn — structural repair belongs to
+    :func:`turn_errors` / :func:`dedup_stutter` upstream).
+
+    Output: one row per conversation — ``by`` columns, ``n_turns``,
+    ``n_chars`` (codepoints of the render), ``out_col``. Determinism:
+    ``array_sort`` on the collected (order, role, text) structs gives a
+    total order as long as ``order`` is unique per conversation (struct
+    comparison falls through to role/text on ties, still total). This is
+    the byte-equality surface for the north-star per-turn-text
+    invariant: two engines rendering the same table must agree on every
+    byte of ``out_col``.
+
+    Scale: one groupBy exchange on ``by``; per-group state is the
+    conversation itself (KB-MB). ``collect_list`` over 10^12 turns is
+    fine BECAUSE the group key is the conversation — no global collect
+    anywhere.
+    """
+    by = _listify(by)
+    turn = F.struct(F.col(order).alias("o"),
+                    F.coalesce(F.col(role_col), F.lit("")).alias("r"),
+                    F.coalesce(F.col(text_col), F.lit("")).alias("t"))
+    rendered = F.array_join(
+        F.transform(
+            F.array_sort(F.collect_list(turn)),
+            lambda s: F.concat(F.lit(open_tag), s["r"], F.lit(close_tag),
+                               s["t"])),
+        sep)
+    return df.groupBy(*by).agg(
+        F.count(F.lit(1)).alias("n_turns"),
+        rendered.alias(out_col),
+    ).withColumn("n_chars", F.length(F.col(out_col)))

@@ -25,7 +25,8 @@ from pyspark.sql import functions as F
 
 from trafaret_spark.operators.hashing import M31, tok31
 
-__all__ = ["sample_hash", "sample_by_hash", "stratified_sample_by_hash"]
+__all__ = ["sample_hash", "sample_by_hash", "stratified_sample_by_hash",
+           "mixture_thresholds", "mixture_sample"]
 
 _SEP = "\x1f"        # unit separator: never appears in normal text/keys
 _NULL_MARK = "\x1e"  # record separator: encodes a NULL key value
@@ -101,4 +102,82 @@ def stratified_sample_by_hash(df: DataFrame, strata_col: str,
     for value, rate in sorted(rates.items()):
         thr = F.when(F.col(strata_col) == value,
                      F.lit(_threshold(rate, portable))).otherwise(thr)
+    return df.filter(h < thr)
+
+
+_MAX_MIXTURE_DOMAINS = 100_000
+
+
+def mixture_thresholds(counts: Mapping[str, int],
+                       weights: Mapping[str, float],
+                       portable: bool = False) -> dict[str, int]:
+    """Per-domain hash thresholds realizing the LARGEST downsample of the
+    given per-domain ``counts`` whose proportions match normalized
+    ``weights`` (no domain is upsampled: the binding domain — the one
+    that runs out first, argmin count/weight, ties by name — keeps
+    everything; every other domain keeps the matching fraction).
+
+    The exact formula is part of the cross-engine contract (the DuckDB
+    oracle recomputes it bit-for-bit), so the floating-point operation
+    ORDER below is normative::
+
+        thr[d] = floor(D * w[d] * count[b] / (w[b] * count[d]))
+
+    with D = M31 (portable) or 2^31, and b the binding domain. All
+    factors are IEEE doubles; any algebraic rearrangement may round
+    differently and change the sample by a row.
+    """
+    import math
+    if not weights:
+        raise ValueError("mixture weights must be non-empty")
+    bad = {d: w for d, w in weights.items() if not w > 0.0}
+    if bad:
+        raise ValueError(f"mixture weights must be > 0, got {bad}")
+    missing = sorted(d for d in weights if not counts.get(d))
+    if missing:
+        raise ValueError(
+            f"mixture domains with no rows: {missing} — a strict mixture "
+            f"including them is impossible; drop them from weights")
+    b = min(weights, key=lambda d: (counts[d] / weights[d], d))
+    d_max = M31 if portable else _FAST_D
+    return {
+        d: min(d_max, math.floor(
+            d_max * weights[d] * counts[b] / (weights[b] * counts[d])))
+        for d in weights}
+
+
+def mixture_sample(df: DataFrame, domain_col: str,
+                   weights: Mapping[str, float],
+                   key_cols: Union[str, Sequence[str]],
+                   seed: int = 0, portable: bool = False) -> DataFrame:
+    """Deterministically downsample to a target domain MIXTURE (the
+    data-mixture op of LLM corpus prep: "20% code, 30% web, …"): the
+    largest subset whose per-domain proportions approximate normalized
+    ``weights``, never upsampling. Domains absent from ``weights`` are
+    dropped. Same determinism/nesting/retry guarantees as
+    :func:`sample_by_hash` (it IS a per-domain hash threshold underneath,
+    via :func:`mixture_thresholds`).
+
+    Execution: one bounded groupBy count on ``domain_col`` (collected —
+    legal because its size is the domain cardinality, capped at 100k),
+    then ONE scan-side CASE filter. At 100 TB this is a cheap count job
+    plus a pushdown-friendly scan — no shuffle of the data itself.
+
+    Approximation note: hash sampling hits each domain's target count in
+    expectation (±O(√n) per domain), which is the standard contract —
+    exact-count sampling would need a per-domain global sort.
+    """
+    counts_rows = df.groupBy(domain_col).count() \
+        .limit(_MAX_MIXTURE_DOMAINS + 1).collect()
+    if len(counts_rows) > _MAX_MIXTURE_DOMAINS:
+        raise ValueError(
+            f"mixture_sample: more than {_MAX_MIXTURE_DOMAINS} distinct "
+            f"domains in {domain_col!r} — not a mixture column")
+    counts = {r[0]: r[1] for r in counts_rows}
+    thr_map = mixture_thresholds(counts, weights, portable)
+    key_cols = [key_cols] if isinstance(key_cols, str) else list(key_cols)
+    h = sample_hash(key_cols, seed, portable)
+    thr: Column = F.lit(0)
+    for value, t in sorted(thr_map.items()):
+        thr = F.when(F.col(domain_col) == value, F.lit(t)).otherwise(thr)
     return df.filter(h < thr)
