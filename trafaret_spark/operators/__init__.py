@@ -23,7 +23,16 @@ from trafaret_spark.operators.conversations import (
     truncate_turns,
     turn_errors,
 )
+from trafaret_spark.operators.lmscore import (
+    BigramLM,
+    lm_score,
+    train_bigram_lm,
+)
 from trafaret_spark.operators.rangejoin import range_join
+from trafaret_spark.operators.retrieval import (
+    bm25_topk,
+    build_postings,
+)
 from trafaret_spark.operators.sampling import (
     mixture_sample,
     sample_by_hash,
@@ -36,6 +45,8 @@ __all__ = [
     "time_rollup", "sample_by_hash", "stratified_sample_by_hash",
     "mixture_sample",
     "ngram_decontaminate", "decontaminate", "cap_per_key", "pack_sequences",
+    "bm25_topk", "build_postings",
+    "BigramLM", "train_bigram_lm", "lm_score",
     "turn_errors", "conversation_report", "dedup_stutter", "truncate_turns",
     "render_conversation",
 ]

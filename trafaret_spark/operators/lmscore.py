@@ -1,0 +1,123 @@
+"""Self-trained n-gram language-model quality scoring (CCNet-style).
+
+The classic corpus-quality signal (CCNet / GPT-3 / Llama data pipelines)
+is "perplexity under a reference LM": documents whose token statistics
+diverge from a trusted corpus score high (= surprising = likely junk) and
+get filtered or bucketed. External LMs (KenLM) aren't available here —
+and don't distribute — so this operator TRAINS the model itself, in one
+Spark pass over a reference corpus, then scores any corpus against it:
+
+    P(w2 | w1) = (c(w1 w2) + α) / (c(w1 ·) + α·V)        (add-α smoothing)
+    bits_per_token(d) = -Σ log P over d's bigrams / (#bigrams · ln 2)
+
+Training = two groupBy counts (bigram, unigram-context) + one distinct
+vocab count. Scoring = explode doc bigrams, left-join the two count
+tables (unseen bigram → c=0; unseen context → c(w1)=0 ⇒ uniform 1/V),
+one per-doc agg. Everything JVM-side; the count tables are
+vocabulary-bounded (≪ corpus) so AQE typically broadcasts them — pass
+``broadcast_model=True`` to force it when the vocab is known to fit.
+
+Determinism contract: per-bigram log-probs are quantized to integer
+micro-units (floor(logp·10^6)) before the per-doc sum, so scores are
+exact integers — partial-agg-order independent and reproducible by the
+DuckDB oracle. FP operation order below is normative; ``ln`` carries the
+usual 1-ulp libm caveat.
+
+Docs with < 2 tokens have no bigrams: ``n_bigrams = 0`` and
+``bits_per_token`` NULL (no evidence ≠ good or bad — filter on it
+explicitly downstream).
+
+Reference analogue: none (prompt-mandated training-data op).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import NamedTuple
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from trafaret_spark.operators.dedup import _ngram_fold
+from trafaret_spark.operators.retrieval import tokens
+
+__all__ = ["BigramLM", "train_bigram_lm", "lm_score", "LOGP_SCALE"]
+
+LOGP_SCALE = 1_000_000
+
+
+class BigramLM(NamedTuple):
+    """Trained model: two count DataFrames + scalar hyper-params.
+    ``bigrams``: (w1, w2, c2);  ``contexts``: (w1, c1) where c1 = number
+    of bigrams starting at w1;  ``vocab_size``: |distinct tokens| + 1
+    (the +1 reserves mass for unseen words);  ``alpha``: smoothing."""
+    bigrams: DataFrame
+    contexts: DataFrame
+    vocab_size: int
+    alpha: float
+
+
+def _bigram_rows(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, w1, w2) — one row per bigram occurrence, in-doc order
+    irrelevant downstream (counting / summing only)."""
+    toks = tokens(F.col(text_col))
+    pairs = F.when(F.size(toks) >= 2,
+                   _ngram_fold(toks, 2,
+                               lambda a, b: F.struct(a.alias("w1"),
+                                                     b.alias("w2")))) \
+        .otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+    return df.select(F.col(id_col), F.explode(pairs).alias("__p")) \
+        .select(id_col, "__p.w1", "__p.w2")
+
+
+def train_bigram_lm(train: DataFrame, id_col: str = "doc_id",
+                    text_col: str = "text",
+                    alpha: float = 0.5) -> BigramLM:
+    """Count-based bigram LM from a reference corpus: two shuffles on
+    token keys + one bounded distinct-count job (a scalar)."""
+    if not alpha > 0.0:
+        raise ValueError(f"alpha must be > 0, got {alpha}")
+    bg = _bigram_rows(train, id_col, text_col)
+    bigrams = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
+    contexts = bg.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+    n_vocab = train.select(F.explode(tokens(F.col(text_col))).alias("t")) \
+        .agg(F.countDistinct("t").alias("v")).collect()[0]["v"]
+    return BigramLM(bigrams, contexts, int(n_vocab) + 1, float(alpha))
+
+
+def lm_score(df: DataFrame, model: BigramLM, id_col: str = "doc_id",
+             text_col: str = "text",
+             broadcast_model: bool = False) -> DataFrame:
+    """Score every document: (id, n_bigrams, bits_per_token).
+
+    Low bits ≈ looks like the training corpus; high bits ≈ surprising
+    (junk, other language, boilerplate-mangled). NULL for docs with < 2
+    tokens. ``bits_per_token`` = quantized-sum / n / 10^6 / ln 2 — the
+    division order is normative for the oracle.
+    """
+    bg = _bigram_rows(df, id_col, text_col)
+    b_tbl, c_tbl = model.bigrams, model.contexts
+    if broadcast_model:
+        b_tbl, c_tbl = F.broadcast(b_tbl), F.broadcast(c_tbl)
+    j = (bg.join(b_tbl, ["w1", "w2"], "left")
+         .join(c_tbl, ["w1"], "left"))
+    a, av = F.lit(model.alpha), F.lit(model.alpha * model.vocab_size)
+    # normative: ln((c2 + α) / (c1 + α·V)), missing counts → 0
+    logp = F.log((F.coalesce(F.col("c2"), F.lit(0)) + a)
+                 / (F.coalesce(F.col("c1"), F.lit(0)) + av))
+    scored = j.withColumn("__lq", F.floor(logp * F.lit(LOGP_SCALE))
+                          .cast("long"))
+    agg = scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.sum("__lq").alias("__sq"))
+    # docs with zero bigrams never reach `agg` (explode drops them) —
+    # restore them with a left join from the input ids
+    base = df.select(id_col).distinct()
+    out = base.join(agg, [id_col], "left")
+    bits = -(F.col("__sq") / F.col("n_bigrams")) \
+        / F.lit(float(LOGP_SCALE)) / F.lit(math.log(2.0))
+    return out.select(
+        id_col,
+        F.coalesce(F.col("n_bigrams"), F.lit(0)).cast("long")
+         .alias("n_bigrams"),
+        bits.alias("bits_per_token"))
