@@ -24,7 +24,7 @@ import sys
 def load(paths):
     runs = [json.load(open(p)) for p in paths]
     out = {}
-    for w in ("dedup", "ann"):
+    for w in ("dedup", "ann", "bm25"):
         if not all(w in r for r in runs):
             continue
         times = [t for r in runs for t in r[w]["seconds_all"]]
@@ -47,11 +47,11 @@ def main():
     data = json.load(open(path))
     m = lo["meta"]
     factor = hi_cores / lo_cores
-    for w in ("dedup", "ann"):
+    for w in ("dedup", "ann", "bm25"):
         if w not in lo or w not in hi:
             continue
         t_lo, t_hi = lo[w]["seconds_min"], hi[w]["seconds_min"]
-        n_key = "n_docs" if w == "dedup" else "n_vecs"
+        n_key = "n_vecs" if w == "ann" else "n_docs"
         entry = {
             "workload": m[w].get("workload", w),
             "input": {n_key: m.get(n_key), "partitions": m["partitions"]},

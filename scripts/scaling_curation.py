@@ -1,6 +1,6 @@
 """Curation-family scaling measurement at a single parallelism level.
 
-Usage: python scripts/scaling_curation.py <cores> [dedup|ann|both]
+Usage: python scripts/scaling_curation.py <cores> [dedup|ann|both|bm25]
 
 The transcript pipeline's scaling evidence (scripts/scaling_run.py) does
 not cover the dedup/ANN families, whose 100 TB story rests on uniform
@@ -16,6 +16,12 @@ count at every core count — strong scaling of identical work):
     once (untimed) via minhash_lsh_candidates(on_drop="warn").
   * ``ann`` — lsh_cosine_topk (10-bit sign-hash, 4 bands, k=10) of 512
     queries against the full corpus at 250× the sf0.1 embedding count.
+  * ``bm25`` — retrieval.bm25_topk (k=10, max_df_frac cut live) of 256
+    corpus-derived query strings against a Zipfian-vocabulary corpus
+    (the sf corpus's ~30-word vocab would make every posting list the
+    whole corpus — a degenerate all-pairs workload; the Zipf synthesis
+    below gives the heavy-head/long-tail term distribution the
+    max_df_frac cut is designed for).
 
 Same evidence protocol as scaling_run.py: N vs 4N executors proxied by
 local[N] vs local[4N], identical JVM memory/GC, min over timed runs after
@@ -36,7 +42,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from pyspark.sql import functions as F  # noqa: E402
 
 from trafaret_spark import datagen  # noqa: E402
-from trafaret_spark.operators import dedup, similarity  # noqa: E402
+from trafaret_spark.operators import dedup, retrieval, similarity  # noqa: E402
 from trafaret_spark.session import get_spark  # noqa: E402
 
 N_DOCS = int(os.environ.get("SPARK_GRAFT_SCALE_DOCS", "200000"))
@@ -53,6 +59,34 @@ CACHE = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
                      ".scaling_cache")
 
 
+N_BM25_DOCS = int(os.environ.get("SPARK_GRAFT_SCALE_BM25_DOCS", "300000"))
+BM25_TOKENS = 60
+BM25_VOCAB = 30_000
+N_BM25_QUERIES = int(os.environ.get("SPARK_GRAFT_SCALE_BM25_QUERIES", "256"))
+
+
+def zipf_documents(spark, n_docs: int, n_tokens: int = BM25_TOKENS,
+                   vocab: int = BM25_VOCAB, partitions: int = 64):
+    """Deterministic corpus with a Zipf-ish word distribution: token j of
+    doc i is ``w<floor(V·u³)>`` with u a per-(i,j) hash uniform — the
+    cubic map gives P(word_id = k) ∝ k^(-2/3): a heavy stopword head
+    (word w0 lands in ~85% of docs) and a long rare tail. Pure scan-side
+    synthesis (sequence + transform), zero shuffle."""
+    base = spark.range(0, n_docs, 1, partitions) \
+        .withColumnRenamed("id", "doc_id")
+    two20 = float(1 << 20)
+
+    def word(j):
+        u = F.pmod(F.xxhash64(F.col("doc_id") * F.lit(1000003) + j),
+                   F.lit(1 << 20)) / F.lit(two20)
+        return F.concat(F.lit("w"),
+                        F.floor(F.lit(float(vocab)) * F.pow(u, F.lit(3.0)))
+                        .cast("string"))
+
+    words = F.transform(F.sequence(F.lit(0), F.lit(n_tokens - 1)), word)
+    return base.withColumn("text", F.array_join(words, " "))
+
+
 def materialize(spark) -> tuple[str, str]:
     docs_path = f"{CACHE}/documents_{N_DOCS}_hot{HOT_DOCS}"
     emb_path = f"{CACHE}/embeddings_{N_VECS}"
@@ -65,6 +99,26 @@ def materialize(spark) -> tuple[str, str]:
                            partitions=PARTITIONS) \
             .write.mode("overwrite").parquet(emb_path)
     return docs_path, emb_path
+
+
+def materialize_bm25(spark) -> str:
+    path = f"{CACHE}/zipfdocs_{N_BM25_DOCS}"
+    if not os.path.exists(path + "/_SUCCESS"):
+        zipf_documents(spark, N_BM25_DOCS, partitions=PARTITIONS) \
+            .write.mode("overwrite").parquet(path)
+    return path
+
+
+def bm25_job(spark, zdocs_path):
+    docs = spark.read.parquet(zdocs_path)
+    # decontamination-sweep shape: queries are corpus snippets (first 5
+    # words), so term draws follow the corpus distribution and the
+    # max_df_frac stopword cut is exercised on the live head
+    queries = docs.filter(F.col("doc_id") < N_BM25_QUERIES).select(
+        F.col("doc_id").alias("query_id"),
+        F.array_join(F.slice(F.split(F.col("text"), " "), 1, 5), " ")
+         .alias("text"))
+    return retrieval.bm25_topk(docs, queries, k=10, max_df_frac=0.2)
 
 
 def dedup_job(spark, docs_path):
@@ -130,6 +184,14 @@ def main() -> None:
         m = measure(lambda: ann_job(spark, emb_path))
         m["vecs_per_sec"] = round(N_VECS / m["seconds_min"], 1)
         out["ann"] = m
+
+    if which == "bm25":
+        zpath = materialize_bm25(spark)
+        out["n_docs"] = N_BM25_DOCS
+        out["n_queries"] = N_BM25_QUERIES
+        m = measure(lambda: bm25_job(spark, zpath))
+        m["docs_per_sec"] = round(N_BM25_DOCS / m["seconds_min"], 1)
+        out["bm25"] = m
 
     print(json.dumps(out))
 

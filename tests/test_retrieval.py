@@ -103,6 +103,21 @@ class TestBm25:
         with pytest.raises(ValueError, match="empty corpus"):
             retrieval.bm25_topk(corpus.filter(F.lit(False)), qs)
 
+    def test_from_postings_matches_corpus_path(self, spark, corpus):
+        qs = spark.createDataFrame([Row(query_id=1, text="spark shuffle")])
+        via_corpus = {(r.doc_id, r.rank, r.score) for r in
+                      retrieval.bm25_topk(corpus, qs, k=10,
+                                          max_df_frac=1.0).collect()}
+        post = retrieval.build_postings(corpus)
+        n = corpus.count()
+        sdl = corpus.select(F.size(retrieval.tokens(F.col("text")))
+                            .alias("dl")).agg(F.sum("dl")).collect()[0][0]
+        via_index = {(r.doc_id, r.rank, r.score) for r in
+                     retrieval.bm25_topk_from_postings(
+                         post, qs, n_docs=n, avgdl=sdl / n, k=10,
+                         max_df_frac=1.0).collect()}
+        assert via_corpus == via_index
+
     def test_postings_shape(self, corpus):
         p = {(r.term, r.doc_id): (r.tf, r.dl)
              for r in retrieval.build_postings(corpus).collect()}

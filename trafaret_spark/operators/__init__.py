@@ -31,6 +31,7 @@ from trafaret_spark.operators.lmscore import (
 from trafaret_spark.operators.rangejoin import range_join
 from trafaret_spark.operators.retrieval import (
     bm25_topk,
+    bm25_topk_from_postings,
     build_postings,
 )
 from trafaret_spark.operators.sampling import (
@@ -45,7 +46,7 @@ __all__ = [
     "time_rollup", "sample_by_hash", "stratified_sample_by_hash",
     "mixture_sample",
     "ngram_decontaminate", "decontaminate", "cap_per_key", "pack_sequences",
-    "bm25_topk", "build_postings",
+    "bm25_topk", "bm25_topk_from_postings", "build_postings",
     "BigramLM", "train_bigram_lm", "lm_score",
     "turn_errors", "conversation_report", "dedup_stutter", "truncate_turns",
     "render_conversation",

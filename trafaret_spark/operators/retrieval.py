@@ -42,7 +42,8 @@ from pyspark.sql import functions as F
 
 from trafaret_spark.operators.dedup import normalize_text
 
-__all__ = ["tokens", "build_postings", "bm25_topk", "SCORE_SCALE"]
+__all__ = ["tokens", "build_postings", "bm25_topk",
+           "bm25_topk_from_postings", "SCORE_SCALE"]
 
 SCORE_SCALE = 1_000_000  # micro-unit quantization of per-term contributions
 
@@ -87,10 +88,11 @@ def bm25_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
     the ``max_df_frac`` cut bounds the worst posting list at
     ``max_df_frac·N`` rows; top-k is two-phase salted (no single-reducer
     rank). The corpus-stats agg (N, Σdl) is one bounded job collected to
-    two scalars.
+    two scalars. At 100 TB, build the index ONCE with
+    :func:`build_postings`, persist it (parquet bucketed by term), and
+    run query batches through :func:`bm25_topk_from_postings` — this
+    convenience wrapper recomputes the index per call.
     """
-    if not 0.0 < max_df_frac <= 1.0:
-        raise ValueError(f"max_df_frac must be in (0, 1], got {max_df_frac}")
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
 
@@ -104,6 +106,36 @@ def bm25_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
     avgdl = sum_dl / n_docs  # exact-integer double division (normative)
 
     post = build_postings(corpus, id_col, text_col)
+    return bm25_topk_from_postings(
+        post, queries, n_docs=n_docs, avgdl=avgdl, k=k, id_col=id_col,
+        query_id_col=query_id_col, query_text_col=query_text_col,
+        k1=k1, b=b, max_df_frac=max_df_frac,
+        partial_partitions=partial_partitions)
+
+
+def bm25_topk_from_postings(post: DataFrame, queries: DataFrame,
+                            n_docs: int, avgdl: float, k: int = 10,
+                            id_col: str = "doc_id",
+                            query_id_col: str = "query_id",
+                            query_text_col: str = "text",
+                            k1: float = 1.2, b: float = 0.75,
+                            max_df_frac: float = 0.5,
+                            partial_partitions: int = 64) -> DataFrame:
+    """BM25 top-k against a prebuilt inverted index — the production path
+    when many query batches hit one corpus: postings come from
+    :func:`build_postings` (possibly read back from a term-bucketed
+    table, so the match join needs no posting shuffle at all), and the
+    corpus constants ``n_docs`` / ``avgdl`` (which include EMPTY docs the
+    postings can't see) are passed in from the index-build run. Same
+    output and determinism contract as :func:`bm25_topk`.
+    """
+    if not 0.0 < max_df_frac <= 1.0:
+        raise ValueError(f"max_df_frac must be in (0, 1], got {max_df_frac}")
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    if n_docs < 1:
+        raise ValueError(f"n_docs must be >= 1, got {n_docs}")
+
     stats = post.groupBy("term").agg(F.count(F.lit(1)).alias("df")) \
         .filter(F.col("df") <= F.lit(float(max_df_frac) * n_docs))
     # normative idf FP order: ln(1 + (N - df + 0.5) / (df + 0.5))
