@@ -1619,24 +1619,29 @@ _TRANSCRIPT_CTE = """
 _TURN_LAG_CTE = """
     lg AS (
       SELECT conv_id, turn_idx, role, text, ts,
+             row_number() OVER w AS rn,
              lag(turn_idx) OVER w AS p_turn,
              lag(role) OVER w AS p_role,
              lag(ts) OVER w AS p_ts
       FROM tr
-      WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx))"""
+      WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx NULLS FIRST))"""
 
-# Fired codes joined by ',' in the engine's check order (turn_gap,
-# null_role, bad_start_role, bad_transition, ts_regress) — concat_ws
-# skips the NULL (unfired) slots in both engines. The transition list is
+# Fired codes joined by ',' in the engine's check order (null_order,
+# turn_gap, null_role, bad_start_role, bad_transition, ts_regress) —
+# concat_ws skips the NULL (unfired) slots in both engines. "First turn"
+# is rn = 1 (NOT "lag IS NULL", which a NULL ordering key on the previous
+# row would fake); NULL ordering keys sort FIRST, matching the engine's
+# explicit asc_nulls_first. The transition list is
 # sorted(conversations.DEFAULT_TRANSITIONS).
 _TURN_ERRS_SQL = """concat_ws(',',
-  CASE WHEN (p_turn IS NULL AND turn_idx <> 0)
-         OR (p_turn IS NOT NULL AND turn_idx <> p_turn + 1)
+  CASE WHEN turn_idx IS NULL THEN 'null_order' END,
+  CASE WHEN (rn = 1 AND turn_idx <> 0)
+         OR (rn > 1 AND turn_idx <> p_turn + 1)
        THEN 'turn_gap' END,
   CASE WHEN role IS NULL THEN 'null_role' END,
-  CASE WHEN p_turn IS NULL AND role IS NOT NULL
+  CASE WHEN rn = 1 AND role IS NOT NULL
          AND role NOT IN ('system', 'user') THEN 'bad_start_role' END,
-  CASE WHEN p_turn IS NOT NULL AND role IS NOT NULL AND p_role IS NOT NULL
+  CASE WHEN rn > 1 AND role IS NOT NULL AND p_role IS NOT NULL
          AND NOT ((p_role = 'assistant' AND role = 'tool')
                OR (p_role = 'assistant' AND role = 'user')
                OR (p_role = 'system' AND role = 'user')
@@ -1648,7 +1653,8 @@ _TURN_ERRS_SQL = """concat_ws(',',
        THEN 'ts_regress' END)"""
 
 
-_TOKS_SQL = (r"CASE WHEN trim(regexp_replace(lower(text), "
+_TOKS_SQL = (r"CASE WHEN text IS NULL "
+             r"OR trim(regexp_replace(lower(text), "
              r"'[^\p{L}\p{N}]+', ' ', 'g')) = '' THEN []::VARCHAR[] "
              r"ELSE string_split_regex(trim(regexp_replace(lower(text), "
              r"'[^\p{L}\p{N}]+', ' ', 'g')), '\s+') END")
@@ -2224,11 +2230,11 @@ def oracle_sql() -> dict[str, str]:
                         0) AS cb
               FROM t)
             SELECT doc_id, shard,
-                   CAST(floor(cb / 512) AS BIGINT) AS pack_id,
+                   CAST(cb // 512 AS BIGINT) AS pack_id,
                    CAST(cb % 512 AS BIGINT) AS offset,
                    CAST(CASE WHEN n_tokens > 0
-                             THEN floor((cb + n_tokens - 1) / 512)
-                                  - floor(cb / 512) + 1
+                             THEN (cb + n_tokens - 1) // 512
+                                  - cb // 512 + 1
                              ELSE 1 END AS BIGINT) AS n_chunks
             FROM c""",
         "time_rollup": """
@@ -2412,14 +2418,15 @@ def oracle_sql() -> dict[str, str]:
               SELECT conv_id, turn_idx, role, substr(text, 1, 1) AS tkey,
                      lag(role) OVER w AS p_role,
                      lag(substr(text, 1, 1)) OVER w AS p_tkey,
-                     lag(turn_idx) OVER w AS p_turn
+                     row_number() OVER w AS rn
               FROM tr
-              WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx))
+              WINDOW w AS (PARTITION BY conv_id
+                           ORDER BY turn_idx NULLS FIRST))
             SELECT conv_id, turn_idx, role, tkey
             FROM s
             WHERE NOT (role IS NOT DISTINCT FROM p_role
                        AND tkey IS NOT DISTINCT FROM p_tkey
-                       AND p_turn IS NOT NULL)""",
+                       AND rn > 1)""",
         "conv_truncate": f"""
             WITH {_TRANSCRIPT_CTE},
             c AS (

@@ -509,3 +509,153 @@ class TestCurationProperties:
                                       salt_partitions=salts, salt_col="uid")
         assert ({tuple(r) for r in plain.collect()}
                 == {tuple(r) for r in salted.collect()})
+
+
+class TestBm25NullText:
+    """Review pin: NULL text must tokenize to an empty array so corpus
+    stats (avgdl) agree between ANSI modes and an all-NULL corpus fails
+    soft (empty result) instead of a driver TypeError."""
+
+    def test_null_text_equals_empty_text(self, spark):
+        from trafaret_spark.operators import retrieval
+        q = spark.createDataFrame([(1, "hello world")],
+                                  "query_id long, text string")
+        with_null = spark.createDataFrame(
+            [(1, "hello world"), (2, None), (3, "hello there world")],
+            "doc_id long, text string")
+        with_empty = spark.createDataFrame(
+            [(1, "hello world"), (2, ""), (3, "hello there world")],
+            "doc_id long, text string")
+        a = sorted(tuple(r) for r in
+                   retrieval.bm25_topk(with_null, q, k=3,
+                                       max_df_frac=1.0).collect())
+        b = sorted(tuple(r) for r in
+                   retrieval.bm25_topk(with_empty, q, k=3,
+                                       max_df_frac=1.0).collect())
+        assert a == b and len(a) == 2
+
+    def test_all_null_corpus_returns_empty(self, spark):
+        from trafaret_spark.operators import retrieval
+        q = spark.createDataFrame([(1, "hello")],
+                                  "query_id long, text string")
+        corpus = spark.createDataFrame([(1, None), (2, None)],
+                                       "doc_id long, text string")
+        assert retrieval.bm25_topk(corpus, q, k=3).count() == 0
+
+
+class TestNullOrderFlagged:
+    """Review pin: a NULL turn_idx is a structural error (null_order),
+    not a silent pass — three-valued logic made every neighbour check
+    NULL for such rows."""
+
+    @pytest.fixture(scope="class")
+    def df(self, spark):
+        from trafaret_spark.operators import conversations
+        raw = spark.createDataFrame(
+            [("c1", None, "user"), ("c1", 0, "system"), ("c1", 1, "user")],
+            "conv_id string, turn_idx long, role string")
+        return conversations.turn_errors(raw, ts_col=None)
+
+    def test_null_idx_row_flagged(self, df):
+        errs = {r.turn_idx: list(r.turn_errs) for r in df.collect()}
+        assert errs[None] == ["null_order"]
+
+    def test_report_invalid(self, spark, df):
+        from trafaret_spark.operators import conversations
+        rep = conversations.conversation_report(df).collect()[0]
+        assert rep.is_valid is False and rep.n_bad_turns >= 1
+
+    def test_clean_conversation_unchanged(self, spark):
+        from trafaret_spark.operators import conversations
+        raw = spark.createDataFrame(
+            [("c1", 0, "system"), ("c1", 1, "user"), ("c1", 2, "assistant")],
+            "conv_id string, turn_idx long, role string")
+        out = conversations.turn_errors(raw, ts_col=None)
+        assert all(len(r.turn_errs) == 0 for r in out.collect())
+
+
+class TestTempColsCollisionSafe:
+    """Review pin: operators that add-then-drop helper columns must not
+    destroy user columns sharing the historical temp names."""
+
+    def test_cap_per_key_preserves_user_cap_rn(self, spark):
+        from trafaret_spark.operators import curation
+        df = spark.createDataFrame(
+            [(1, "a", 7), (2, "a", 8), (3, "b", 9)],
+            "id long, k string, __cap_rn int")
+        out = curation.cap_per_key(df, "k", 1,
+                                   order_by=[F.col("id").asc()])
+        rows = {r.id: r for r in out.collect()}
+        assert set(out.columns) == {"id", "k", "__cap_rn"}
+        assert rows[1]["__cap_rn"] == 7
+
+    def test_cap_per_key_salted_preserves_pre_rn(self, spark):
+        from trafaret_spark.operators import curation
+        df = spark.createDataFrame(
+            [(1, "a", 7), (2, "a", 8)],
+            "id long, k string, __cap_pre_rn int")
+        out = curation.cap_per_key(df, "k", 1, order_by=[F.col("id").asc()],
+                                   salt_partitions=2, salt_col="id")
+        assert "__cap_pre_rn" in out.columns
+        assert out.collect()[0]["__cap_pre_rn"] == 7
+
+    def test_stutter_and_truncate_preserve_user_cols(self, spark):
+        from trafaret_spark.operators import conversations
+        df = spark.createDataFrame(
+            [("c1", 0, "user", "hi", True, 3),
+             ("c1", 1, "user", "hi", False, 4)],
+            "conv_id string, turn_idx long, role string, text string,"
+            " __stutter boolean, __cum_tok int")
+        out = conversations.dedup_stutter(df)
+        assert "__stutter" in out.columns and out.count() == 1
+        df2 = df.withColumnRenamed("__cum_tok", "n_tokens") \
+            .withColumn("__cum_tok", F.lit(42))
+        out2 = conversations.truncate_turns(df2, 3)
+        assert "__cum_tok" in out2.columns
+        assert out2.collect()[0]["__cum_tok"] == 42
+
+
+class TestPackSequencesExactPast2_53:
+    """Review pin: pack_id uses integral `div`, not floor of a double
+    division — past 2^53 cumulative tokens the double rounds and the
+    layout contradicts the exact pmod offset."""
+
+    def test_layout_self_consistent_at_2_53(self, spark):
+        from trafaret_spark.operators import curation
+        big = (1 << 53) + 3
+        df = spark.createDataFrame([(1, big), (2, 5)],
+                                   "doc_id long, n_tokens long")
+        out = {r.doc_id: r for r in
+               curation.pack_sequences(df, capacity=4).collect()}
+        r2 = out[2]
+        assert r2.pack_id * 4 + r2.offset == big
+        assert r2.pack_id == big // 4 and r2.offset == big % 4
+        assert r2.n_chunks == (big + 5 - 1) // 4 - big // 4 + 1
+
+
+class TestMinhashAuditSharesMaterialization:
+    """Review pin: the warn/error audit must persist the bucket table so
+    the eager count and the lazy pair output share one signature-stage
+    materialization (the operator's dominant cost)."""
+
+    def test_warn_path_persists_bucket_table(self, spark, monkeypatch):
+        from trafaret_spark.operators import dedup
+        calls = []
+        docs = spark.createDataFrame(
+            [(i, f"doc number {i} common shared boilerplate text body")
+             for i in range(8)], "doc_id long, text string")
+        # patch the CONCRETE DataFrame class (pyspark.sql.DataFrame is an
+        # abstract base in PySpark 4; subclass overrides win the MRO)
+        cls = type(docs)
+        orig = cls.persist
+
+        def spy(self, *a, **kw):
+            calls.append(1)
+            return orig(self, *a, **kw)
+
+        monkeypatch.setattr(cls, "persist", spy)
+        with pytest.warns(RuntimeWarning):
+            pairs = dedup.minhash_lsh_candidates(
+                docs, max_bucket_size=2, on_drop="warn")
+            pairs.count()
+        assert len(calls) == 1

@@ -43,6 +43,8 @@ from typing import Mapping, Optional, Sequence, Union
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from trafaret_spark.operators.colnames import temp_col
+
 __all__ = [
     "DEFAULT_TRANSITIONS", "DEFAULT_START_ROLES",
     "turn_errors", "conversation_report", "dedup_stutter",
@@ -65,6 +67,7 @@ DEFAULT_TRANSITIONS: frozenset[tuple[str, str]] = frozenset({
 DEFAULT_START_ROLES: frozenset[str] = frozenset({"system", "user"})
 
 # Error-code vocabulary (snake_case, mirroring codes.py style).
+ERR_NULL_ORDER = "null_order"        # ordering key (turn_idx) is NULL
 ERR_TURN_GAP = "turn_gap"            # turn_idx not dense from 0
 ERR_BAD_START = "bad_start_role"     # first turn's role not allowed to open
 ERR_BAD_TRANSITION = "bad_transition"  # (prev_role, role) not in the policy
@@ -73,7 +76,9 @@ ERR_NULL_ROLE = "null_role"          # role is NULL
 
 
 def _conv_window(by: Sequence[str], order: str) -> Window:
-    return Window.partitionBy(*by).orderBy(F.col(order).asc())
+    # NULLS FIRST explicitly: Spark's asc default, but made explicit so
+    # the oracle SQL (DuckDB defaults to NULLS LAST) can mirror it.
+    return Window.partitionBy(*by).orderBy(F.col(order).asc_nulls_first())
 
 
 def _listify(by: Union[str, Sequence[str]]) -> list[str]:
@@ -93,6 +98,12 @@ def turn_errors(df: DataFrame,
 
     Checks, each a lag-window comparison (codes in registry order):
 
+    * ``null_order`` — the ordering key itself is NULL. Such a turn
+      can satisfy no dense-index or neighbour comparison (three-valued
+      logic makes them all NULL → silent), so it gets its own code; NULL
+      keys sort FIRST (explicit, so oracles can mirror Spark's default).
+      Gap checks against a NULL-keyed neighbour don't fire — the
+      conversation is already flagged by the NULL-keyed turn itself.
     * ``turn_gap`` — ``order`` is not dense: first turn != ``dense_from``
       or a later turn != previous + 1 (pass ``dense_from=None`` to skip).
     * ``null_role`` / ``bad_start_role`` / ``bad_transition`` — role
@@ -104,15 +115,18 @@ def turn_errors(df: DataFrame,
     One window exchange on ``by``; everything else is scan-side codegen.
     An empty array means the turn is structurally sound. The array is
     ordered by the check list above, so equality comparisons (and the
-    DuckDB oracle) are deterministic.
+    DuckDB oracle) are deterministic. "First turn" means row number 1
+    under the window order (NOT "lag is NULL", which a NULL ordering key
+    on the previous row would fake).
     """
     by = _listify(by)
     w = _conv_window(by, order)
     prev_role = F.lag(role_col, 1).over(w)
     prev_order = F.lag(order, 1).over(w)
-    is_first = prev_order.isNull()
+    is_first = F.row_number().over(w) == 1
 
     checks: list[tuple[str, Column]] = []
+    checks.append((ERR_NULL_ORDER, F.col(order).isNull()))
     if dense_from is not None:
         checks.append((ERR_TURN_GAP, F.when(
             is_first, F.col(order) != F.lit(dense_from)
@@ -191,10 +205,10 @@ def dedup_stutter(df: DataFrame,
     same = (F.col(role_col).eqNullSafe(F.lag(role_col, 1).over(w))
             & F.col(text_col).eqNullSafe(F.lag(text_col, 1).over(w))
             # lag yields NULL for the first row of both columns; require a
-            # previous ROW (lag of the order key, never NULL mid-stream)
-            & F.lag(order, 1).over(w).isNotNull())
-    return df.withColumn("__stutter", same) \
-        .filter(~F.col("__stutter")).drop("__stutter")
+            # previous ROW (row 2 onward under the window order)
+            & (F.row_number().over(w) > 1))
+    stut = temp_col(df, "__stutter")
+    return df.withColumn(stut, same).filter(~F.col(stut)).drop(stut)
 
 
 def truncate_turns(df: DataFrame, max_tokens: int,
@@ -222,8 +236,9 @@ def truncate_turns(df: DataFrame, max_tokens: int,
     w = Window.partitionBy(*by).orderBy(direction) \
         .rowsBetween(Window.unboundedPreceding, 0)
     cum = F.sum(F.coalesce(F.col(token_col), F.lit(0))).over(w)
-    return df.withColumn("__cum_tok", cum) \
-        .filter(F.col("__cum_tok") <= F.lit(max_tokens)).drop("__cum_tok")
+    ct = temp_col(df, "__cum_tok")
+    return df.withColumn(ct, cum) \
+        .filter(F.col(ct) <= F.lit(max_tokens)).drop(ct)
 
 
 def render_conversation(df: DataFrame,

@@ -34,6 +34,7 @@ from typing import Optional, Sequence, Union
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from trafaret_spark.operators.colnames import temp_col
 from trafaret_spark.operators.dedup import shingle_hashes
 
 __all__ = ["ngram_decontaminate", "decontaminate", "cap_per_key",
@@ -126,11 +127,13 @@ def cap_per_key(df: DataFrame, key_cols: Union[str, Sequence[str]],
                              "(a unique column to derive salt buckets)")
         salt = F.pmod(F.xxhash64(F.col(salt_col)), F.lit(salt_partitions))
         pre = Window.partitionBy(*keys, salt).orderBy(*order_by)
-        df = df.withColumn("__cap_pre_rn", F.row_number().over(pre)) \
-            .filter(F.col("__cap_pre_rn") <= n).drop("__cap_pre_rn")
+        pre_rn = temp_col(df, "__cap_pre_rn")
+        df = df.withColumn(pre_rn, F.row_number().over(pre)) \
+            .filter(F.col(pre_rn) <= n).drop(pre_rn)
     w = Window.partitionBy(*keys).orderBy(*order_by)
-    return df.withColumn("__cap_rn", F.row_number().over(w)) \
-        .filter(F.col("__cap_rn") <= n).drop("__cap_rn")
+    rn = temp_col(df, "__cap_rn")
+    return df.withColumn(rn, F.row_number().over(w)) \
+        .filter(F.col(rn) <= n).drop(rn)
 
 
 def pack_sequences(df: DataFrame, capacity: int,
@@ -170,10 +173,16 @@ def pack_sequences(df: DataFrame, capacity: int,
     w = Window.partitionBy(*part).orderBy(*order) \
         .rowsBetween(Window.unboundedPreceding, -1)
     cum_before = F.coalesce(F.sum(token_col).over(w),
-                            F.lit(0).cast("long"))
+                            F.lit(0)).cast("long")
     tok = F.col(token_col).cast("long")
-    pack_id = F.floor(cum_before / capacity)
-    last_pack = F.floor((cum_before + tok - F.lit(1)) / capacity)
+    cap = F.lit(capacity).cast("long")
+    # integral `div`, NOT floor(a / b): long/long divides as doubles, and
+    # past 2^53 cumulative tokens the rounded pack_id contradicts the
+    # exact pmod offset (pack_id*capacity + offset != cum_before) —
+    # within 10x of this module's own 10^12-doc claims for a
+    # lightly-sharded run. `div` is exact at any scale.
+    pack_id = F.call_function("div", cum_before, cap)
+    last_pack = F.call_function("div", cum_before + tok - F.lit(1), cap)
     return df.select(
         "*",
         pack_id.alias("pack_id"),

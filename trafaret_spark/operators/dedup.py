@@ -276,6 +276,14 @@ def minhash_lsh_candidates(df: DataFrame, text_col: str = "text",
                  .agg(F.collect_list(id_col).alias("ids"),
                       F.count(F.lit(1)).alias("bsz")))
     if on_drop != "ignore":
+        # Unlike capped_blocks (whose audit recomputes only a cheap
+        # groupBy), this audit sits downstream of the WHOLE
+        # shingle→minhash→banding pipeline — the dominant cost of the
+        # operator. Persist the bucket table so the eager audit count and
+        # the lazy pair output share one materialization instead of
+        # running the signature stage twice. MEMORY_AND_DISK default;
+        # size is the bucket table (post-agg), not the banded fan-out.
+        sized_all = sized_all.persist()
         row = (sized_all.filter(F.col("bsz") > max_bucket_size)
                .agg(F.count(F.lit(1)).alias("nb"),
                     F.sum("bsz").alias("nr")).collect()[0])
@@ -284,6 +292,7 @@ def minhash_lsh_candidates(df: DataFrame, text_col: str = "text",
                    f"({row['nr']} banded rows) larger than "
                    f"max_bucket_size={max_bucket_size}")
             if on_drop == "error":
+                sized_all.unpersist()
                 raise ValueError(msg)
             warnings.warn(msg, RuntimeWarning, stacklevel=3)
     sized = sized_all.filter(

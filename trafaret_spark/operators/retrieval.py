@@ -49,10 +49,14 @@ SCORE_SCALE = 1_000_000  # micro-unit quantization of per-term contributions
 
 
 def tokens(col: Column) -> Column:
-    """Normalized word tokens as array<string>; blank text → empty array
-    (split of '' would yield [''], a phantom term)."""
+    """Normalized word tokens as array<string>; blank OR NULL text →
+    empty array (split of '' would yield [''], a phantom term; a NULL
+    array would make ``size()`` ANSI-mode-dependent — -1 legacy vs NULL
+    ANSI — breaking the library's ANSI-neutral contract in every
+    downstream count)."""
     norm = normalize_text(col)
-    return F.when(norm == "", F.array().cast("array<string>")) \
+    return F.when(norm.isNull() | (norm == ""),
+                  F.array().cast("array<string>")) \
         .otherwise(F.split(norm, r"\s+"))
 
 
