@@ -818,6 +818,40 @@ def q_conv_render(spark, sf_dir):
                       "rendered")
 
 
+def q_conv_dedup(spark, sf_dir):
+    # exact conversation-level dedup over the render surface: the corpus
+    # is the transcript UNION a '_copy'-suffixed clone of itself, so
+    # every conversation has at least one whole-conversation duplicate
+    # and the canonical (smallest conv_id) member must survive with its
+    # turn rows byte-identical; conv_hash (md5 of the render) attested
+    t = _transcript(spark, sf_dir).select("conv_id", "turn_idx", "role",
+                                          "text")
+    clone = t.withColumn("conv_id",
+                         F.concat(F.col("conv_id"), F.lit("_copy")))
+    # the corpus feeds BOTH the render/hash path and the survivor
+    # join-back — persist so the events window isn't computed twice
+    corpus = t.unionByName(clone).persist()
+    out = conversations.dedup_conversations(corpus, keep_hash=True)
+    return out.select("conv_id", "turn_idx", "role", "conv_hash")
+
+
+def q_conv_features(spark, sf_dir):
+    # per-conversation rollup features; latency stats aggregate exact
+    # integer µs (sum/count/max of longs) so the oracle hash is stable
+    # under partial-agg reordering
+    t = _transcript(spark, sf_dir)
+    out = conversations.conversation_features(t)
+    return out.select(
+        "conv_id", F.col("n_turns").cast("long").alias("n_turns"),
+        F.col("n_user_turns").cast("long").alias("n_user_turns"),
+        F.col("n_assistant_turns").cast("long").alias("n_assistant_turns"),
+        F.col("n_other_turns").cast("long").alias("n_other_turns"),
+        F.col("total_chars").cast("long").alias("total_chars"),
+        "avg_turn_chars",
+        F.col("n_responses").cast("long").alias("n_responses"),
+        "avg_response_secs", "max_response_secs", "duration_secs")
+
+
 _BM25_QUERIES = [(1, "merge sort window dup"),
                  (2, "customer table join hash"),
                  (3, "vector stream data line")]
@@ -1200,6 +1234,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "conv_stutter": q_conv_stutter,
         "conv_truncate": q_conv_truncate,
         "conv_render": q_conv_render,
+        "conv_dedup": q_conv_dedup,
+        "conv_features": q_conv_features,
         "mixture_sample": q_mixture_sample,
         "ret_bm25": q_ret_bm25,
         "lm_bits": q_lm_bits,
@@ -2450,6 +2486,72 @@ def oracle_sql() -> dict[str, str]:
             SELECT conv_id, n_turns, CAST(length(rendered) AS BIGINT)
                      AS n_chars, rendered
             FROM r""",
+        # conv_dedup: md5 of the same render expression conv_render
+        # byte-attests; smallest conv_id per hash survives
+        "conv_dedup": f"""
+            WITH {_TRANSCRIPT_CTE},
+            u AS (
+              SELECT conv_id, turn_idx, role, text FROM tr
+              UNION ALL
+              SELECT conv_id || '_copy', turn_idx, role, text FROM tr),
+            h AS (
+              SELECT conv_id,
+                     md5(string_agg('<|' || coalesce(role, '') || '|>'
+                                    || coalesce(text, ''),
+                                    chr(10) ORDER BY turn_idx)) AS conv_hash
+              FROM u GROUP BY conv_id),
+            w AS (
+              SELECT conv_hash, min(conv_id) AS conv_id
+              FROM h GROUP BY conv_hash)
+            SELECT u.conv_id, u.turn_idx, u.role, w.conv_hash
+            FROM u JOIN w USING (conv_id)""",
+        # conv_features: latency stats over exact integer µs mirroring
+        # conversation_features (sum/count/max of BIGINT, one final
+        # double division, round-6); response = assistant following user
+        "conv_features": f"""
+            WITH {_TRANSCRIPT_CTE},
+            lg AS (
+              SELECT conv_id, role, text, ts,
+                     lag(role) OVER w AS p_role,
+                     lag(ts) OVER w AS p_ts
+              FROM tr
+              WINDOW w AS (PARTITION BY conv_id
+                           ORDER BY turn_idx NULLS FIRST)),
+            b AS (
+              SELECT conv_id, role, ts,
+                     coalesce(length(text), 0) AS chars,
+                     (role IS NOT DISTINCT FROM 'assistant'
+                      AND p_role IS NOT DISTINCT FROM 'user') AS is_resp,
+                     CASE WHEN role IS NOT DISTINCT FROM 'assistant'
+                               AND p_role IS NOT DISTINCT FROM 'user'
+                          THEN epoch_us(ts) - epoch_us(p_ts) END AS lat_us
+              FROM lg)
+            SELECT conv_id,
+                   count(*) AS n_turns,
+                   CAST(sum(CASE WHEN role IS NOT DISTINCT FROM 'user'
+                                 THEN 1 ELSE 0 END) AS BIGINT)
+                     AS n_user_turns,
+                   CAST(sum(CASE WHEN role IS NOT DISTINCT FROM 'assistant'
+                                 THEN 1 ELSE 0 END) AS BIGINT)
+                     AS n_assistant_turns,
+                   CAST(sum(CASE WHEN role IS DISTINCT FROM 'user'
+                                 AND role IS DISTINCT FROM 'assistant'
+                                 THEN 1 ELSE 0 END) AS BIGINT)
+                     AS n_other_turns,
+                   CAST(sum(chars) AS BIGINT) AS total_chars,
+                   round(CAST(sum(chars) AS DOUBLE) / count(*), 6)
+                     AS avg_turn_chars,
+                   CAST(sum(CASE WHEN is_resp THEN 1 ELSE 0 END) AS BIGINT)
+                     AS n_responses,
+                   CASE WHEN count(lat_us) > 0
+                        THEN round(CAST(sum(lat_us) AS DOUBLE)
+                                   / count(lat_us) / 1000000.0, 6) END
+                     AS avg_response_secs,
+                   round(CAST(max(lat_us) AS DOUBLE) / 1000000.0, 6)
+                     AS max_response_secs,
+                   round(CAST(epoch_us(max(ts)) - epoch_us(min(ts))
+                              AS DOUBLE) / 1000000.0, 6) AS duration_secs
+            FROM b GROUP BY conv_id""",
         # mixture_sample: thresholds recomputed in-SQL with the exact FP
         # operation order of sampling.mixture_thresholds (normative:
         # ((D * w_d) * cnt_b) / (w_b * cnt_d), D = M31 portable); binding

@@ -262,3 +262,96 @@ class TestMixtureSample:
         with pytest.raises(ValueError, match="no rows"):
             sampling.mixture_sample(mix_docs, "lang", {"en": 1.0, "xx": 1.0},
                                     key_cols="doc_id")
+
+
+class TestDedupConversations:
+    @pytest.fixture(scope="class")
+    def corpus(self, spark):
+        rows = [
+            ("a", 0, "user", "hi"), ("a", 1, "assistant", "hello"),
+            ("b", 0, "user", "hi"), ("b", 1, "assistant", "hello"),
+            ("c", 0, "user", "hi"), ("c", 1, "assistant", "different"),
+        ]
+        return spark.createDataFrame(
+            rows, "conv_id string, turn_idx long, role string, text string")
+
+    def test_smallest_key_survives(self, corpus):
+        out = conversations.dedup_conversations(corpus)
+        assert sorted({r.conv_id for r in out.collect()}) == ["a", "c"]
+        assert out.count() == 4  # turn rows of survivors, untouched
+
+    def test_rows_byte_identical(self, corpus):
+        out = conversations.dedup_conversations(corpus)
+        got = sorted(tuple(r) for r in out.collect())
+        want = sorted(tuple(r) for r in corpus.collect()
+                      if r.conv_id in ("a", "c"))
+        assert got == want
+
+    def test_keep_hash_groups(self, corpus):
+        out = conversations.dedup_conversations(corpus, keep_hash=True)
+        hashes = {r.conv_id: r.conv_hash for r in out.collect()}
+        assert set(hashes) == {"a", "c"} and hashes["a"] != hashes["c"]
+
+    def test_order_invariance(self, spark):
+        # same content, rows arriving in shuffled turn order → still dups
+        d1 = spark.createDataFrame(
+            [("x", 1, "assistant", "t"), ("x", 0, "user", "s"),
+             ("y", 0, "user", "s"), ("y", 1, "assistant", "t")],
+            "conv_id string, turn_idx long, role string, text string")
+        out = conversations.dedup_conversations(d1)
+        assert {r.conv_id for r in out.collect()} == {"x"}
+
+    def test_no_python_single_turn_exchange(self, corpus):
+        plan = conversations.dedup_conversations(corpus) \
+            ._jdf.queryExecution().executedPlan().toString()
+        assert "EvalPython" not in plan
+
+
+class TestConversationFeatures:
+    @pytest.fixture(scope="class")
+    def feats(self, spark):
+        rows = [
+            ("c1", 0, "system", "be nice", "2024-01-01 00:00:00"),
+            ("c1", 1, "user", "hi", "2024-01-01 00:00:10"),
+            ("c1", 2, "assistant", "hello!", "2024-01-01 00:00:12.5"),
+            ("c1", 3, "user", "bye", "2024-01-01 00:00:20"),
+            ("c1", 4, "assistant", "bye", "2024-01-01 00:00:24"),
+            ("c2", 0, "user", None, None),
+        ]
+        df = spark.createDataFrame(
+            rows, "conv_id string, turn_idx long, role string,"
+                  " text string, ts string") \
+            .withColumn("ts", F.col("ts").cast("timestamp"))
+        out = conversations.conversation_features(df)
+        return {r.conv_id: r for r in out.collect()}
+
+    def test_role_mix_and_chars(self, feats):
+        c1 = feats["c1"]
+        assert (c1.n_turns, c1.n_user_turns, c1.n_assistant_turns,
+                c1.n_other_turns) == (5, 2, 2, 1)
+        assert c1.total_chars == 7 + 2 + 6 + 3 + 3
+        assert c1.avg_turn_chars == round(21 / 5, 6)
+
+    def test_response_latency_exact(self, feats):
+        c1 = feats["c1"]
+        assert c1.n_responses == 2
+        # latencies 2.5s and 4.0s — exact µs arithmetic
+        assert c1.avg_response_secs == 3.25
+        assert c1.max_response_secs == 4.0
+        assert c1.duration_secs == 24.0
+
+    def test_null_ts_conversation(self, feats):
+        c2 = feats["c2"]
+        assert c2.n_turns == 1 and c2.n_responses == 0
+        assert c2.avg_response_secs is None
+        assert c2.max_response_secs is None
+        assert c2.total_chars == 0
+
+    def test_single_exchange_no_python(self, spark):
+        df = spark.createDataFrame(
+            [("c", 0, "user", "x", None)],
+            "conv_id string, turn_idx long, role string, text string,"
+            " ts timestamp")
+        plan = conversations.conversation_features(df) \
+            ._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("Exchange") == 1 and "EvalPython" not in plan

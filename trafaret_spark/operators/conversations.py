@@ -20,6 +20,11 @@ neighbours:
   per conversation (stable ``order_by`` ordering), the byte-equality
   surface for the north-star "per-turn text byte-equal under stable
   (conv_id, turn_idx) ordering" invariant.
+* :func:`dedup_conversations` — exact conversation-LEVEL dedup keyed on
+  the render (whole-conversation duplicates that per-document dedup
+  misses because each turn is short boilerplate).
+* :func:`conversation_features` — per-conversation rollup features
+  (role mix, char volume, response latency in exact integer µs).
 
 Scale: every operator here is ONE window/group exchange on the
 conversation key — the same ``hashpartitioning(conv_id)`` the as-of join
@@ -49,6 +54,7 @@ __all__ = [
     "DEFAULT_TRANSITIONS", "DEFAULT_START_ROLES",
     "turn_errors", "conversation_report", "dedup_stutter",
     "truncate_turns", "render_conversation",
+    "dedup_conversations", "conversation_features",
 ]
 
 # Legal (previous role -> current role) moves for a standard
@@ -284,3 +290,125 @@ def render_conversation(df: DataFrame,
         F.count(F.lit(1)).alias("n_turns"),
         rendered.alias(out_col),
     ).withColumn("n_chars", F.length(F.col(out_col)))
+
+
+def dedup_conversations(df: DataFrame,
+                        by: Union[str, Sequence[str]] = "conv_id",
+                        order: str = "turn_idx",
+                        role_col: str = "role",
+                        text_col: str = "text",
+                        open_tag: str = "<|",
+                        close_tag: str = "|>",
+                        sep: str = "\n",
+                        keep_hash: bool = False) -> DataFrame:
+    """Exact CONVERSATION-level dedup: two conversations are duplicates
+    when their deterministic renders (:func:`render_conversation` —
+    per-turn role+text in ``order`` order) are byte-equal; the member
+    with the smallest ``by`` key survives and its original turn rows are
+    returned byte-identical (``keep_hash=True`` appends the group's
+    ``conv_hash`` md5 column to each surviving row).
+
+    This is the transcript analogue of ``dedup.keep_canonical``: web-scale
+    SFT corpora carry whole-conversation duplicates (re-scrapes, mirrored
+    forums) that per-document dedup misses because each individual turn is
+    short boilerplate. Content identity = the render, so it inherits the
+    render's caveat: a text that embeds the tag/separator byte sequence
+    could collide — pick tags outside the corpus alphabet for adversarial
+    inputs (the md5 itself adds no practical collisions).
+
+    Plan (all codegen, no Python): ① the render's ONE groupBy exchange on
+    ``by`` → one md5 row per conversation; ② a min-struct agg per hash
+    (shuffle carries one row per CONVERSATION, not per turn); ③ the
+    surviving key set semi-joins the turn table (AQE broadcasts it when
+    #conversations is small; otherwise one hash join on ``by`` — the same
+    key the turn table's other stages already shuffle on). At 10^12 turns
+    the only full-size exchange is ①, shared with every other
+    conversation-level stage in a fused pipeline.
+    """
+    by = _listify(by)
+    rendered = render_conversation(df, by=by, order=order,
+                                   role_col=role_col, text_col=text_col,
+                                   open_tag=open_tag, close_tag=close_tag,
+                                   sep=sep, out_col="__render")
+    hashed = rendered.select(*by, F.md5(F.col("__render")).alias("conv_hash"))
+    winner_struct = F.min(F.struct(*[F.col(c) for c in by])).alias("__win")
+    winners = (hashed.groupBy("conv_hash").agg(winner_struct)
+               .select("conv_hash",
+                       *[F.col(f"__win.{c}").alias(c) for c in by]))
+    if keep_hash:
+        return df.join(winners.select(*by, "conv_hash"), by, "inner")
+    return df.join(winners.select(*by), by, "left_semi")
+
+
+def conversation_features(df: DataFrame,
+                          by: Union[str, Sequence[str]] = "conv_id",
+                          order: str = "turn_idx",
+                          role_col: str = "role",
+                          text_col: str = "text",
+                          ts_col: Optional[str] = "ts",
+                          user_role: str = "user",
+                          assistant_role: str = "assistant") -> DataFrame:
+    """Per-conversation rollup features — the conversation-LEVEL signals a
+    transcript curation/quality pipeline filters and stratifies on:
+
+    * ``n_turns``; ``n_user_turns`` / ``n_assistant_turns`` /
+      ``n_other_turns`` (role mix); NULL roles count as other.
+    * ``total_chars`` / ``avg_turn_chars`` — codepoint volume (NULL text
+      counts 0 chars; avg over ALL turns, round-6 for oracle stability).
+    * ``n_responses`` / ``avg_response_secs`` / ``max_response_secs`` —
+      a *response* is an ``assistant_role`` turn directly following a
+      ``user_role`` turn (window order = ``order``); latency is the ts
+      delta in seconds. Latency stats aggregate EXACT integer µs (sum /
+      count / max of longs — deterministic under Spark's partial-agg
+      reordering, unlike a double ``avg``) and divide once at the end
+      (round-6). Pairs with a NULL ts on either side are excluded from
+      the latency stats but still count in ``n_responses``;
+      ``ts_col=None`` skips all four ts-derived columns.
+    * ``duration_secs`` — max(ts) − min(ts) over the conversation.
+
+    ONE window + ONE groupBy on the same ``by`` key — Catalyst plans a
+    single exchange; everything else is scan-side codegen. At 10^12 turns
+    this is a shuffle-once stream-through pass, fusable with
+    :func:`turn_errors` / the feature layer on the same key.
+    """
+    by = _listify(by)
+    role = F.col(role_col)
+    is_user = role.eqNullSafe(F.lit(user_role))
+    is_asst = role.eqNullSafe(F.lit(assistant_role))
+    chars = F.coalesce(F.length(text_col), F.lit(0)).cast("long")
+
+    aggs = [
+        F.count(F.lit(1)).alias("n_turns"),
+        F.sum(is_user.cast("long")).alias("n_user_turns"),
+        F.sum(is_asst.cast("long")).alias("n_assistant_turns"),
+        F.sum((~(is_user | is_asst)).cast("long")).alias("n_other_turns"),
+        F.sum(chars).alias("total_chars"),
+        F.round(F.sum(chars) / F.count(F.lit(1)), 6).alias("avg_turn_chars"),
+    ]
+    if ts_col is not None:
+        w = _conv_window(by, order)
+        prev_role = F.lag(role_col, 1).over(w)
+        prev_ts = F.lag(ts_col, 1).over(w)
+        is_resp = is_asst & prev_role.eqNullSafe(F.lit(user_role))
+        # exact integer µs delta; NULL when either ts is NULL. The
+        # .cast("timestamp") bridges TIMESTAMP_NTZ inputs (session TZ is
+        # UTC — same convention as features.py:120)
+        lat_us = F.when(is_resp,
+                        F.unix_micros(F.col(ts_col).cast("timestamp"))
+                        - F.unix_micros(prev_ts.cast("timestamp")))
+        resp_c = temp_col(df, "__is_resp")
+        lat_c = temp_col(df, "__lat_us")
+        df = df.withColumn(resp_c, is_resp).withColumn(lat_c, lat_us)
+        n_lat = F.count(lat_c)
+        aggs += [
+            F.sum(F.col(resp_c).cast("long")).alias("n_responses"),
+            F.when(n_lat > 0,
+                   F.round(F.sum(lat_c) / n_lat / F.lit(1_000_000.0), 6))
+             .alias("avg_response_secs"),
+            F.round(F.max(lat_c) / F.lit(1_000_000.0), 6)
+             .alias("max_response_secs"),
+            F.round((F.unix_micros(F.max(ts_col).cast("timestamp"))
+                     - F.unix_micros(F.min(ts_col).cast("timestamp")))
+                    / F.lit(1_000_000.0), 6).alias("duration_secs"),
+        ]
+    return df.groupBy(*by).agg(*aggs)
