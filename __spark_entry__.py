@@ -852,6 +852,25 @@ def q_conv_features(spark, sf_dir):
         "avg_response_secs", "max_response_secs", "duration_secs")
 
 
+def q_conv_neardup(spark, sf_dir):
+    # NEAR-dup conversation dedup: corpus = transcript ∪ a '_v2' clone
+    # with every 5th turn dropped, so each (x, x_v2) pair renders
+    # DIFFERENTLY (exact conv_dedup keeps both) but its render
+    # gram-Jaccard stays high; the whole-conversation minhash pass must
+    # collapse each detected pair to the canonical (smaller) conv_id and
+    # return the survivors' turn rows byte-identical. portable=True so
+    # the DuckDB oracle reproduces the hash family bit-for-bit.
+    t = _transcript(spark, sf_dir).select("conv_id", "turn_idx", "role",
+                                          "text")
+    clone = (t.filter(F.col("turn_idx") % 5 != 3)
+             .withColumn("conv_id", F.concat(F.col("conv_id"),
+                                             F.lit("_v2"))))
+    corpus = t.unionByName(clone).persist()
+    out = conversations.neardup_conversations(corpus, threshold=0.35,
+                                              portable=True)
+    return out.select("conv_id", "turn_idx", "role")
+
+
 _BM25_QUERIES = [(1, "merge sort window dup"),
                  (2, "customer table join hash"),
                  (3, "vector stream data line")]
@@ -1235,6 +1254,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "conv_truncate": q_conv_truncate,
         "conv_render": q_conv_render,
         "conv_dedup": q_conv_dedup,
+        "conv_neardup": q_conv_neardup,
         "conv_features": q_conv_features,
         "mixture_sample": q_mixture_sample,
         "ret_bm25": q_ret_bm25,
@@ -1299,19 +1319,22 @@ def _sql_gram31(th: str = "th", n: int = 3) -> str:
             f"ELSE [{fold}] END)")
 
 
-def _minhash_body() -> str:
+def _minhash_body(table: str = "documents", id_col: str = "doc_id",
+                  text_col: str = "text") -> str:
     """Shared CTE chain ending at ``v(a, b, i, u)`` — candidate pairs with
-    intersection/union sizes, reused by the minhash and the
-    connected-components oracles."""
+    intersection/union sizes, reused by the minhash / connected-components
+    oracles (over ``documents``) and the conversation near-dup oracle
+    (over the rendered-conversation CTE): ``table``/``id_col``/``text_col``
+    select the corpus; the internal ``doc_id`` alias is unchanged."""
     from trafaret_spark.operators.dedup import _coeffs
     coeffs = _coeffs(64, 17)
     a_lit = "([" + ",".join(str(a) for a, _ in coeffs) + "]::BIGINT[])"
     b_lit = "([" + ",".join(str(b) for _, b in coeffs) + "]::BIGINT[])"
-    toks = _NORM_TOKS.format(src="text")
+    toks = _NORM_TOKS.format(src=text_col)
     return f"""toks AS (
-          SELECT doc_id,
+          SELECT {id_col} AS doc_id,
                  list_transform({toks}, t -> {_sql_tok31('t')}) AS th
-          FROM documents),
+          FROM {table}),
         grams AS (
           SELECT doc_id, {_sql_gram31('th', 3)} AS g FROM toks),
         sigs AS (
@@ -2576,4 +2599,34 @@ def oracle_sql() -> dict[str, str]:
         # oracles reproduce ranks AND scores bit-for-bit (see builders)
         "ret_bm25": _bm25_oracle(),
         "lm_bits": _lm_bits_oracle(),
+        # conv_neardup: minhash over the conversation RENDER (same CTE
+        # chain as dedup_minhash via the parameterized _minhash_body),
+        # then the keep_canonical min-label closure; corpus = transcript
+        # plus a '_v2' clone missing every 5th turn
+        "conv_neardup": f"""
+            WITH RECURSIVE {_TRANSCRIPT_CTE},
+            uc AS (
+              SELECT conv_id, turn_idx, role, text FROM tr
+              UNION ALL
+              SELECT conv_id || '_v2', turn_idx, role, text FROM tr
+              WHERE turn_idx % 5 <> 3),
+            rend AS (
+              SELECT conv_id,
+                     string_agg('<|' || coalesce(role, '') || '|>'
+                                || coalesce(text, ''),
+                                chr(10) ORDER BY turn_idx) AS rendered
+              FROM uc GROUP BY conv_id),
+            {_minhash_body(table="rend", id_col="conv_id",
+                           text_col="rendered")},
+            vp AS (SELECT a, b FROM v WHERE i::DOUBLE / u >= 0.35),
+            e AS (SELECT a AS x, b AS y FROM vp
+                  UNION SELECT b, a FROM vp),
+            reach AS (
+              SELECT x, x AS label FROM (SELECT DISTINCT x FROM e)
+              UNION
+              SELECT e.x, r.label FROM e JOIN reach r ON e.y = r.x),
+            losers AS (
+              SELECT x FROM reach GROUP BY x HAVING x != min(label))
+            SELECT conv_id, turn_idx, role FROM uc
+            WHERE conv_id NOT IN (SELECT x FROM losers)""",
     }

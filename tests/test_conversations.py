@@ -355,3 +355,72 @@ class TestConversationFeatures:
         plan = conversations.conversation_features(df) \
             ._jdf.queryExecution().executedPlan().toString()
         assert plan.count("Exchange") == 1 and "EvalPython" not in plan
+
+
+class TestNeardupConversations:
+    @pytest.fixture(scope="class")
+    def neardup_corpus(self, spark):
+        # three content groups, each word-distinct so no cross-group
+        # near-dups: group 1 = a perfect copy (z1) and a one-word-edited
+        # near-copy (z2) of conversation a; group 2 = b alone; group 3 =
+        # c and its truncated mirror (z3, last turn dropped). Eight-turn
+        # conversations keep the near-dup renders' gram-Jaccard ≥ ~0.85,
+        # where BOTH hash families' 16×4 LSH detection probability is
+        # ≥ 1 - 1e-5 (a 4-turn variant sat at j≈0.63, where one family
+        # deterministically missed the pair — detection sets are
+        # family-dependent at the threshold edge by design)
+        def turns(conv, prefix, n_turns=8, edit_last=None, drop_last=False):
+            rows = []
+            for i in range(n_turns - (1 if drop_last else 0)):
+                words = " ".join(f"{prefix}t{i}w{j}" for j in range(6))
+                if edit_last is not None and i == n_turns - 1:
+                    words = words.rsplit(" ", 1)[0] + " " + edit_last
+                rows.append((conv, i, "user" if i % 2 == 0 else "assistant",
+                             words))
+            return rows
+        rows = (turns("a", "aa")
+                + turns("z1", "aa")
+                + turns("z2", "aa", edit_last="EDITED")
+                + turns("b", "bb", n_turns=2)
+                + turns("c", "cc")
+                + turns("z3", "cc", drop_last=True))
+        return spark.createDataFrame(
+            [Row(conv_id=c, turn_idx=i, role=r, text=t)
+             for (c, i, r, t) in rows])
+
+    def test_canonical_survives_neardups_removed(self, neardup_corpus):
+        out = conversations.neardup_conversations(
+            neardup_corpus, threshold=0.5)
+        assert set(r.conv_id for r in out.select("conv_id").distinct()
+                   .collect()) == {"a", "b", "c"}
+
+    def test_surviving_rows_byte_identical(self, neardup_corpus):
+        out = conversations.neardup_conversations(
+            neardup_corpus, threshold=0.5)
+        got = sorted((r.conv_id, r.turn_idx, r.role, r.text)
+                     for r in out.collect())
+        want = sorted((r.conv_id, r.turn_idx, r.role, r.text)
+                      for r in neardup_corpus.filter(
+                          F.col("conv_id").isin("a", "b", "c")).collect())
+        assert got == want
+
+    def test_high_threshold_keeps_near_misses(self, neardup_corpus):
+        # at threshold 1.0 only the EXACT copy (z1) collapses; the edited
+        # and truncated variants survive
+        out = conversations.neardup_conversations(
+            neardup_corpus, threshold=1.0)
+        assert set(r.conv_id for r in out.select("conv_id").distinct()
+                   .collect()) == {"a", "b", "c", "z2", "z3"}
+
+    def test_portable_matches_fast(self, neardup_corpus):
+        fast = conversations.neardup_conversations(
+            neardup_corpus, threshold=0.5)
+        port = conversations.neardup_conversations(
+            neardup_corpus, threshold=0.5, portable=True)
+        assert sorted(map(tuple, fast.collect())) == \
+            sorted(map(tuple, port.collect()))
+
+    def test_multi_by_rejected(self, neardup_corpus):
+        with pytest.raises(ValueError, match="single"):
+            conversations.neardup_conversations(
+                neardup_corpus, by=["conv_id", "role"])

@@ -17,8 +17,11 @@ from trafaret_spark.operators.curation import (
     pack_sequences,
 )
 from trafaret_spark.operators.conversations import (
+    conversation_features,
     conversation_report,
+    dedup_conversations,
     dedup_stutter,
+    neardup_conversations,
     render_conversation,
     truncate_turns,
     turn_errors,
@@ -49,5 +52,6 @@ __all__ = [
     "bm25_topk", "bm25_topk_from_postings", "build_postings",
     "BigramLM", "train_bigram_lm", "lm_score",
     "turn_errors", "conversation_report", "dedup_stutter", "truncate_turns",
-    "render_conversation",
+    "render_conversation", "dedup_conversations", "neardup_conversations",
+    "conversation_features",
 ]

@@ -54,7 +54,8 @@ __all__ = [
     "DEFAULT_TRANSITIONS", "DEFAULT_START_ROLES",
     "turn_errors", "conversation_report", "dedup_stutter",
     "truncate_turns", "render_conversation",
-    "dedup_conversations", "conversation_features",
+    "dedup_conversations", "neardup_conversations",
+    "conversation_features",
 ]
 
 # Legal (previous role -> current role) moves for a standard
@@ -412,3 +413,67 @@ def conversation_features(df: DataFrame,
                     / F.lit(1_000_000.0), 6).alias("duration_secs"),
         ]
     return df.groupBy(*by).agg(*aggs)
+
+
+def neardup_conversations(df: DataFrame,
+                          by: str = "conv_id",
+                          order: str = "turn_idx",
+                          role_col: str = "role",
+                          text_col: str = "text",
+                          threshold: float = 0.7,
+                          num_hashes: int = 64,
+                          bands: int = 16,
+                          n: int = 3,
+                          seed: int = 17,
+                          open_tag: str = "<|",
+                          close_tag: str = "|>",
+                          sep: str = "\n",
+                          portable: bool = False,
+                          on_drop: str = "ignore",
+                          max_iter: int = 25,
+                          checkpoint_dir: Optional[str] = None) -> DataFrame:
+    """NEAR-dup conversation-level dedup: MinHash+LSH over the
+    deterministic render, then canonical-member collapse — the
+    transcript analogue of ``dedup.minhash_dedup`` + ``keep_canonical``.
+
+    :func:`dedup_conversations` only removes byte-identical
+    conversations; web-scale SFT corpora also carry *near*-identical
+    ones (re-scrapes with one turn edited, truncated mirrors, template
+    chats differing in a greeting). Here two conversations are near-dups
+    when the word-``n``-gram Jaccard similarity of their renders
+    (:func:`render_conversation` — per-turn role+text in ``order``
+    order) is ≥ ``threshold``; within each connected near-dup component
+    the smallest ``by`` key survives, and its original turn rows are
+    returned byte-identical.
+
+    ``by`` must be a SINGLE column (it becomes the MinHash doc id).
+    ``portable``/``on_drop``/``seed``/``num_hashes``/``bands``/``n``
+    flow to :func:`trafaret_spark.operators.dedup.minhash_dedup`;
+    ``max_iter``/``checkpoint_dir`` to
+    :func:`~trafaret_spark.operators.dedup.connected_components` (pass a
+    reliable ``checkpoint_dir`` on long cluster runs).
+
+    Plan at 10^12 turns: ① the render's ONE groupBy exchange on ``by``
+    collapses the turn table to one row per conversation (~10^9 rows —
+    three orders of magnitude smaller), so the whole
+    shingle→signature→band→verify pipeline runs at conversation
+    cardinality; ② LSH bucket self-join on uniform (band, bucket) keys
+    with the hot-bucket cap; ③ component collapse iterates over the
+    near-dup pair graph only (≪ corpus); ④ one anti-join of the loser id
+    set back onto the turn table, on the same ``by`` key as ①.
+    """
+    if not isinstance(by, str):
+        raise ValueError("neardup_conversations needs a single `by` column "
+                         "(it becomes the MinHash doc id)")
+    from trafaret_spark.operators import dedup as _dedup
+    render_c = temp_col(df, "__render")
+    rendered = render_conversation(df, by=by, order=order, role_col=role_col,
+                                   text_col=text_col, open_tag=open_tag,
+                                   close_tag=close_tag, sep=sep,
+                                   out_col=render_c)
+    pairs = _dedup.minhash_dedup(rendered, text_col=render_c, id_col=by,
+                                 threshold=threshold, num_hashes=num_hashes,
+                                 bands=bands, n=n, seed=seed,
+                                 portable=portable, on_drop=on_drop)
+    return _dedup.keep_canonical(df, pairs, id_col=by, max_iter=max_iter,
+                                 checkpoint_dir=checkpoint_dir)
