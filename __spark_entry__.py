@@ -1067,6 +1067,24 @@ def q_knn_ivf(spark, sf_dir):
                       F.col("rank").cast("int").alias("rank"))
 
 
+def q_emb_pool(spark, sf_dir):
+    # group-level embedding pooling (turn/chunk → conversation/document
+    # vector): 32 hash groups over the embedding table, SUM pooling so
+    # pooled*1e6 is the exact integer component sum (quantize-then-sum
+    # makes the value independent of partial-agg order — the attested
+    # qsums string is bit-equal in both engines)
+    emb = _t(spark, sf_dir, "embeddings")
+    g = emb.withColumn("grp", F.pmod(F.col("vec_id"), F.lit(32)))
+    out = similarity.pool_embeddings(g, "grp", agg="sum")
+    return out.select(
+        F.col("grp").cast("long").alias("grp"),
+        F.col("n_pooled").cast("long").alias("n_pooled"),
+        F.array_join(
+            F.transform("pooled",
+                        lambda x: F.round(x * 1_000_000)
+                        .cast("long").cast("string")), ",").alias("qsums"))
+
+
 def q_mm_video_frames(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents") \
         .select("doc_id", F.encode("text", "utf-8").alias("payload"))
@@ -1256,6 +1274,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "conv_dedup": q_conv_dedup,
         "conv_neardup": q_conv_neardup,
         "conv_features": q_conv_features,
+        "emb_pool": q_emb_pool,
         "mixture_sample": q_mixture_sample,
         "ret_bm25": q_ret_bm25,
         "lm_bits": q_lm_bits,
@@ -2629,4 +2648,25 @@ def oracle_sql() -> dict[str, str]:
               SELECT x FROM reach GROUP BY x HAVING x != min(label))
             SELECT conv_id, turn_idx, role FROM uc
             WHERE conv_id NOT IN (SELECT x FROM losers)""",
+        # emb_pool: quantize-then-sum per (group, position); unnest and
+        # generate_subscripts expand the embedding in lockstep. qsums =
+        # the exact integer component sums, the order-independent surface
+        "emb_pool": """
+            WITH e AS (
+              SELECT vec_id % 32 AS grp,
+                     unnest(embedding) AS x,
+                     generate_subscripts(embedding, 1) AS pos
+              FROM embeddings
+              WHERE embedding IS NOT NULL),
+            q AS (
+              SELECT grp, pos,
+                     sum(CAST(floor(CAST(x AS DOUBLE) * 1000000)
+                              AS BIGINT)) AS s,
+                     count(x) AS n
+              FROM e GROUP BY grp, pos)
+            SELECT grp,
+                   CAST(max(n) AS BIGINT) AS n_pooled,
+                   array_to_string(list(CAST(s AS VARCHAR) ORDER BY pos),
+                                   ',') AS qsums
+            FROM q GROUP BY grp""",
     }

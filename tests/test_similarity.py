@@ -138,3 +138,53 @@ class TestIvfDegenerateCentroids:
         for qid, rs in by_q.items():
             ranks = sorted(r.rank for r in rs)
             assert ranks == list(range(1, len(rs) + 1))
+
+
+class TestPoolEmbeddings:
+    def test_mean_pool_exact(self, spark):
+        df = spark.createDataFrame([
+            Row(g="a", embedding=[1.0, 2.0, 3.0]),
+            Row(g="a", embedding=[3.0, 4.0, 5.0]),
+            Row(g="b", embedding=[10.0, 0.0, -2.0]),
+        ])
+        out = {r.g: r for r in
+               similarity.pool_embeddings(df, "g").collect()}
+        assert out["a"].pooled == [2.0, 3.0, 4.0]
+        assert out["a"].n_pooled == 2
+        assert out["b"].pooled == [10.0, 0.0, -2.0]
+
+    def test_sum_pool_and_null_rows_excluded(self, spark):
+        df = spark.createDataFrame(
+            [Row(g="a", embedding=[1.5, -0.5]),
+             Row(g="a", embedding=[0.5, 0.5]),
+             Row(g="a", embedding=None)],
+            "g string, embedding array<double>")
+        r = similarity.pool_embeddings(df, "g", agg="sum").collect()[0]
+        assert r.pooled == [2.0, 0.0]
+        assert r.n_pooled == 2
+
+    def test_quantization_is_order_independent(self, spark):
+        # 0.1 + 0.2 != 0.3 in doubles; quantized int sums are exact, so
+        # the pooled value is bit-identical however partials combine
+        rows = [Row(g="a", embedding=[0.1]), Row(g="a", embedding=[0.2]),
+                Row(g="a", embedding=[0.3])]
+        one = similarity.pool_embeddings(
+            spark.createDataFrame(rows).coalesce(1), "g").collect()[0]
+        many = similarity.pool_embeddings(
+            spark.createDataFrame(rows).repartition(7), "g").collect()[0]
+        assert one.pooled == many.pooled
+        assert one.pooled[0] == pytest.approx(0.2, abs=1e-6)
+
+    def test_ragged_position_wise(self, spark):
+        df = spark.createDataFrame([
+            Row(g="a", embedding=[2.0, 4.0, 6.0]),
+            Row(g="a", embedding=[4.0, 8.0]),
+        ])
+        r = similarity.pool_embeddings(df, "g").collect()[0]
+        assert r.pooled == [3.0, 6.0, 6.0]
+        assert r.n_pooled == 2
+
+    def test_bad_agg_raises(self, spark):
+        df = spark.createDataFrame([Row(g="a", embedding=[1.0])])
+        with pytest.raises(ValueError, match="mean|sum"):
+            similarity.pool_embeddings(df, "g", agg="max")

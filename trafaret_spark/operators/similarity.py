@@ -34,7 +34,7 @@ from trafaret_spark.operators.hashing import rademacher_planes
 QUANT_SCALE = 1_000_000  # fixed-point quantization: q = floor(x * SCALE)
 
 __all__ = ["dot", "l2_norm", "cosine", "cosine_topk", "lsh_cosine_topk",
-           "cosine_neardup", "lsh_band_buckets",
+           "cosine_neardup", "lsh_band_buckets", "pool_embeddings",
            "ivf_cosine_topk", "train_ivf_centroids",
            "centroid_literal", "assign_to_centroids"]
 
@@ -406,3 +406,67 @@ def lsh_cosine_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
     w = Window.partitionBy(query_id_col).orderBy(F.desc("sim"), F.asc(id_col))
     return (scored.withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= k))
+
+
+def pool_embeddings(df: DataFrame, by: "str | list[str]",
+                    emb_col: str = "embedding",
+                    agg: str = "mean",
+                    quant_scale: int = QUANT_SCALE) -> DataFrame:
+    """Pool row-level embeddings to one vector per group — turn/chunk
+    embeddings → a conversation/document embedding (mean or sum pooling),
+    the standard reduction before conversation-level clustering,
+    near-dup search, or retrieval.
+
+    Determinism contract: each component is fixed-point-quantized
+    (``floor(x * quant_scale)`` as int64) BEFORE aggregation, so the
+    per-group sum is exact integer arithmetic — independent of Spark's
+    partial-aggregation order and bit-reproducible by any engine (the
+    same convention as :func:`lsh_band_buckets`). The pooled output is
+    de-quantized to double: ``sum/quant_scale`` (sum) or
+    ``sum/(n*quant_scale)`` (mean). A double accumulator instead would
+    make the hash depend on reduce order. int64 headroom: |x| ≤ 2e3 at
+    the default scale still leaves room for 4.6e9 rows per group.
+
+    Output: ``by`` columns, ``n_pooled`` (max rows contributing at any
+    position; NULL-embedding rows excluded), ``pooled`` (array<double>,
+    the group vector). Pooling is POSITION-WISE: each component
+    aggregates the rows that have a non-NULL value at that position, so
+    ragged dims or NULL components mean different positions average over
+    different counts (and ``pooled`` has the group's max dim). Uniform
+    well-formed embeddings — the normal case — are unaffected; validate
+    dims upstream (``List(Float(), min_length=d, max_length=d)``) when
+    raggedness would be a bug.
+
+    Plan at 10^12 turns: posexplode fans each row out ``dim``× BEFORE
+    the exchange, but the partial (map-side) integer sum combines down
+    to ≤ #groups × dim rows per task, so the shuffle carries the pooled
+    state, not the data — the same partial-agg shape as any sum. One
+    exchange on (by, pos) + one on ``by`` to rebuild the array
+    (array_agg ordered by pos); both keys are uniform (pos is dense
+    0..dim-1), so no skew surface beyond ``by`` itself.
+    """
+    if agg not in ("mean", "sum"):
+        raise ValueError(f"agg must be mean|sum, got {agg!r}")
+    by = [by] if isinstance(by, str) else list(by)
+    q = F.transform(F.col(emb_col),
+                    lambda x: F.floor(x.cast("double") * quant_scale)
+                    .cast("long"))
+    rows = (df.filter(F.col(emb_col).isNotNull())
+            .select(*by, F.posexplode(q).alias("__pos", "__q")))
+    per_pos = (rows.groupBy(*by, "__pos")
+               .agg(F.sum("__q").alias("__s"),
+                    F.count("__q").alias("__n")))
+    denom = (F.col("__n") * quant_scale) if agg == "mean" \
+        else F.lit(quant_scale)
+    # try_divide: an all-NULL position has __n = 0 — plain `/` would be a
+    # DIVIDE_BY_ZERO *error* under ANSI and NULL otherwise; the library is
+    # ANSI-neutral by contract, and NULL is the right answer both ways
+    comp = F.try_divide(F.col("__s"), denom).alias("__c")
+    per_pos = per_pos.select(*by, "__pos", F.col("__n").alias("__npos"),
+                             comp)
+    pooled = F.transform(
+        F.array_sort(F.collect_list(F.struct("__pos", "__c"))),
+        lambda s: s["__c"])
+    return (per_pos.groupBy(*by)
+            .agg(F.max("__npos").alias("n_pooled"),
+                 pooled.alias("pooled")))
