@@ -1006,6 +1006,23 @@ def q_text_tokens(spark, sf_dir):
         textstats.bpe_ish_token_count(F.col("text")).cast("long").alias("n_bpe_tokens"))
 
 
+def q_corpus_report(spark, sf_dir):
+    # per-(lang, source) corpus audit: volume, token shape (exact
+    # interpolated median — the percentile_cont convention both engines
+    # share), degenerate-doc sentinels, mixture share
+    docs = _t(spark, sf_dir, "documents")
+    out = textstats.corpus_report(docs, by=["lang", "source"])
+    return out.select(
+        "lang", "source",
+        F.col("n_docs").cast("long").alias("n_docs"),
+        F.col("n_null_text").cast("long").alias("n_null_text"),
+        F.col("total_tokens").cast("long").alias("total_tokens"),
+        "mean_tokens", "p50_tokens",
+        F.col("min_tokens").cast("long").alias("min_tokens"),
+        F.col("max_tokens").cast("long").alias("max_tokens"),
+        "total_chars", "share")
+
+
 def q_text_fingerprint(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     return textstats.fingerprint(docs, portable=True).select("doc_id", "fingerprint")
@@ -1275,6 +1292,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "conv_neardup": q_conv_neardup,
         "conv_features": q_conv_features,
         "emb_pool": q_emb_pool,
+        "corpus_report": q_corpus_report,
         "mixture_sample": q_mixture_sample,
         "ret_bm25": q_ret_bm25,
         "lm_bits": q_lm_bits,
@@ -2669,4 +2687,32 @@ def oracle_sql() -> dict[str, str]:
                    array_to_string(list(CAST(s AS VARCHAR) ORDER BY pos),
                                    ',') AS qsums
             FROM q GROUP BY grp""",
+        # corpus_report: whitespace token count mirrors text_tokens; p50 =
+        # quantile_cont == Spark percentile (same percentile_cont
+        # interpolation); NULL text excluded from shape stats, counted in
+        # n_null_text
+        "corpus_report": r"""
+            WITH t AS (
+              SELECT lang, source, text,
+                     CASE WHEN text IS NULL THEN NULL
+                          WHEN trim(text) = '' THEN 0
+                          ELSE len(string_split_regex(trim(text), '\s+'))
+                     END AS toks,
+                     length(text) AS chars
+              FROM documents),
+            g AS (
+              SELECT lang, source,
+                     CAST(count(*) AS BIGINT) AS n_docs,
+                     CAST(sum(CASE WHEN text IS NULL THEN 1 ELSE 0 END)
+                          AS BIGINT) AS n_null_text,
+                     CAST(coalesce(sum(toks), 0) AS BIGINT) AS total_tokens,
+                     round(avg(toks), 6) AS mean_tokens,
+                     round(quantile_cont(toks, 0.5), 6) AS p50_tokens,
+                     CAST(min(toks) AS BIGINT) AS min_tokens,
+                     CAST(max(toks) AS BIGINT) AS max_tokens,
+                     CAST(coalesce(sum(chars), 0) AS BIGINT) AS total_chars
+              FROM t GROUP BY lang, source),
+            tot AS (SELECT count(*) AS cr FROM documents)
+            SELECT g.*, round(CAST(n_docs AS DOUBLE) / cr, 6) AS share
+            FROM g CROSS JOIN tot""",
     }

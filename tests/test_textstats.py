@@ -87,3 +87,32 @@ class TestFingerprint:
         ])
         fp = {r.doc_id: r.fingerprint for r in textstats.fingerprint(df).collect()}
         assert fp[0] != fp[1]
+
+
+class TestCorpusReport:
+    def test_report_values(self, spark):
+        from pyspark.sql import Row
+        df = spark.createDataFrame(
+            [Row(lang="en", text="one two three"),
+             Row(lang="en", text="four five"),
+             Row(lang="en", text=None),
+             Row(lang="de", text="eins")],
+            "lang string, text string")
+        out = {r.lang: r for r in
+               textstats.corpus_report(df, by="lang").collect()}
+        en = out["en"]
+        assert (en.n_docs, en.n_null_text, en.total_tokens) == (3, 1, 5)
+        # NULL text excluded from shape stats: docs of 3 and 2 tokens
+        assert en.mean_tokens == 2.5 and en.p50_tokens == 2.5
+        assert (en.min_tokens, en.max_tokens) == (2, 3)
+        assert en.total_chars == len("one two three") + len("four five")
+        assert en.share == 0.75
+        assert out["de"].share == 0.25
+
+    def test_all_null_group(self, spark):
+        from pyspark.sql import Row
+        df = spark.createDataFrame([Row(lang="xx", text=None)],
+                                   "lang string, text string")
+        r = textstats.corpus_report(df, by="lang").collect()[0]
+        assert r.total_tokens == 0 and r.total_chars == 0
+        assert r.mean_tokens is None and r.p50_tokens is None

@@ -14,6 +14,7 @@ from pyspark.sql import functions as F
 __all__ = [
     "token_count", "bpe_ish_token_count", "quality_features",
     "quality_score", "lang_id", "fingerprint", "redact_pii", "PII_PATTERNS",
+    "corpus_report",
 ]
 
 # Engine-agnostic PII patterns (valid and identical under Java regex AND
@@ -231,3 +232,52 @@ def redact_pii(df: DataFrame, text_col: str = "text",
         red = F.regexp_replace(red, pat, token)
     keep = [c for c in df.columns if c != out_col]
     return df.select(*keep, red.alias(out_col), *cols)
+
+
+def corpus_report(df: DataFrame, by: "str | list[str]" = "lang",
+                  text_col: str = "text") -> DataFrame:
+    """Per-group corpus audit — the summary a curation pipeline emits
+    before/after every filter stage (per language / source / domain):
+
+    * ``n_docs``, ``n_null_text`` — volume and missing-text count;
+    * ``total_tokens`` / ``mean_tokens`` / ``p50_tokens`` — whitespace
+      token volume and shape (p50 = linearly-interpolated median, the
+      percentile_cont convention shared by Spark/DuckDB/Postgres);
+    * ``min_tokens`` / ``max_tokens`` — degenerate-doc sentinels (a 0
+      min means empties survived; an outlier max means a concatenation
+      bug or an unsplit dump);
+    * ``total_chars`` — codepoint volume (byte-budget planning);
+    * ``share`` — this group's fraction of the corpus rows, so mixture
+      drift across pipeline stages is visible at a glance.
+
+    One groupBy exchange over scan-side token counts; the corpus total
+    behind ``share`` is a second single-row agg joined back by cross
+    (broadcast, one row). Output is small (group cardinality), sorted by
+    the ``by`` columns for stable display. NULL text contributes 0
+    tokens/chars to the sums and is EXCLUDED from min/mean/p50/max
+    (counted in ``n_null_text`` instead).
+    """
+    by = [by] if isinstance(by, str) else list(by)
+    toks = F.when(F.col(text_col).isNotNull(),
+                  token_count(F.col(text_col)))
+    grouped = (df
+               .withColumn("__toks", toks.cast("long"))
+               .groupBy(*by)
+               .agg(F.count(F.lit(1)).alias("n_docs"),
+                    F.sum(F.col(text_col).isNull().cast("long"))
+                    .alias("n_null_text"),
+                    F.coalesce(F.sum("__toks"), F.lit(0))
+                    .alias("total_tokens"),
+                    F.round(F.avg("__toks"), 6).alias("mean_tokens"),
+                    F.round(F.expr("percentile(__toks, 0.5)"), 6)
+                    .alias("p50_tokens"),
+                    F.min("__toks").alias("min_tokens"),
+                    F.max("__toks").alias("max_tokens"),
+                    F.coalesce(F.sum(F.length(text_col)), F.lit(0))
+                    .cast("long").alias("total_chars")))
+    total = df.select(F.count(F.lit(1)).alias("__corpus_rows"))
+    return (grouped.crossJoin(F.broadcast(total))
+            .withColumn("share",
+                        F.round(F.col("n_docs") / F.col("__corpus_rows"), 6))
+            .drop("__corpus_rows")
+            .orderBy(*by))
