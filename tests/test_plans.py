@@ -206,3 +206,28 @@ class TestRound4Plans:
         p = plan_of(q, "simple")
         assert "Exchange" not in p
         assert "EvalPython" not in executed_plan_of(q)
+
+
+class TestRound4Plans:
+    def test_pool_embeddings_partial_agg_before_exchange(self, spark):
+        emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet") \
+            .withColumn("grp", F.pmod("vec_id", F.lit(8)))
+        out = similarity.pool_embeddings(emb, "grp")
+        p = plan_of(out)
+        # no Python anywhere; the per-(grp,pos) sum must have a partial
+        # (map-side) HashAggregate below its exchange so the shuffle
+        # carries groups x dim combined rows, not the exploded data
+        assert "EvalPython" not in p
+        assert "partial_sum" in p
+
+    def test_neardup_conversations_no_python_render_once(self, spark):
+        from trafaret_spark.operators.conversations import (
+            neardup_conversations)
+        ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+        t = ev.select(F.col("user_id").cast("string").alias("conv_id"),
+                      F.col("event_id").alias("turn_idx"),
+                      F.lit("user").alias("role"),
+                      F.col("props").alias("text"))
+        out = neardup_conversations(t, threshold=0.5)
+        p = plan_of(out)
+        assert "EvalPython" not in p
