@@ -1,0 +1,87 @@
+"""End-to-end curation pipeline: quarantine -> stutter -> exact dedup ->
+near-dup -> truncate -> bucketed write, with the per-stage audit."""
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import Row
+
+from trafaret_spark.curation_pipeline import CurationConfig, run_curation
+
+
+def _ts(m):
+    return dt.datetime(2024, 1, 1, 0, m)
+
+
+def _turns(conv, texts, start_role="user", stutter_at=None, ts_shift=0):
+    rows = []
+    for i, txt in enumerate(texts):
+        role = (start_role if i == 0
+                else ("assistant" if i % 2 == 1 else "user"))
+        rows.append(Row(conv_id=conv, turn_idx=i, role=role, text=txt,
+                        ts=_ts(i + ts_shift)))
+        if stutter_at == i:
+            rows.append(Row(conv_id=conv, turn_idx=i + 100, role=role,
+                            text=txt, ts=_ts(i + ts_shift)))
+    return rows
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    words = ["alpha beta gamma delta", "epsilon zeta eta theta",
+             "iota kappa lambda mu", "nu xi omicron pi"]
+    rows = []
+    rows += _turns("a", words)                        # clean
+    rows += _turns("a_copy", words)                   # exact dup of a
+    rows += _turns("a_near", words[:-1]
+                   + ["nu xi omicron EDITED"])        # near-dup of a
+    rows += _turns("bad", words, start_role="tool")   # illegal opener
+    rows += _turns("c", ["one two three four five six seven"] * 2,
+                   stutter_at=None)                   # distinct content
+    return spark.createDataFrame(rows)
+
+
+class TestRunCuration:
+    def test_full_dag_audit_and_output(self, spark, corpus, tmp_path):
+        cfg = CurationConfig(output_path=str(tmp_path / "out"),
+                             quarantine_path=str(tmp_path / "quar"),
+                             neardup_threshold=0.5, max_tokens=12,
+                             n_buckets=4)
+        audit = run_curation(spark, corpus, cfg)
+        st = audit["stages"]
+        assert st["input"]["conversations"] == 5
+        assert st["structural"]["conversations"] == 4      # 'bad' gone
+        assert st["exact_dedup"]["conversations"] == 3     # a_copy gone
+        assert st["near_dedup"]["conversations"] == 2      # a_near gone
+        # truncation drops turns, never conversations
+        assert st["truncate"]["conversations"] == 2
+        assert st["truncate"]["turns"] < st["near_dedup"]["turns"]
+
+        out = spark.read.parquet(str(tmp_path / "out"))
+        assert set(r.conv_id for r in
+                   out.select("conv_id").distinct().collect()) == {"a", "c"}
+        assert "bucket" in out.columns
+        quar = spark.read.parquet(str(tmp_path / "quar"))
+        assert set(r.conv_id for r in
+                   quar.select("conv_id").distinct().collect()) == {"bad"}
+
+    def test_surviving_rows_byte_identical(self, spark, corpus, tmp_path):
+        cfg = CurationConfig(output_path=str(tmp_path / "out2"),
+                             neardup_threshold=0.5, n_buckets=2)
+        run_curation(spark, corpus, cfg)
+        out = spark.read.parquet(str(tmp_path / "out2")).drop("bucket")
+        got = sorted(map(tuple, out.collect()))
+        want = sorted(map(tuple, corpus.filter(
+            corpus.conv_id.isin("a", "c")).collect()))
+        assert got == want
+
+    def test_stages_optional(self, spark, corpus, tmp_path):
+        cfg = CurationConfig(output_path=str(tmp_path / "out3"),
+                             neardup_threshold=None, max_tokens=None,
+                             drop_invalid=False, n_buckets=2)
+        audit = run_curation(spark, corpus, cfg)
+        assert "structural" not in audit["stages"]
+        assert "near_dedup" not in audit["stages"]
+        assert "truncate" not in audit["stages"]
+        # exact dedup still ran: a_copy collapsed, near-dup kept
+        assert audit["final"]["conversations"] == 4

@@ -1,0 +1,128 @@
+"""The transcript CURATION pipeline — the conversation-level companion to
+``pipeline.run_pipeline`` (which validates rows and builds features, this
+one decides which conversations survive into a training corpus):
+
+    structural validation  → quarantine conversations with turn errors
+    stutter dedup          → drop consecutive repeated turns
+    exact conv dedup       → collapse byte-identical conversations
+    near-dup conv dedup    → collapse minhash near-identical ones (opt.)
+    token-budget truncate  → head-truncate at turn boundaries (opt.)
+    bucketed write         → Iceberg-style bucket(conv_id) layout
+    per-stage audit        → turns/conversations surviving each stage
+
+Stage order is the scale order: each stage shrinks the corpus before the
+next, and the two expensive stages run at the right cardinality — exact
+dedup shuffles one md5 row per conversation, and near-dup (MinHash over
+the render) runs on the exact-deduped survivors only, at conversation
+cardinality. Every stage keys on the same ``conv_id``, so Catalyst reuses
+one turn-table exchange across the structural check, the stutter window,
+and the dedup render; the audit counts are one tiny agg per stage off a
+persisted frame, not extra passes over lineage.
+
+spark-submit entrypoint: ``jobs/run_curation.py``.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Optional
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from trafaret_spark.io import write_bucketed
+from trafaret_spark.operators.conversations import (
+    conversation_report,
+    dedup_conversations,
+    dedup_stutter,
+    neardup_conversations,
+    truncate_turns,
+)
+from trafaret_spark.operators.textstats import token_count
+
+__all__ = ["CurationConfig", "run_curation"]
+
+
+@dataclass
+class CurationConfig:
+    output_path: str
+    quarantine_path: Optional[str] = None
+    by: str = "conv_id"
+    order: str = "turn_idx"
+    role_col: str = "role"
+    text_col: str = "text"
+    ts_col: Optional[str] = "ts"              # None: skip ts_regress check
+    neardup_threshold: Optional[float] = 0.8  # None disables the stage
+    max_tokens: Optional[int] = None          # None disables truncation
+    n_buckets: int = 64
+    portable: bool = False
+    checkpoint_dir: Optional[str] = None      # reliable CC checkpoints
+    drop_invalid: bool = True                 # False: keep flagged convs
+
+
+def _counts(df: DataFrame, by: str) -> dict:
+    row = df.agg(F.count(F.lit(1)).alias("t"),
+                 F.countDistinct(by).alias("c")).collect()[0]
+    return {"turns": row["t"], "conversations": row["c"]}
+
+
+def run_curation(spark: SparkSession, turns: DataFrame,
+                 cfg: CurationConfig) -> dict:
+    """Run the curation DAG; returns the per-stage audit as a dict
+    (stage → {turns, conversations}) plus the output path. Survivor turn
+    rows are byte-identical to their input rows (dedup never rewrites
+    text; truncation only drops whole turns)."""
+    audit: dict = {"stages": {}}
+    t = turns.persist()
+    audit["stages"]["input"] = _counts(t, cfg.by)
+
+    # 1. structural validation — conversation_report's is_valid verdict;
+    #    quarantined conversations keep ALL their turns for post-mortem
+    if cfg.drop_invalid:
+        ts_col = cfg.ts_col if (cfg.ts_col and cfg.ts_col in t.columns) \
+            else None
+        rep = conversation_report(t, by=cfg.by, order=cfg.order,
+                                  role_col=cfg.role_col, ts_col=ts_col)
+        bad = rep.filter(~F.col("is_valid")).select(cfg.by)
+        if cfg.quarantine_path:
+            write_bucketed(t.join(bad, [cfg.by], "left_semi"),
+                           cfg.quarantine_path, key=cfg.by,
+                           n_buckets=cfg.n_buckets)
+        t = t.join(bad, [cfg.by], "left_anti").persist()
+        audit["stages"]["structural"] = _counts(t, cfg.by)
+
+    # 2. stutter dedup — consecutive repeated (role, text) turns
+    t = dedup_stutter(t, by=cfg.by, order=cfg.order,
+                      role_col=cfg.role_col, text_col=cfg.text_col)
+
+    # 3. exact conversation dedup (cheap, removes the bulk) …
+    t = dedup_conversations(t, by=cfg.by, order=cfg.order,
+                            role_col=cfg.role_col, text_col=cfg.text_col)
+    t = t.persist()
+    audit["stages"]["exact_dedup"] = _counts(t, cfg.by)
+
+    # 4. … then minhash near-dup on the exact-deduped survivors only
+    if cfg.neardup_threshold is not None:
+        t = neardup_conversations(t, by=cfg.by, order=cfg.order,
+                                  role_col=cfg.role_col,
+                                  text_col=cfg.text_col,
+                                  threshold=cfg.neardup_threshold,
+                                  portable=cfg.portable,
+                                  checkpoint_dir=cfg.checkpoint_dir)
+        t = t.persist()
+        audit["stages"]["near_dedup"] = _counts(t, cfg.by)
+
+    # 5. token-budget truncation at turn boundaries
+    if cfg.max_tokens is not None:
+        tok_col = "__n_tokens"
+        t = t.withColumn(tok_col,
+                         token_count(F.col(cfg.text_col)).cast("long"))
+        t = truncate_turns(t, cfg.max_tokens, by=cfg.by, order=cfg.order,
+                           token_col=tok_col).drop(tok_col)
+        t = t.persist()
+        audit["stages"]["truncate"] = _counts(t, cfg.by)
+
+    write_bucketed(t, cfg.output_path, key=cfg.by, n_buckets=cfg.n_buckets)
+    audit["output_path"] = cfg.output_path
+    audit["final"] = audit["stages"][list(audit["stages"])[-1]]
+    return audit
