@@ -871,6 +871,53 @@ def q_conv_neardup(spark, sf_dir):
     return out.select("conv_id", "turn_idx", "role")
 
 
+def q_conv_curate(spark, sf_dir):
+    # the COMPOSED curation DAG (curation_pipeline.run_curation's operator
+    # chain minus the write) attested value-level in ONE query:
+    # structural quarantine → stutter dedup → exact conv dedup → minhash
+    # near-dup. Corpus = re-densified transcript ∪ an exact '_copy' clone
+    # ∪ a '_v2' clone with every 7th turn's text edited (same structure,
+    # so it survives the structural stage and must be caught by NEAR-dup;
+    # turn_idx is re-densified so the seeded turn_gap holes don't
+    # quarantine the whole corpus — gap checks stay attested by
+    # conv_turn_errors/conv_report).
+    # Corpus construction: re-densify turn_idx, recompute the role from
+    # the DENSIFIED parity (so the seeded event_id%53 row drops cannot
+    # break alternation — otherwise EVERY conversation is invalid and the
+    # dedup stages go vacuous), slice to the first 9 turns. Validity is
+    # then controlled by exactly one seeded defect: error-event rows keep
+    # their 1-hour-back ts, so conversations with an error event in the
+    # window fail ts_regress (129/150 at sf0.01) and the 21 valid ones
+    # (×3 clone variants) flow through the dedup chain.
+    t = _transcript(spark, sf_dir).select("conv_id", "turn_idx", "text",
+                                          "ts")
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    di = (F.row_number().over(w) - 1).cast("long")
+    base = (t.withColumn("turn_idx", di)
+            .withColumn("role",
+                        F.when(F.col("turn_idx") == 0, F.lit("system"))
+                        .when(F.col("turn_idx") % 2 == 1, F.lit("user"))
+                        .otherwise(F.lit("assistant")))
+            .filter(F.col("turn_idx") < 9)
+            .select("conv_id", "turn_idx", "role", "text", "ts"))
+    exact = base.withColumn("conv_id", F.concat("conv_id", F.lit("_copy")))
+    near = (base.withColumn(
+        "text",
+        F.when(F.col("turn_idx") % 7 == 3,
+               F.concat(F.col("text"), F.lit(" edited")))
+        .otherwise(F.col("text")))
+        .withColumn("conv_id", F.concat("conv_id", F.lit("_v2"))))
+    corpus = base.unionByName(exact).unionByName(near).persist()
+    rep = conversations.conversation_report(corpus)
+    bad = rep.filter(~F.col("is_valid")).select("conv_id")
+    t1 = corpus.join(bad, ["conv_id"], "left_anti")
+    t2 = conversations.dedup_stutter(t1)
+    t3 = conversations.dedup_conversations(t2)
+    t4 = conversations.neardup_conversations(t3, threshold=0.35,
+                                             portable=True)
+    return t4.select("conv_id", "turn_idx", "role")
+
+
 _BM25_QUERIES = [(1, "merge sort window dup"),
                  (2, "customer table join hash"),
                  (3, "vector stream data line")]
@@ -1293,6 +1340,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "conv_features": q_conv_features,
         "emb_pool": q_emb_pool,
         "corpus_report": q_corpus_report,
+        "conv_curate": q_conv_curate,
         "mixture_sample": q_mixture_sample,
         "ret_bm25": q_ret_bm25,
         "lm_bits": q_lm_bits,
@@ -2715,4 +2763,88 @@ def oracle_sql() -> dict[str, str]:
             tot AS (SELECT count(*) AS cr FROM documents)
             SELECT g.*, round(CAST(n_docs AS DOUBLE) / cr, 6) AS share
             FROM g CROSS JOIN tot""",
+        # conv_curate: the composed curation DAG — structural quarantine
+        # (re-densified corpus ∪ '_copy' exact clone ∪ '_v2' edited-text
+        # near clone), stutter filter, md5-render exact dedup, then the
+        # parameterized minhash CTE + min-label closure over the
+        # exact-dedup survivors' renders. CTE names avoid the minhash
+        # body's toks/grams/sigs/banded/sized/pairs/v namespace.
+        "conv_curate": f"""
+            WITH RECURSIVE {_TRANSCRIPT_CTE},
+            b0 AS (
+              SELECT conv_id,
+                     CAST(row_number() OVER (PARTITION BY conv_id
+                                             ORDER BY turn_idx) - 1
+                          AS BIGINT) AS turn_idx,
+                     text, ts
+              FROM tr),
+            base AS (
+              SELECT conv_id, turn_idx,
+                     CASE WHEN turn_idx = 0 THEN 'system'
+                          WHEN turn_idx % 2 = 1 THEN 'user'
+                          ELSE 'assistant' END AS role,
+                     text, ts
+              FROM b0 WHERE turn_idx < 9),
+            uc AS (
+              SELECT * FROM base
+              UNION ALL
+              SELECT conv_id || '_copy', turn_idx, role, text, ts FROM base
+              UNION ALL
+              SELECT conv_id || '_v2', turn_idx, role,
+                     CASE WHEN turn_idx % 7 = 3 THEN text || ' edited'
+                          ELSE text END, ts
+              FROM base),
+            clg AS (
+              SELECT conv_id, turn_idx, role, text, ts,
+                     row_number() OVER w AS rn,
+                     lag(turn_idx) OVER w AS p_turn,
+                     lag(role) OVER w AS p_role,
+                     lag(ts) OVER w AS p_ts
+              FROM uc
+              WINDOW w AS (PARTITION BY conv_id
+                           ORDER BY turn_idx NULLS FIRST)),
+            bad AS (
+              SELECT conv_id
+              FROM (SELECT conv_id, {_TURN_ERRS_SQL} AS errs FROM clg)
+              GROUP BY conv_id
+              HAVING sum(CASE WHEN errs <> '' THEN 1 ELSE 0 END) > 0),
+            vt AS (
+              SELECT * FROM uc
+              WHERE conv_id NOT IN (SELECT conv_id FROM bad)),
+            st AS (
+              SELECT conv_id, turn_idx, role, text FROM (
+                SELECT conv_id, turn_idx, role, text,
+                       lag(role) OVER w AS p_role,
+                       lag(text) OVER w AS p_text,
+                       row_number() OVER w AS rn
+                FROM vt
+                WINDOW w AS (PARTITION BY conv_id
+                             ORDER BY turn_idx NULLS FIRST))
+              WHERE NOT (role IS NOT DISTINCT FROM p_role
+                         AND text IS NOT DISTINCT FROM p_text
+                         AND rn > 1)),
+            rend0 AS (
+              SELECT conv_id,
+                     string_agg('<|' || coalesce(role, '') || '|>'
+                                || coalesce(text, ''),
+                                chr(10) ORDER BY turn_idx) AS rendered
+              FROM st GROUP BY conv_id),
+            hx AS (SELECT conv_id, md5(rendered) AS h FROM rend0),
+            win AS (SELECT h, min(conv_id) AS conv_id FROM hx GROUP BY h),
+            ex AS (SELECT st.* FROM st JOIN win USING (conv_id)),
+            rend AS (SELECT r.conv_id, r.rendered
+                     FROM rend0 r JOIN win USING (conv_id)),
+            {_minhash_body(table="rend", id_col="conv_id",
+                           text_col="rendered")},
+            vp AS (SELECT a, b FROM v WHERE i::DOUBLE / u >= 0.35),
+            ed AS (SELECT a AS x, b AS y FROM vp
+                   UNION SELECT b, a FROM vp),
+            reach AS (
+              SELECT x, x AS label FROM (SELECT DISTINCT x FROM ed)
+              UNION
+              SELECT ed.x, r.label FROM ed JOIN reach r ON ed.y = r.x),
+            losers AS (
+              SELECT x FROM reach GROUP BY x HAVING x != min(label))
+            SELECT conv_id, turn_idx, role FROM ex
+            WHERE conv_id NOT IN (SELECT x FROM losers)""",
     }
