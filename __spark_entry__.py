@@ -1459,19 +1459,33 @@ def _minhash_oracle() -> str:
         FROM v WHERE i::DOUBLE / u >= 0.3"""
 
 
+def _closure_sql(threshold: float) -> str:
+    """Min-label-closure CTE chain shared by every near-dup end-state
+    oracle (components / keep_canonical / conv_neardup / conv_curate):
+    filters the minhash ``v(a, b, i, u)`` verification table at
+    ``threshold``, builds the undirected edge list, and closes it with a
+    recursive reach CTE (UNION set semantics terminate at the fixpoint).
+    Exposes ``reach(x, label)`` and ``losers(x)`` — members whose id is
+    not their component's minimum. CTE names (vp/ed/reach/losers) avoid
+    the _minhash_body namespace so callers can splice both."""
+    return f"""vp AS (SELECT a, b FROM v
+                  WHERE i::DOUBLE / u >= {threshold}),
+        ed AS (SELECT a AS x, b AS y FROM vp
+               UNION SELECT b, a FROM vp),
+        reach AS (
+          SELECT x, x AS label FROM (SELECT DISTINCT x FROM ed)
+          UNION
+          SELECT ed.x, r.label FROM ed JOIN reach r ON ed.y = r.x),
+        losers AS (
+          SELECT x FROM reach GROUP BY x HAVING x != min(label))"""
+
+
 def _components_oracle() -> str:
-    """Min-label closure over the verified minhash pairs via recursive CTE:
-    component = smallest doc id reachable in the undirected pair graph
-    (UNION set semantics terminate at the fixpoint)."""
+    """Min-label closure over the verified minhash pairs: component =
+    smallest doc id reachable in the undirected pair graph."""
     return f"""
         WITH RECURSIVE {_minhash_body()},
-        vp AS (SELECT a, b FROM v WHERE i::DOUBLE / u >= 0.3),
-        e AS (SELECT a AS x, b AS y FROM vp
-              UNION SELECT b, a FROM vp),
-        reach AS (
-          SELECT x, x AS label FROM (SELECT DISTINCT x FROM e)
-          UNION
-          SELECT e.x, r.label FROM e JOIN reach r ON e.y = r.x)
+        {_closure_sql(0.3)}
         SELECT x AS node, min(label) AS component
         FROM reach GROUP BY x"""
 
@@ -1481,15 +1495,7 @@ def _keep_canonical_oracle() -> str:
     minhash near-dup component."""
     return f"""
         WITH RECURSIVE {_minhash_body()},
-        vp AS (SELECT a, b FROM v WHERE i::DOUBLE / u >= 0.3),
-        e AS (SELECT a AS x, b AS y FROM vp
-              UNION SELECT b, a FROM vp),
-        reach AS (
-          SELECT x, x AS label FROM (SELECT DISTINCT x FROM e)
-          UNION
-          SELECT e.x, r.label FROM e JOIN reach r ON e.y = r.x),
-        losers AS (
-          SELECT x FROM reach GROUP BY x HAVING x != min(label))
+        {_closure_sql(0.3)}
         SELECT doc_id, lang FROM documents
         WHERE doc_id NOT IN (SELECT x FROM losers)"""
 
@@ -2703,15 +2709,7 @@ def oracle_sql() -> dict[str, str]:
               FROM uc GROUP BY conv_id),
             {_minhash_body(table="rend", id_col="conv_id",
                            text_col="rendered")},
-            vp AS (SELECT a, b FROM v WHERE i::DOUBLE / u >= 0.35),
-            e AS (SELECT a AS x, b AS y FROM vp
-                  UNION SELECT b, a FROM vp),
-            reach AS (
-              SELECT x, x AS label FROM (SELECT DISTINCT x FROM e)
-              UNION
-              SELECT e.x, r.label FROM e JOIN reach r ON e.y = r.x),
-            losers AS (
-              SELECT x FROM reach GROUP BY x HAVING x != min(label))
+            {_closure_sql(0.35)}
             SELECT conv_id, turn_idx, role FROM uc
             WHERE conv_id NOT IN (SELECT x FROM losers)""",
         # emb_pool: quantize-then-sum per (group, position); unnest and
@@ -2836,15 +2834,7 @@ def oracle_sql() -> dict[str, str]:
                      FROM rend0 r JOIN win USING (conv_id)),
             {_minhash_body(table="rend", id_col="conv_id",
                            text_col="rendered")},
-            vp AS (SELECT a, b FROM v WHERE i::DOUBLE / u >= 0.35),
-            ed AS (SELECT a AS x, b AS y FROM vp
-                   UNION SELECT b, a FROM vp),
-            reach AS (
-              SELECT x, x AS label FROM (SELECT DISTINCT x FROM ed)
-              UNION
-              SELECT ed.x, r.label FROM ed JOIN reach r ON ed.y = r.x),
-            losers AS (
-              SELECT x FROM reach GROUP BY x HAVING x != min(label))
+            {_closure_sql(0.35)}
             SELECT conv_id, turn_idx, role FROM ex
             WHERE conv_id NOT IN (SELECT x FROM losers)""",
     }

@@ -36,8 +36,11 @@ def corpus(spark):
     rows += _turns("a_near", words[:-1]
                    + ["nu xi omicron EDITED"])        # near-dup of a
     rows += _turns("bad", words, start_role="tool")   # illegal opener
+    # 'c' carries a retry echo (assistant turn repeated): stutter dedup
+    # must repair it BEFORE the structural check — validate-first would
+    # flag the echo as a bad_transition and quarantine the conversation
     rows += _turns("c", ["one two three four five six seven"] * 2,
-                   stutter_at=None)                   # distinct content
+                   stutter_at=1)
     return spark.createDataFrame(rows)
 
 
@@ -50,7 +53,12 @@ class TestRunCuration:
         audit = run_curation(spark, corpus, cfg)
         st = audit["stages"]
         assert st["input"]["conversations"] == 5
-        assert st["structural"]["conversations"] == 4      # 'bad' gone
+        # stutter repair removed c's echo turn but no conversation
+        assert st["stutter"]["conversations"] == 5
+        assert st["stutter"]["turns"] == st["input"]["turns"] - 1
+        # structural ran on the REPAIRED corpus: 'bad' (illegal opener)
+        # quarantined; 'c' (echo now gone) survives
+        assert st["structural"]["conversations"] == 4
         assert st["exact_dedup"]["conversations"] == 3     # a_copy gone
         assert st["near_dedup"]["conversations"] == 2      # a_near gone
         # truncation drops turns, never conversations
@@ -71,8 +79,10 @@ class TestRunCuration:
         run_curation(spark, corpus, cfg)
         out = spark.read.parquet(str(tmp_path / "out2")).drop("bucket")
         got = sorted(map(tuple, out.collect()))
+        # survivors = a and c minus c's stutter-echo row (turn_idx 101)
         want = sorted(map(tuple, corpus.filter(
-            corpus.conv_id.isin("a", "c")).collect()))
+            corpus.conv_id.isin("a", "c")
+            & (corpus.turn_idx < 100)).collect()))
         assert got == want
 
     def test_stages_optional(self, spark, corpus, tmp_path):

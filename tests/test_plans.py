@@ -208,7 +208,7 @@ class TestRound4Plans:
         assert "EvalPython" not in executed_plan_of(q)
 
 
-class TestRound4Plans:
+class TestRound4NewOpPlans:
     def test_pool_embeddings_partial_agg_before_exchange(self, spark):
         emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet") \
             .withColumn("grp", F.pmod("vec_id", F.lit(8)))

@@ -2,19 +2,22 @@
 ``pipeline.run_pipeline`` (which validates rows and builds features, this
 one decides which conversations survive into a training corpus):
 
-    structural validation  → quarantine conversations with turn errors
-    stutter dedup          → drop consecutive repeated turns
+    stutter dedup          → drop consecutive repeated turns (repair…)
+    structural validation  → …then quarantine conversations with turn
+                             errors (an echo is itself an illegal
+                             transition — validating first would
+                             quarantine what stutter-dedup repairs)
     exact conv dedup       → collapse byte-identical conversations
     near-dup conv dedup    → collapse minhash near-identical ones (opt.)
     token-budget truncate  → head-truncate at turn boundaries (opt.)
     bucketed write         → Iceberg-style bucket(conv_id) layout
     per-stage audit        → turns/conversations surviving each stage
 
-Stage order is the scale order: each stage shrinks the corpus before the
-next, and the two expensive stages run at the right cardinality — exact
-dedup shuffles one md5 row per conversation, and near-dup (MinHash over
-the render) runs on the exact-deduped survivors only, at conversation
-cardinality. Every stage keys on the same ``conv_id``, so Catalyst reuses
+Stage order is repair-then-validate, then the scale order: each stage
+shrinks the corpus before the next, and the two expensive stages run at
+the right cardinality — exact dedup shuffles one md5 row per
+conversation, and near-dup (MinHash over the render) runs on the
+exact-deduped survivors only, at conversation cardinality. Every stage keys on the same ``conv_id``, so Catalyst reuses
 one turn-table exchange across the structural check, the stutter window,
 and the dedup render; the audit counts are one tiny agg per stage off a
 persisted frame, not extra passes over lineage.
@@ -38,6 +41,7 @@ from trafaret_spark.operators.conversations import (
     neardup_conversations,
     truncate_turns,
 )
+from trafaret_spark.operators.colnames import temp_col
 from trafaret_spark.operators.textstats import token_count
 
 __all__ = ["CurationConfig", "run_curation"]
@@ -58,6 +62,7 @@ class CurationConfig:
     portable: bool = False
     checkpoint_dir: Optional[str] = None      # reliable CC checkpoints
     drop_invalid: bool = True                 # False: keep flagged convs
+    check_dense: bool = False                 # turn_gap is an ingest check
 
 
 def _counts(df: DataFrame, by: str) -> dict:
@@ -71,58 +76,84 @@ def run_curation(spark: SparkSession, turns: DataFrame,
     """Run the curation DAG; returns the per-stage audit as a dict
     (stage → {turns, conversations}) plus the output path. Survivor turn
     rows are byte-identical to their input rows (dedup never rewrites
-    text; truncation only drops whole turns)."""
-    audit: dict = {"stages": {}}
-    t = turns.persist()
-    audit["stages"]["input"] = _counts(t, cfg.by)
+    text; truncation only drops whole turns).
 
-    # 1. structural validation — conversation_report's is_valid verdict;
-    #    quarantined conversations keep ALL their turns for post-mortem
+    Stage order: stutter dedup runs BEFORE the structural check —
+    repair-then-validate — because a retry echo is itself an illegal
+    role transition, so validating first would quarantine exactly the
+    conversations the stutter stage exists to repair. Consequently the
+    structural check runs with ``check_dense=False`` by default: in a
+    DAG that legitimately drops rows, turn-index density is an ingest
+    property, not a curation one (attest density at ingest with
+    ``conversation_report`` on the raw table; cfg.check_dense=True
+    restores it here).
+    """
+    audit: dict = {"stages": {}}
+    t0 = turns.persist()
+    audit["stages"]["input"] = _counts(t0, cfg.by)
+
+    # 1. stutter dedup — consecutive repeated (role, text) turns
+    t = dedup_stutter(t0, by=cfg.by, order=cfg.order,
+                      role_col=cfg.role_col, text_col=cfg.text_col)
+    t = t.persist()
+    audit["stages"]["stutter"] = _counts(t, cfg.by)
+    t0.unpersist()
+
+    # 2. structural validation — conversation_report's is_valid verdict;
+    #    quarantined conversations keep ALL their surviving turns for
+    #    post-mortem
     if cfg.drop_invalid:
         ts_col = cfg.ts_col if (cfg.ts_col and cfg.ts_col in t.columns) \
             else None
-        rep = conversation_report(t, by=cfg.by, order=cfg.order,
-                                  role_col=cfg.role_col, ts_col=ts_col)
-        bad = rep.filter(~F.col("is_valid")).select(cfg.by)
+        rep = conversation_report(
+            t, by=cfg.by, order=cfg.order, role_col=cfg.role_col,
+            ts_col=ts_col,
+            dense_from=0 if cfg.check_dense else None)
+        # the bad-key set is tiny (one row per invalid conversation) but
+        # its lineage is the full window+groupBy pass — persist so the
+        # quarantine write and the anti-join share one computation
+        bad = rep.filter(~F.col("is_valid")).select(cfg.by).persist()
         if cfg.quarantine_path:
             write_bucketed(t.join(bad, [cfg.by], "left_semi"),
                            cfg.quarantine_path, key=cfg.by,
                            n_buckets=cfg.n_buckets)
-        t = t.join(bad, [cfg.by], "left_anti").persist()
+        prev, t = t, t.join(bad, [cfg.by], "left_anti").persist()
         audit["stages"]["structural"] = _counts(t, cfg.by)
-
-    # 2. stutter dedup — consecutive repeated (role, text) turns
-    t = dedup_stutter(t, by=cfg.by, order=cfg.order,
-                      role_col=cfg.role_col, text_col=cfg.text_col)
+        prev.unpersist()
+        bad.unpersist()
 
     # 3. exact conversation dedup (cheap, removes the bulk) …
-    t = dedup_conversations(t, by=cfg.by, order=cfg.order,
-                            role_col=cfg.role_col, text_col=cfg.text_col)
-    t = t.persist()
+    prev, t = t, dedup_conversations(t, by=cfg.by, order=cfg.order,
+                                     role_col=cfg.role_col,
+                                     text_col=cfg.text_col).persist()
     audit["stages"]["exact_dedup"] = _counts(t, cfg.by)
+    prev.unpersist()
 
     # 4. … then minhash near-dup on the exact-deduped survivors only
     if cfg.neardup_threshold is not None:
-        t = neardup_conversations(t, by=cfg.by, order=cfg.order,
-                                  role_col=cfg.role_col,
-                                  text_col=cfg.text_col,
-                                  threshold=cfg.neardup_threshold,
-                                  portable=cfg.portable,
-                                  checkpoint_dir=cfg.checkpoint_dir)
-        t = t.persist()
+        prev, t = t, neardup_conversations(
+            t, by=cfg.by, order=cfg.order, role_col=cfg.role_col,
+            text_col=cfg.text_col, threshold=cfg.neardup_threshold,
+            portable=cfg.portable,
+            checkpoint_dir=cfg.checkpoint_dir).persist()
         audit["stages"]["near_dedup"] = _counts(t, cfg.by)
+        prev.unpersist()
 
     # 5. token-budget truncation at turn boundaries
     if cfg.max_tokens is not None:
-        tok_col = "__n_tokens"
-        t = t.withColumn(tok_col,
-                         token_count(F.col(cfg.text_col)).cast("long"))
-        t = truncate_turns(t, cfg.max_tokens, by=cfg.by, order=cfg.order,
-                           token_col=tok_col).drop(tok_col)
-        t = t.persist()
+        tok_col = temp_col(t, "__n_tokens")
+        with_tok = t.withColumn(tok_col,
+                                token_count(F.col(cfg.text_col))
+                                .cast("long"))
+        prev, t = t, truncate_turns(with_tok, cfg.max_tokens, by=cfg.by,
+                                    order=cfg.order,
+                                    token_col=tok_col).drop(tok_col) \
+            .persist()
         audit["stages"]["truncate"] = _counts(t, cfg.by)
+        prev.unpersist()
 
     write_bucketed(t, cfg.output_path, key=cfg.by, n_buckets=cfg.n_buckets)
+    t.unpersist()
     audit["output_path"] = cfg.output_path
     audit["final"] = audit["stages"][list(audit["stages"])[-1]]
     return audit
