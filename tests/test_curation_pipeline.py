@@ -95,3 +95,22 @@ class TestRunCuration:
         assert "truncate" not in audit["stages"]
         # exact dedup still ran: a_copy collapsed, near-dup kept
         assert audit["final"]["conversations"] == 4
+
+
+class TestIdempotence:
+    def test_second_pass_removes_nothing(self, spark, corpus, tmp_path):
+        # survivors of one full curation pass share no near-dup pairs (a
+        # cross-survivor pair would have merged their components), so a
+        # second identical pass must be the identity on the corpus
+        cfg1 = CurationConfig(output_path=str(tmp_path / "p1"),
+                              neardup_threshold=0.5, n_buckets=2)
+        run_curation(spark, corpus, cfg1)
+        once = spark.read.parquet(str(tmp_path / "p1")).drop("bucket")
+        cfg2 = CurationConfig(output_path=str(tmp_path / "p2"),
+                              neardup_threshold=0.5, n_buckets=2)
+        audit2 = run_curation(spark, once, cfg2)
+        twice = spark.read.parquet(str(tmp_path / "p2")).drop("bucket")
+        assert sorted(map(tuple, once.collect())) == \
+            sorted(map(tuple, twice.collect()))
+        s2 = audit2["stages"]
+        assert s2["input"] == s2["near_dedup"] == audit2["final"]
