@@ -1356,7 +1356,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # anchors (text_redact), per-language stopwords (text_quality),
         # fake-path failure shape (mm_audio), on_drop/checkpoint params on
         # the minhash/components family, long-path bounding (range_join),
-        # IPv6 gate (v_ip)
+        # IPv6 gate (v_ip); late round 4: _minhash_body parameterization +
+        # _closure_sql refactor rewrote the components/keep_canonical/
+        # minhash oracle SQL (engine unchanged, but the attested contract
+        # text changed — refresh their hard rows)
         "v_email", "v_url_hex", "text_redact", "text_quality", "mm_audio",
         "dedup_minhash", "dedup_components", "dedup_keep_canonical",
         "range_join", "v_ip",
