@@ -954,6 +954,17 @@ def q_mixture_sample(spark, sf_dir):
     return out.select("doc_id", "lang")
 
 
+def q_split_assign(spark, sf_dir):
+    # deterministic 80/10/10 train/val/test assignment keyed on doc_id;
+    # portable hash family so the oracle recomputes both the hash AND the
+    # int-floored cumulative thresholds bit-for-bit
+    docs = _t(spark, sf_dir, "documents")
+    out = sampling.assign_splits(
+        docs, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1},
+        seed=5, portable=True)
+    return out.select("doc_id", "lang", "split")
+
+
 def q_time_rollup(spark, sf_dir):
     # decimal sum: exact and independent of partial-agg grouping order
     # (same rationale as f_salted_agg)
@@ -1341,6 +1352,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_pool": q_emb_pool,
         "corpus_report": q_corpus_report,
         "conv_curate": q_conv_curate,
+        "split_assign": q_split_assign,
         "mixture_sample": q_mixture_sample,
         "ret_bm25": q_ret_bm25,
         "lm_bits": q_lm_bits,
@@ -1735,6 +1747,23 @@ def _stop_case_sql(lang_col: str) -> str:
 
     whens = " ".join(f"WHEN '{l}' THEN {lst(l)}" for l in _LANG_MARKERS)
     return f"(CASE {lang_col} {whens} ELSE {lst('en')} END)"
+
+
+def _split_assign_oracle() -> str:
+    """Mirror q_split_assign: replicate assign_splits' threshold loop
+    (cum += w in float64, int(cum * M31)) so the emitted literals are the
+    engine's exact ints — no SQL float arithmetic to diverge."""
+    weights = {"train": 0.8, "val": 0.1, "test": 0.1}
+    names = list(weights)
+    h = _sample_hash_sql(5)
+    cum, whens = 0.0, []
+    for name in names[:-1]:
+        cum += weights[name]
+        whens.append(f"WHEN {h} < {int(cum * _M31)} THEN '{name}'")
+    return f"""
+        SELECT doc_id, lang,
+               CASE {' '.join(whens)} ELSE '{names[-1]}' END AS split
+        FROM documents"""
 
 
 def _sample_hash_sql(seed: int) -> str:
@@ -2736,6 +2765,11 @@ def oracle_sql() -> dict[str, str]:
                    array_to_string(list(CAST(s AS VARCHAR) ORDER BY pos),
                                    ',') AS qsums
             FROM q GROUP BY grp""",
+        # split_assign: thresholds replicate assign_splits' EXACT float64
+        # accumulation (cum += w, int(cum * M31)) in Python, so the CASE
+        # literals are the engine's own ints; hash = the shared portable
+        # sample-hash mirror
+        "split_assign": _split_assign_oracle(),
         # corpus_report: whitespace token count mirrors text_tokens; p50 =
         # quantile_cont == Spark percentile (same percentile_cont
         # interpolation); NULL text excluded from shape stats, counted in

@@ -122,3 +122,53 @@ class TestRedactPII:
         out = textstats.redact_pii(df, out_col="clean", counts=False)
         r = out.collect()[0]
         assert "@" in r.text and "@" not in r.clean
+
+
+class TestAssignSplits:
+    WEIGHTS = {"train": 0.8, "val": 0.1, "test": 0.1}
+
+    def test_total_disjoint_and_deterministic(self, docs):
+        out = sampling.assign_splits(docs, "doc_id", self.WEIGHTS, seed=5)
+        rows = {r.doc_id: r.split for r in out.collect()}
+        assert len(rows) == 300
+        assert set(rows.values()) <= set(self.WEIGHTS)
+        again = {r.doc_id: r.split for r in
+                 sampling.assign_splits(docs, "doc_id", self.WEIGHTS,
+                                        seed=5).collect()}
+        assert rows == again
+
+    def test_proportions_roughly_match(self, docs):
+        out = sampling.assign_splits(docs, "doc_id", self.WEIGHTS, seed=5)
+        counts = {r["split"]: r["n"] for r in
+                  out.groupBy("split").agg(F.count("*").alias("n"))
+                  .collect()}
+        assert counts.get("train", 0) > 200          # ~240 expected
+        assert 10 < counts.get("val", 0) + counts.get("test", 0) < 120
+
+    def test_train_membership_equals_sample_by_hash(self, docs):
+        # same key/seed: split=='train' at weight w IS the rate-w sample —
+        # a row's split agrees with its staged-ablation sample membership
+        train = {r.doc_id for r in
+                 sampling.assign_splits(docs, "doc_id", self.WEIGHTS,
+                                        seed=5)
+                 .filter(F.col("split") == "train").collect()}
+        sample = {r.doc_id for r in
+                  sampling.sample_by_hash(docs, "doc_id", 0.8,
+                                          seed=5).collect()}
+        assert train == sample
+
+    def test_entity_coherence(self, spark):
+        rows = [Row(conv_id=f"c{i % 7}", turn_idx=i) for i in range(70)]
+        out = sampling.assign_splits(spark.createDataFrame(rows),
+                                     "conv_id", self.WEIGHTS)
+        per_conv = (out.groupBy("conv_id")
+                    .agg(F.countDistinct("split").alias("k")).collect())
+        assert all(r.k == 1 for r in per_conv)
+
+    def test_bad_weights_raise(self, docs):
+        with pytest.raises(ValueError, match="sum to 1"):
+            sampling.assign_splits(docs, "doc_id", {"a": 0.5, "b": 0.4})
+        with pytest.raises(ValueError, match="non-empty"):
+            sampling.assign_splits(docs, "doc_id", {})
+        with pytest.raises(ValueError, match="non-negative"):
+            sampling.assign_splits(docs, "doc_id", {"a": 1.5, "b": -0.5})

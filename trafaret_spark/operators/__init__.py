@@ -38,6 +38,7 @@ from trafaret_spark.operators.retrieval import (
     build_postings,
 )
 from trafaret_spark.operators.sampling import (
+    assign_splits,
     mixture_sample,
     sample_by_hash,
     stratified_sample_by_hash,
@@ -47,7 +48,7 @@ __all__ = [
     "asof_join", "range_join",
     "Features", "LeakageError", "sessionize", "session_stats", "backfill",
     "time_rollup", "sample_by_hash", "stratified_sample_by_hash",
-    "mixture_sample",
+    "mixture_sample", "assign_splits",
     "ngram_decontaminate", "decontaminate", "cap_per_key", "pack_sequences",
     "bm25_topk", "bm25_topk_from_postings", "build_postings",
     "BigramLM", "train_bigram_lm", "lm_score",

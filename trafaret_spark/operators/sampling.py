@@ -26,6 +26,7 @@ from pyspark.sql import functions as F
 from trafaret_spark.operators.hashing import M31, tok31
 
 __all__ = ["sample_hash", "sample_by_hash", "stratified_sample_by_hash",
+           "assign_splits",
            "mixture_thresholds", "mixture_sample"]
 
 _SEP = "\x1f"        # unit separator: never appears in normal text/keys
@@ -181,3 +182,49 @@ def mixture_sample(df: DataFrame, domain_col: str,
     for value, t in sorted(thr_map.items()):
         thr = F.when(F.col(domain_col) == value, F.lit(t)).otherwise(thr)
     return df.filter(h < thr)
+
+
+def assign_splits(df: DataFrame, key_cols: Union[str, Sequence[str]],
+                  weights: Mapping[str, float], seed: int = 0,
+                  out_col: str = "split",
+                  portable: bool = False) -> DataFrame:
+    """Deterministic train/val/test (or any k-way) split assignment:
+    adds ``out_col`` naming each row's split, keyed by ``key_cols`` —
+    every row of an entity (e.g. a conversation) lands in the SAME
+    split, so grouped entities never leak across the boundary.
+
+    ``weights`` maps split name → fraction (must sum to ~1 within 1e-9;
+    insertion order is normative — the hash space is carved into
+    consecutive ranges in that order, so adding a NEW last split with
+    rescaled weights keeps earlier assignments maximally stable).
+    Membership = the same scan-side hash as :func:`sample_by_hash` (same
+    key/seed ⇒ a row's split agrees with its sample membership), zero
+    shuffle, stable under retries and across engines in ``portable``
+    mode. Thresholds are exact ints (``floor(cum_weight * D)``, computed
+    in float64 with one multiply per split — normative for oracles); the
+    final threshold is pinned to D so rounding can never leave a row
+    unassigned.
+    """
+    key_cols = [key_cols] if isinstance(key_cols, str) else list(key_cols)
+    if not weights:
+        raise ValueError("assign_splits: weights must be non-empty")
+    total = sum(weights.values())
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"assign_splits: weights must sum to 1, "
+                         f"got {total!r}")
+    if any(w < 0 for w in weights.values()):
+        raise ValueError("assign_splits: weights must be non-negative")
+    d = M31 if portable else _FAST_D
+    h = sample_hash(key_cols, seed, portable)
+    names = list(weights)
+    cum = 0.0
+    expr = None
+    for name in names[:-1]:
+        cum += weights[name]
+        thr = int(cum * d)
+        branch = F.when(h < F.lit(thr), F.lit(name))
+        expr = branch if expr is None else expr.when(h < F.lit(thr),
+                                                     F.lit(name))
+    last = F.lit(names[-1])
+    expr = last if expr is None else expr.otherwise(last)
+    return df.withColumn(out_col, expr)
