@@ -873,33 +873,44 @@ def q_conv_neardup(spark, sf_dir):
 
 def q_conv_curate(spark, sf_dir):
     # the COMPOSED curation DAG (curation_pipeline.run_curation's operator
-    # chain minus the write) attested value-level in ONE query:
-    # structural quarantine → stutter dedup → exact conv dedup → minhash
+    # chain minus the write) attested value-level in ONE query, in
+    # run_curation's EXACT stage order: stutter dedup (repair) →
+    # structural quarantine (validate) → exact conv dedup → minhash
     # near-dup. Corpus = re-densified transcript ∪ an exact '_copy' clone
     # ∪ a '_v2' clone with every 7th turn's text edited (same structure,
-    # so it survives the structural stage and must be caught by NEAR-dup;
-    # turn_idx is re-densified so the seeded turn_gap holes don't
-    # quarantine the whole corpus — gap checks stay attested by
-    # conv_turn_errors/conv_report).
+    # so it survives the structural stage and must be caught by NEAR-dup).
     # Corpus construction: re-densify turn_idx, recompute the role from
     # the DENSIFIED parity (so the seeded event_id%53 row drops cannot
     # break alternation — otherwise EVERY conversation is invalid and the
-    # dedup stages go vacuous), slice to the first 9 turns. Validity is
-    # then controlled by exactly one seeded defect: error-event rows keep
-    # their 1-hour-back ts, so conversations with an error event in the
-    # window fail ts_regress (129/150 at sf0.01) and the 21 valid ones
-    # (×3 clone variants) flow through the dedup chain.
+    # dedup stages go vacuous), slice to the first 9 turns, then turn
+    # turn 8 into a retry ECHO of turn 7 (same role+text) — the stutter
+    # stage must remove it (leaving dense 0..7) or the echo's illegal
+    # user→user transition quarantines the conversation: the planted
+    # defect that makes BOTH the stutter stage and the repair-then-
+    # validate order load-bearing. Validity is then controlled by the
+    # remaining seeded defect: error-event rows keep their 1-hour-back
+    # ts, so conversations with a close-spaced error event fail
+    # ts_regress and the valid ones (×3 clone variants) flow through the
+    # dedup chain.
     t = _transcript(spark, sf_dir).select("conv_id", "turn_idx", "text",
                                           "ts")
     w = Window.partitionBy("conv_id").orderBy("turn_idx")
     di = (F.row_number().over(w) - 1).cast("long")
-    base = (t.withColumn("turn_idx", di)
-            .withColumn("role",
-                        F.when(F.col("turn_idx") == 0, F.lit("system"))
-                        .when(F.col("turn_idx") % 2 == 1, F.lit("user"))
-                        .otherwise(F.lit("assistant")))
-            .filter(F.col("turn_idx") < 9)
-            .select("conv_id", "turn_idx", "role", "text", "ts"))
+    sliced = (t.withColumn("turn_idx", di)
+              .withColumn("role",
+                          F.when(F.col("turn_idx") == 0, F.lit("system"))
+                          .when(F.col("turn_idx") % 2 == 1, F.lit("user"))
+                          .otherwise(F.lit("assistant")))
+              .filter(F.col("turn_idx") < 9))
+    wd = Window.partitionBy("conv_id").orderBy("turn_idx")
+    is_echo = F.col("turn_idx") == 8
+    base = sliced.select(
+        "conv_id", "turn_idx",
+        F.when(is_echo, F.lag("role").over(wd))
+        .otherwise(F.col("role")).alias("role"),
+        F.when(is_echo, F.lag("text").over(wd))
+        .otherwise(F.col("text")).alias("text"),
+        "ts")
     exact = base.withColumn("conv_id", F.concat("conv_id", F.lit("_copy")))
     near = (base.withColumn(
         "text",
@@ -908,10 +919,10 @@ def q_conv_curate(spark, sf_dir):
         .otherwise(F.col("text")))
         .withColumn("conv_id", F.concat("conv_id", F.lit("_v2"))))
     corpus = base.unionByName(exact).unionByName(near).persist()
-    rep = conversations.conversation_report(corpus)
+    t1 = conversations.dedup_stutter(corpus)
+    rep = conversations.conversation_report(t1)
     bad = rep.filter(~F.col("is_valid")).select("conv_id")
-    t1 = corpus.join(bad, ["conv_id"], "left_anti")
-    t2 = conversations.dedup_stutter(t1)
+    t2 = t1.join(bad, ["conv_id"], "left_anti")
     t3 = conversations.dedup_conversations(t2)
     t4 = conversations.neardup_conversations(t3, threshold=0.35,
                                              portable=True)
@@ -954,14 +965,20 @@ def q_mixture_sample(spark, sf_dir):
     return out.select("doc_id", "lang")
 
 
+# shared by q_split_assign AND _split_assign_oracle (the _BM25_QUERIES
+# pattern): editing either weights or seed in one place keeps the oracle
+# structurally coupled instead of coincidentally equal
+_SPLIT_WEIGHTS = {"train": 0.8, "val": 0.1, "test": 0.1}
+_SPLIT_SEED = 5
+
+
 def q_split_assign(spark, sf_dir):
     # deterministic 80/10/10 train/val/test assignment keyed on doc_id;
     # portable hash family so the oracle recomputes both the hash AND the
     # int-floored cumulative thresholds bit-for-bit
     docs = _t(spark, sf_dir, "documents")
-    out = sampling.assign_splits(
-        docs, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1},
-        seed=5, portable=True)
+    out = sampling.assign_splits(docs, "doc_id", _SPLIT_WEIGHTS,
+                                 seed=_SPLIT_SEED, portable=True)
     return out.select("doc_id", "lang", "split")
 
 
@@ -1753,9 +1770,9 @@ def _split_assign_oracle() -> str:
     """Mirror q_split_assign: replicate assign_splits' threshold loop
     (cum += w in float64, int(cum * M31)) so the emitted literals are the
     engine's exact ints — no SQL float arithmetic to diverge."""
-    weights = {"train": 0.8, "val": 0.1, "test": 0.1}
+    weights = _SPLIT_WEIGHTS
     names = list(weights)
-    h = _sample_hash_sql(5)
+    h = _sample_hash_sql(_SPLIT_SEED)
     cum, whens = 0.0, []
     for name in names[:-1]:
         cum += weights[name]
@@ -2813,13 +2830,23 @@ def oracle_sql() -> dict[str, str]:
                           AS BIGINT) AS turn_idx,
                      text, ts
               FROM tr),
-            base AS (
+            b1 AS (
               SELECT conv_id, turn_idx,
                      CASE WHEN turn_idx = 0 THEN 'system'
                           WHEN turn_idx % 2 = 1 THEN 'user'
                           ELSE 'assistant' END AS role,
                      text, ts
               FROM b0 WHERE turn_idx < 9),
+            base AS (
+              SELECT conv_id, turn_idx,
+                     CASE WHEN turn_idx = 8 THEN lag(role) OVER wb
+                          ELSE role END AS role,
+                     CASE WHEN turn_idx = 8 THEN lag(text) OVER wb
+                          ELSE text END AS text,
+                     ts
+              FROM b1
+              WINDOW wb AS (PARTITION BY conv_id
+                            ORDER BY turn_idx NULLS FIRST)),
             uc AS (
               SELECT * FROM base
               UNION ALL
@@ -2829,44 +2856,44 @@ def oracle_sql() -> dict[str, str]:
                      CASE WHEN turn_idx % 7 = 3 THEN text || ' edited'
                           ELSE text END, ts
               FROM base),
+            st AS (
+              SELECT conv_id, turn_idx, role, text, ts FROM (
+                SELECT conv_id, turn_idx, role, text, ts,
+                       lag(role) OVER ws AS p_role,
+                       lag(text) OVER ws AS p_text,
+                       row_number() OVER ws AS rn
+                FROM uc
+                WINDOW ws AS (PARTITION BY conv_id
+                              ORDER BY turn_idx NULLS FIRST))
+              WHERE NOT (role IS NOT DISTINCT FROM p_role
+                         AND text IS NOT DISTINCT FROM p_text
+                         AND rn > 1)),
             clg AS (
               SELECT conv_id, turn_idx, role, text, ts,
-                     row_number() OVER w AS rn,
-                     lag(turn_idx) OVER w AS p_turn,
-                     lag(role) OVER w AS p_role,
-                     lag(ts) OVER w AS p_ts
-              FROM uc
-              WINDOW w AS (PARTITION BY conv_id
-                           ORDER BY turn_idx NULLS FIRST)),
+                     row_number() OVER wc AS rn,
+                     lag(turn_idx) OVER wc AS p_turn,
+                     lag(role) OVER wc AS p_role,
+                     lag(ts) OVER wc AS p_ts
+              FROM st
+              WINDOW wc AS (PARTITION BY conv_id
+                            ORDER BY turn_idx NULLS FIRST)),
             bad AS (
               SELECT conv_id
               FROM (SELECT conv_id, {_TURN_ERRS_SQL} AS errs FROM clg)
               GROUP BY conv_id
               HAVING sum(CASE WHEN errs <> '' THEN 1 ELSE 0 END) > 0),
             vt AS (
-              SELECT * FROM uc
+              SELECT conv_id, turn_idx, role, text FROM st
               WHERE conv_id NOT IN (SELECT conv_id FROM bad)),
-            st AS (
-              SELECT conv_id, turn_idx, role, text FROM (
-                SELECT conv_id, turn_idx, role, text,
-                       lag(role) OVER w AS p_role,
-                       lag(text) OVER w AS p_text,
-                       row_number() OVER w AS rn
-                FROM vt
-                WINDOW w AS (PARTITION BY conv_id
-                             ORDER BY turn_idx NULLS FIRST))
-              WHERE NOT (role IS NOT DISTINCT FROM p_role
-                         AND text IS NOT DISTINCT FROM p_text
-                         AND rn > 1)),
             rend0 AS (
               SELECT conv_id,
                      string_agg('<|' || coalesce(role, '') || '|>'
                                 || coalesce(text, ''),
                                 chr(10) ORDER BY turn_idx) AS rendered
-              FROM st GROUP BY conv_id),
+              FROM vt GROUP BY conv_id),
             hx AS (SELECT conv_id, md5(rendered) AS h FROM rend0),
             win AS (SELECT h, min(conv_id) AS conv_id FROM hx GROUP BY h),
-            ex AS (SELECT st.* FROM st JOIN win USING (conv_id)),
+            ex AS (SELECT vt.* FROM vt JOIN win USING (conv_id)),
             rend AS (SELECT r.conv_id, r.rendered
                      FROM rend0 r JOIN win USING (conv_id)),
             {_minhash_body(table="rend", id_col="conv_id",

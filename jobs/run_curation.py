@@ -1,6 +1,7 @@
 """spark-submit entrypoint for the transcript CURATION pipeline
-(structural quarantine → stutter dedup → exact + minhash near-dup
-conversation dedup → token-budget truncation → bucketed write):
+(stutter dedup → structural quarantine — repair-then-validate, see
+curation_pipeline.run_curation — → exact + minhash near-dup conversation
+dedup → token-budget truncation → bucketed write):
 
     spark-submit --py-files trafaret_spark.zip jobs/run_curation.py \
         --input  /data/transcripts \

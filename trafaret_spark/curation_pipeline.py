@@ -88,8 +88,16 @@ def run_curation(spark: SparkSession, turns: DataFrame,
     ``conversation_report`` on the raw table; cfg.check_dense=True
     restores it here).
     """
+    if cfg.quarantine_path and not cfg.drop_invalid:
+        raise ValueError("quarantine_path is set but drop_invalid=False — "
+                         "the structural stage (which writes the "
+                         "quarantine) is disabled; drop one of the two")
     audit: dict = {"stages": {}}
-    t0 = turns.persist()
+    # don't evict a cache the CALLER set up: only persist/unpersist the
+    # input when it wasn't already persisted on entry
+    caller_cached = (turns.storageLevel.useMemory
+                     or turns.storageLevel.useDisk)
+    t0 = turns if caller_cached else turns.persist()
     audit["stages"]["input"] = _counts(t0, cfg.by)
 
     # 1. stutter dedup — consecutive repeated (role, text) turns
@@ -97,7 +105,8 @@ def run_curation(spark: SparkSession, turns: DataFrame,
                       role_col=cfg.role_col, text_col=cfg.text_col)
     t = t.persist()
     audit["stages"]["stutter"] = _counts(t, cfg.by)
-    t0.unpersist()
+    if not caller_cached:
+        t0.unpersist()
 
     # 2. structural validation — conversation_report's is_valid verdict;
     #    quarantined conversations keep ALL their surviving turns for

@@ -200,10 +200,10 @@ def assign_splits(df: DataFrame, key_cols: Union[str, Sequence[str]],
     Membership = the same scan-side hash as :func:`sample_by_hash` (same
     key/seed ⇒ a row's split agrees with its sample membership), zero
     shuffle, stable under retries and across engines in ``portable``
-    mode. Thresholds are exact ints (``floor(cum_weight * D)``, computed
-    in float64 with one multiply per split — normative for oracles); the
-    final threshold is pinned to D so rounding can never leave a row
-    unassigned.
+    mode. Thresholds are exact ints (``int(cum_weight * D)``, computed
+    in float64 with one multiply per accumulated weight — normative for
+    oracles); the LAST split is the ``otherwise`` branch (no threshold
+    of its own), so rounding can never leave a row unassigned.
     """
     key_cols = [key_cols] if isinstance(key_cols, str) else list(key_cols)
     if not weights:
@@ -222,9 +222,8 @@ def assign_splits(df: DataFrame, key_cols: Union[str, Sequence[str]],
     for name in names[:-1]:
         cum += weights[name]
         thr = int(cum * d)
-        branch = F.when(h < F.lit(thr), F.lit(name))
-        expr = branch if expr is None else expr.when(h < F.lit(thr),
-                                                     F.lit(name))
+        expr = (F.when(h < F.lit(thr), F.lit(name)) if expr is None
+                else expr.when(h < F.lit(thr), F.lit(name)))
     last = F.lit(names[-1])
     expr = last if expr is None else expr.otherwise(last)
     return df.withColumn(out_col, expr)
