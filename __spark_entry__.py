@@ -954,6 +954,67 @@ def q_lm_bits(spark, sf_dir):
     return out.select("doc_id", "n_bigrams", "bits_per_token")
 
 
+# lm_bucket edges shared by q_lm_bucket and its oracle; chosen inside the
+# sf0.01 bits range (~4.72-5.83, quartiles 4.96/5.02/5.08) so all three
+# CCNet-style buckets are non-empty on driver data (non-vacuous)
+_LM_EDGES = (4.99, 5.06)
+_LM_LABELS = ("head", "middle", "tail")
+
+
+def q_lm_bucket(spark, sf_dir):
+    # CCNet-style perplexity buckets over lm_score output — the scan-side
+    # CASE must agree with the oracle's because bits_per_token is the
+    # SAME double in both engines (quantized-integer sum, one normative
+    # division chain), so the edge comparisons are exact
+    docs = _t(spark, sf_dir, "documents")
+    model = lmscore.train_bigram_lm(docs.filter(F.col("doc_id") % 5 == 0))
+    scored = lmscore.lm_score(docs.filter(F.col("doc_id") % 5 != 0), model)
+    out = lmscore.lm_bucket(scored, _LM_EDGES, labels=_LM_LABELS)
+    return out.select("doc_id", "bits_per_token", "lm_bucket")
+
+
+def q_ret_bm25_idx(spark, sf_dir):
+    # THE production retrieval path at 100 TB (retrieval.py module
+    # docstring): build the inverted index ONCE, persist it term-bucketed,
+    # read it back, and score query batches against the persisted postings
+    # — must equal the cold bm25_topk path (same oracle) bit-for-bit.
+    import os
+    import tempfile
+    from trafaret_spark import io as ts_io
+    docs = _t(spark, sf_dir, "documents")
+    n_docs, avgdl = retrieval.corpus_stats(docs)
+    post = retrieval.build_postings(docs)
+    path = os.path.join(tempfile.gettempdir(),
+                        f"trafaret_bm25_idx_{os.path.basename(sf_dir.rstrip('/'))}")
+    ts_io.write_bucketed(post, path, key="term", n_buckets=16)
+    post2 = ts_io.read_table(spark, path).drop("bucket")
+    qs = spark.createDataFrame(_BM25_QUERIES, ["query_id", "text"])
+    out = retrieval.bm25_topk_from_postings(post2, qs, n_docs=n_docs,
+                                            avgdl=avgdl, k=5,
+                                            max_df_frac=0.79)
+    return out.select("query_id", "doc_id",
+                      F.col("rank").cast("int").alias("rank"), "score")
+
+
+def q_cluster_cap(spark, sf_dir):
+    # embedding-cluster curation end-state: cluster_assign labels every
+    # vector with its nearest centroid (smallest-8-ids codebook — the
+    # knn_ivf-style SQL-reproducible default) as a pure scan-side
+    # projection, then cap_per_key balances the clusters to their 25
+    # smallest ids via the SALTED two-phase path; the oracle is the plain
+    # window definition the two-phase plan must equal exactly.
+    from trafaret_spark.operators import curation
+    emb = _t(spark, sf_dir, "embeddings") \
+        .select("vec_id",
+                F.col("embedding").cast("array<double>").alias("embedding"))
+    assigned = similarity.cluster_assign(emb, n_centroids=8)
+    out = curation.cap_per_key(assigned, "cluster_id", n=25,
+                               order_by=[F.col("vec_id").asc()],
+                               salt_partitions=4, salt_col="vec_id")
+    return out.select("vec_id",
+                      F.col("cluster_id").cast("int").alias("cluster_id"))
+
+
 def q_mixture_sample(spark, sf_dir):
     # data-mixture downsample of documents to 50% en / 20% de / 30% zh
     # (binding domain keeps everything); portable hash family so the
@@ -1373,6 +1434,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mixture_sample": q_mixture_sample,
         "ret_bm25": q_ret_bm25,
         "lm_bits": q_lm_bits,
+        # round-5 additions
+        "ret_bm25_idx": q_ret_bm25_idx,
+        "cluster_cap": q_cluster_cap,
+        "lm_bucket": q_lm_bucket,
     }
     # Rotation (r3 verdict "Next round" #1): the driver attests at most 50
     # rows per round, so order the registry (== driver execution order) by
@@ -1381,17 +1446,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # attestation gap the r3 verdict flagged — update _TOUCHED each round),
     # (2) everything else stalest-first. Ties broken by registry order.
     touched = {
-        # round 4: regex parity rewrite (v_email/v_url_hex), phone-pattern
-        # anchors (text_redact), per-language stopwords (text_quality),
-        # fake-path failure shape (mm_audio), on_drop/checkpoint params on
-        # the minhash/components family, long-path bounding (range_join),
-        # IPv6 gate (v_ip); late round 4: _minhash_body parameterization +
-        # _closure_sql refactor rewrote the components/keep_canonical/
-        # minhash oracle SQL (engine unchanged, but the attested contract
-        # text changed — refresh their hard rows)
-        "v_email", "v_url_hex", "text_redact", "text_quality", "mm_audio",
-        "dedup_minhash", "dedup_components", "dedup_keep_canonical",
-        "range_join", "v_ip",
+        # round 5: conv_report's oracle moved from min_by (which skips
+        # NULL keys and ties nondeterministically) to the engine-exact
+        # struct-min (advice r4); range_join's warn/error path now
+        # persists the long side around the probe (plan change);
+        # corpus_report switched to collision-proof temp_col names and
+        # the F.percentile builtin; conv_curate's run_curation defaults
+        # to neardup_on_drop="warn" (eager cap audit now in its executed
+        # plan) + tiered-audit persists. NOT touched by the rotation's
+        # standard: dedup_minhash / conv_neardup drive on_drop="ignore",
+        # whose executed plan the round-5 dedup.py change leaves
+        # byte-identical (drop_stats params are additive; dedup_minhash
+        # re-attests anyway — it's inside the stale window), and
+        # ret_bm25's corpus_stats extraction is expression-identical
+        # (tests/test_round5.py pins bm25_topk == corpus_stats +
+        # from_postings). Everything else is additive or a NEW query
+        # (ret_bm25_idx / cluster_cap / lm_bucket — tier 0).
+        "conv_report", "range_join", "corpus_report", "conv_curate",
     }
     pos = {name: i for i, name in enumerate(reg)}
     last = _attestation_rounds()
@@ -1946,6 +2017,40 @@ def _lm_bits_oracle(alpha: float = 0.5) -> str:
                -(agg.s / agg.n) / 1000000.0 / {ln2!r} AS bits_per_token
         FROM (SELECT DISTINCT doc_id FROM sc) b
         LEFT JOIN agg USING (doc_id)"""
+
+
+def _lm_bucket_oracle() -> str:
+    """lm_bits oracle wrapped in the shared-edge CASE: bits_per_token is
+    the same double in both engines (exact integer sum, one normative
+    division chain), so the `< edge` comparisons bucket identically."""
+    e0, e1 = _LM_EDGES
+    l0, l1, l2 = _LM_LABELS
+    return f"""
+        SELECT doc_id, bits_per_token,
+               CASE WHEN bits_per_token IS NULL THEN NULL
+                    WHEN bits_per_token < {e0!r} THEN '{l0}'
+                    WHEN bits_per_token < {e1!r} THEN '{l1}'
+                    ELSE '{l2}' END AS lm_bucket
+        FROM ({_lm_bits_oracle()})"""
+
+
+def _cluster_cap_oracle() -> str:
+    """Mirror q_cluster_cap: the knn_ivf-style nearest-centroid argmax
+    (smallest-8-ids codebook) followed by the PLAIN per-cluster window
+    the salted two-phase cap_per_key must equal exactly."""
+    asn = _COSINE_SQL.format(a="e.v", b="c.cv")
+    return f"""
+        WITH c AS (SELECT CAST(vec_id AS INT) AS cid, embedding::DOUBLE[] AS cv
+                   FROM embeddings ORDER BY vec_id LIMIT 8),
+        e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        ca AS (SELECT vec_id, cid AS cluster_id FROM (
+                 SELECT e.vec_id, c.cid,
+                        row_number() OVER (PARTITION BY e.vec_id
+                                           ORDER BY {asn} DESC, c.cid) AS rn
+                 FROM e CROSS JOIN c) WHERE rn = 1)
+        SELECT vec_id, CAST(cluster_id AS INT) AS cluster_id FROM ca
+        QUALIFY row_number() OVER (PARTITION BY cluster_id
+                                   ORDER BY vec_id) <= 25"""
 
 
 def _sample_oracle(rate: float, seed: int) -> str:
@@ -2606,8 +2711,16 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_turns,
                    CAST(coalesce(sum(CASE WHEN errs <> '' THEN 1 END), 0)
                         AS BIGINT) AS n_bad_turns,
-                   min_by(string_split(errs, ',')[1], turn_idx)
-                     FILTER (WHERE errs <> '') AS first_err,
+                   -- min over an (order-key, code) struct mirrors the
+                   -- engine's F.min(struct(o, code)) contract exactly: a
+                   -- NULL ordering key sorts FIRST (Spark nulls-first ⇒
+                   -- the BIGINT-min sentinel here; DuckDB min_by would
+                   -- silently SKIP null-keyed rows), and same-turn ties
+                   -- break by code ASC (min_by ties are nondeterministic)
+                   min(CASE WHEN errs <> '' THEN struct_pack(
+                         o := coalesce(turn_idx, -9223372036854775807 - 1),
+                         code := string_split(errs, ',')[1]) END)['code']
+                     AS first_err,
                    coalesce(sum(CASE WHEN errs <> '' THEN 1 END), 0) = 0
                      AS is_valid
             FROM e GROUP BY conv_id""",
@@ -2739,6 +2852,11 @@ def oracle_sql() -> dict[str, str]:
         # oracles reproduce ranks AND scores bit-for-bit (see builders)
         "ret_bm25": _bm25_oracle(),
         "lm_bits": _lm_bits_oracle(),
+        # the persisted-index path must be indistinguishable from the
+        # cold path — same oracle by construction
+        "ret_bm25_idx": _bm25_oracle(),
+        "cluster_cap": _cluster_cap_oracle(),
+        "lm_bucket": _lm_bucket_oracle(),
         # conv_neardup: minhash over the conversation RENDER (same CTE
         # chain as dedup_minhash via the parameterized _minhash_body),
         # then the keep_canonical min-label closure; corpus = transcript

@@ -1,6 +1,6 @@
 """Curation-family scaling measurement at a single parallelism level.
 
-Usage: python scripts/scaling_curation.py <cores> [dedup|ann|both|bm25]
+Usage: python scripts/scaling_curation.py <cores> [dedup|ann|both|bm25|conv]
 
 The transcript pipeline's scaling evidence (scripts/scaling_run.py) does
 not cover the dedup/ANN families, whose 100 TB story rests on uniform
@@ -22,6 +22,14 @@ count at every core count — strong scaling of identical work):
     whole corpus — a degenerate all-pairs workload; the Zipf synthesis
     below gives the heavy-head/long-tail term distribution the
     max_df_frac cut is designed for).
+  * ``conv`` — the composed conversation-curation DAG (run_curation's
+    operator chain minus the write): stutter repair → structural
+    quarantine → render + exact conv dedup → minhash near-dup, over a
+    ``datagen.clone_transcripts`` corpus with planted exact clones,
+    near clones, retry echoes and illegal openers (every stage
+    non-vacuous). The 100 TB claim this measures: the render's ONE
+    groupBy(conv_id) exchange collapses the TURN table (~10^12 rows) to
+    conversation cardinality (~10^9) BEFORE any minhash work runs.
 
 Same evidence protocol as scaling_run.py: N vs 4N executors proxied by
 local[N] vs local[4N], identical JVM memory/GC, min over timed runs after
@@ -42,7 +50,8 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from pyspark.sql import functions as F  # noqa: E402
 
 from trafaret_spark import datagen  # noqa: E402
-from trafaret_spark.operators import dedup, retrieval, similarity  # noqa: E402
+from trafaret_spark.operators import (conversations, dedup, retrieval,  # noqa: E402
+                                      similarity)
 from trafaret_spark.session import get_spark  # noqa: E402
 
 N_DOCS = int(os.environ.get("SPARK_GRAFT_SCALE_DOCS", "200000"))
@@ -57,6 +66,9 @@ PARTITIONS = int(os.environ.get("SPARK_GRAFT_SCALE_PARTS", "64"))
 TIMED_RUNS = int(os.environ.get("SPARK_GRAFT_SCALE_RUNS", "3"))
 CACHE = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
                      ".scaling_cache")
+
+
+N_CONVS = int(os.environ.get("SPARK_GRAFT_SCALE_CONVS", "50000"))
 
 
 N_BM25_DOCS = int(os.environ.get("SPARK_GRAFT_SCALE_BM25_DOCS", "300000"))
@@ -119,6 +131,30 @@ def bm25_job(spark, zdocs_path):
         F.array_join(F.slice(F.split(F.col("text"), " "), 1, 5), " ")
          .alias("text"))
     return retrieval.bm25_topk(docs, queries, k=10, max_df_frac=0.2)
+
+
+def materialize_conv(spark) -> str:
+    path = f"{CACHE}/cloneconvs_{N_CONVS}"
+    if not os.path.exists(path + "/_SUCCESS"):
+        datagen.clone_transcripts(spark, n_convs=N_CONVS,
+                                  partitions=PARTITIONS) \
+            .write.mode("overwrite").parquet(path)
+    return path
+
+
+def conv_job(spark, turns_path):
+    """run_curation's operator chain minus the bucketed write (and minus
+    the audit counts — audit cost is measured separately by the tiered-
+    audit design, this times the DAG's real work)."""
+    turns = spark.read.parquet(turns_path)
+    t = conversations.dedup_stutter(turns)
+    # dense_from=None mirrors run_curation's check_dense=False default
+    # (a stutter-repaired echo leaves a turn_idx hole by design)
+    rep = conversations.conversation_report(t, dense_from=None)
+    bad = rep.filter(~F.col("is_valid")).select("conv_id")
+    t = t.join(bad, ["conv_id"], "left_anti")
+    t = conversations.dedup_conversations(t)
+    return conversations.neardup_conversations(t, threshold=0.7)
 
 
 def dedup_job(spark, docs_path):
@@ -184,6 +220,48 @@ def main() -> None:
         m = measure(lambda: ann_job(spark, emb_path))
         m["vecs_per_sec"] = round(N_VECS / m["seconds_min"], 1)
         out["ann"] = m
+
+    if which == "conv":
+        cpath = materialize_conv(spark)
+        out["n_convs"] = N_CONVS
+        turns = spark.read.parquet(cpath)
+        out["n_turns"] = turns.count()
+        # stage non-vacuousness, once, untimed: conversations surviving
+        # each stage (the planted clones/echoes/openers are really there)
+        t1 = conversations.dedup_stutter(turns)
+        rep = conversations.conversation_report(t1, dense_from=None)
+        bad = rep.filter(~F.col("is_valid")).select("conv_id")
+        t2 = t1.join(bad, ["conv_id"], "left_anti")
+        t3 = conversations.dedup_conversations(t2)
+        t4 = conversations.neardup_conversations(t3, threshold=0.7)
+        out["convs_after"] = {
+            "structural": t2.select("conv_id").distinct().count(),
+            "exact_dedup": t3.select("conv_id").distinct().count(),
+            "near_dedup": t4.select("conv_id").distinct().count(),
+        }
+        # timed: the full DAG, plus cumulative prefixes for the stage
+        # decomposition (marginal cost = difference of prefixes; each
+        # prefix is one lazy end-to-end pass, same as production)
+        m = measure(lambda: conv_job(spark, cpath))
+        m["turns_per_sec"] = round(out["n_turns"] / m["seconds_min"], 1)
+        out["conv"] = m
+
+        def prefix(depth):
+            t = conversations.dedup_stutter(spark.read.parquet(cpath))
+            if depth >= 2:
+                r = conversations.conversation_report(t, dense_from=None)
+                t = t.join(r.filter(~F.col("is_valid")).select("conv_id"),
+                           ["conv_id"], "left_anti")
+            if depth >= 3:
+                t = conversations.dedup_conversations(t)
+            return t
+
+        out["conv_prefixes"] = {
+            "stutter": measure(lambda: prefix(1))["seconds_min"],
+            "plus_structural": measure(lambda: prefix(2))["seconds_min"],
+            "plus_exact_dedup": measure(lambda: prefix(3))["seconds_min"],
+            "full": m["seconds_min"],
+        }
 
     if which == "bm25":
         zpath = materialize_bm25(spark)

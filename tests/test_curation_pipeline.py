@@ -113,4 +113,11 @@ class TestIdempotence:
         assert sorted(map(tuple, once.collect())) == \
             sorted(map(tuple, twice.collect()))
         s2 = audit2["stages"]
-        assert s2["input"] == s2["near_dedup"] == audit2["final"]
+        counts = ["turns", "conversations"]
+        assert [s2["input"][k] for k in counts] == \
+            [s2["near_dedup"][k] for k in counts] == \
+            [audit2["final"][k] for k in counts]
+        # default on_drop="warn" records the hot-bucket cap's drop counts
+        # in the near-dup stage audit (r4 verdict #1) — zero here
+        assert s2["near_dedup"]["dropped_buckets"] == 0
+        assert s2["near_dedup"]["dropped_rows"] == 0

@@ -17,7 +17,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 __all__ = ["transcripts", "conv_events", "to_raw_strings",
-           "documents", "embeddings"]
+           "documents", "embeddings", "clone_transcripts"]
 
 _BASE_TS = "2026-03-01 00:00:00"
 _WORDS = ("the quick brown fox jumps over a lazy dog while answering "
@@ -220,4 +220,88 @@ def embeddings(spark: SparkSession, n_vecs: int = 10_000, dim: int = 64,
     out = base.select("vec_id", vec.alias("embedding"))
     if partitions:
         out = out.repartition(partitions, "vec_id")
+    return out
+
+
+def clone_transcripts(spark: SparkSession, n_convs: int = 50_000,
+                      seed: int = 13, clone_frac: float = 0.10,
+                      near_frac: float = 0.05, echo_frac: float = 0.10,
+                      bad_frac: float = 0.02, min_turns: int = 6,
+                      max_turns: int = 40, words_per_turn: int = 25,
+                      vocab_size: int = 4096,
+                      partitions: int | None = None) -> DataFrame:
+    """Deterministic transcript corpus with PLANTED curation structure —
+    the conversation-family scaling input (every run_curation stage
+    provably non-vacuous at any scale):
+
+    * ids partition by RANGE (auditable): the first ``1 - clone_frac -
+      near_frac`` of conversations are unique bases; the next
+      ``clone_frac`` render byte-identical to a hash-picked base (exact
+      conv dedup removes them); the last ``near_frac`` equal a base
+      except the FINAL turn gains a per-conv unique token (they survive
+      exact dedup and must be caught by minhash NEAR-dup).
+    * ``echo_frac`` of conversations (clones included) carry one
+      consecutive retry echo — a repeated (role, text) turn — which
+      stutter dedup must repair FIRST: un-repaired, an echoed exact
+      clone would not render identical to its base (the repair-then-
+      dedup order is load-bearing, exactly as in run_curation).
+    * ``bad_frac`` open illegally (role 'tool' at turn 0) — structural
+      quarantine fodder.
+
+    Pure Column expressions on ``spark.range`` — no driver data, scales
+    to any ``n_convs``. Text derives from the SOURCE id so clones match
+    their base token-for-token.
+    """
+    n_near = int(n_convs * near_frac)
+    n_clone = int(n_convs * clone_frac)
+    n_base = n_convs - n_clone - n_near
+    conv = spark.range(n_convs).select(F.col("id").alias("cid"))
+    is_near = F.col("cid") >= n_convs - n_near
+    is_clone = (F.col("cid") >= n_base) & ~is_near
+    src = F.when(is_clone | is_near,
+                 F.pmod(F.xxhash64(F.col("cid"), F.lit(seed)),
+                        F.lit(n_base))).otherwise(F.col("cid"))
+    n_turns = (F.lit(min_turns)
+               + (F.pow(_u(31, seed, src), 2.0)
+                  * (max_turns - min_turns)).cast("int"))
+    is_echo = _u(33, seed, F.col("cid")) < echo_frac
+    is_bad = _u(35, seed, F.col("cid")) < bad_frac
+    # echo duplicates turn k (1..n_turns-1): rows i > k re-derive
+    # role/text from i-1, so rows k and k+1 agree in (role, text) —
+    # distinct turn_idx, consecutive in order: a stutter
+    echo_at = (_u(34, seed, F.col("cid")) * (n_turns - 1)).cast("int") + 1
+    rows = conv.select(
+        "cid", src.alias("src"), n_turns.alias("nt"), is_bad.alias("bad"),
+        is_near.alias("near"), is_echo.alias("echo"),
+        echo_at.alias("k"),
+        F.explode(F.sequence(
+            F.lit(0), n_turns - 1 + is_echo.cast("int"))).alias("i"))
+    tix = F.when(F.col("echo") & (F.col("i") > F.col("k")),
+                 F.col("i") - 1).otherwise(F.col("i"))
+    role = (F.when(tix == 0, F.when(F.col("bad"), F.lit("tool"))
+                              .otherwise(F.lit("user")))
+            .when(tix % 2 == 1, F.lit("assistant"))
+            .otherwise(F.lit("user")))
+
+    def word(j):
+        idx = F.pmod(F.xxhash64(F.col("src"), tix, j, F.lit(seed + 1)),
+                     F.lit(vocab_size))
+        return F.concat(F.lit("w"), idx.cast("string"))
+
+    text = F.array_join(
+        F.transform(F.sequence(F.lit(0), F.lit(words_per_turn - 1)), word),
+        " ")
+    text = F.when(F.col("near") & (tix == F.col("nt") - 1),
+                  F.concat(text, F.lit(" uniq"),
+                           F.col("cid").cast("string"))).otherwise(text)
+    ts = F.timestamp_micros(
+        F.unix_micros(F.to_timestamp(F.lit(_BASE_TS)))
+        + F.col("cid") * F.lit(10_000_000)
+        + F.col("i") * F.lit(30_000_000))
+    out = rows.select(
+        F.format_string("conv-%08d", F.col("cid")).alias("conv_id"),
+        F.col("i").cast("int").alias("turn_idx"),
+        role.alias("role"), text.alias("text"), ts.alias("ts"))
+    if partitions:
+        out = out.repartition(partitions, "conv_id")
     return out

@@ -63,6 +63,17 @@ def ngram_decontaminate(corpus: DataFrame, benchmark: DataFrame,
     rows of a doc are co-partitioned, so the per-doc count collapses
     before the shuffle). ``portable=True`` selects the md5/mod-M31 hash
     family the DuckDB oracle reproduces bit-for-bit.
+
+    ``broadcast_benchmark`` SIZE BOUND: the explicit ``F.broadcast`` hint
+    bypasses AQE's size check, so an oversized "benchmark" becomes a
+    driver/executor OOM instead of a plan fallback. The broadcast table
+    is one long per distinct gram hash (~8 B + 2-3× relation overhead):
+    eval benchmarks (10^6-10^7 grams, tens of MB) are safely inside the
+    default; past ~10^8 distinct grams (≳ 2 GB materialized) pass
+    ``broadcast_benchmark=False`` — the join then falls to AQE, which
+    still broadcasts when the set actually fits and otherwise plans a
+    shuffle join on the (uniform) gram-hash key. Results are identical
+    either way (tests pin the equivalence).
     """
     grams = shingle_hashes(F.col(text_col), n=n, portable=portable)
     bench = (benchmark.select(F.explode(

@@ -237,7 +237,8 @@ def minhash_lsh_candidates(df: DataFrame, text_col: str = "text",
                            bands: int = 16, n: int = 3, seed: int = 17,
                            max_bucket_size: int = 1000,
                            portable: bool = False,
-                           on_drop: str = "ignore") -> DataFrame:
+                           on_drop: str = "ignore",
+                           drop_stats: Optional[dict] = None) -> DataFrame:
     """LSH candidate pairs: band the signature, bucket-join, orient pairs.
 
     Returns distinct (a, b) id pairs with a < b. The self-join shuffles on
@@ -246,9 +247,23 @@ def minhash_lsh_candidates(df: DataFrame, text_col: str = "text",
     :func:`capped_blocks` semantics: ``"ignore"`` (default) is fully lazy;
     ``"warn"``/``"error"`` run one bounded count of the over-cap buckets
     now and surface how many buckets/rows the cap removed.
+
+    ``drop_stats`` (audited modes only) makes the cap MACHINE-observable,
+    not just a warning string: the dict is populated with
+    ``dropped_buckets`` / ``dropped_rows`` and an ``"unpersist"`` callable
+    releasing the bucket-table cache the audit shares with the lazy pair
+    output — call it once the returned pairs have been consumed (e.g.
+    after :func:`connected_components` checkpoints the edge list). With
+    ``drop_stats=None`` the cache is instead released immediately after
+    the audit count (no session-lifetime leak — advice r4), at the cost
+    of the pair output recomputing the signature stage once; pass a dict
+    to keep the shared materialization AND own its lifetime.
     """
     if on_drop not in ("warn", "error", "ignore"):
         raise ValueError(f"on_drop must be warn|error|ignore, got {on_drop!r}")
+    if drop_stats is not None and on_drop == "ignore":
+        raise ValueError("drop_stats requires on_drop='warn' or 'error' "
+                         "(the lazy path never measures the cap)")
     rows_per_band = num_hashes // bands
     # two projection boundaries: shingle hashes materialize once per row,
     # then the signature once, before the K-fold banding fan-out
@@ -287,6 +302,10 @@ def minhash_lsh_candidates(df: DataFrame, text_col: str = "text",
         row = (sized_all.filter(F.col("bsz") > max_bucket_size)
                .agg(F.count(F.lit(1)).alias("nb"),
                     F.sum("bsz").alias("nr")).collect()[0])
+        if drop_stats is not None:
+            drop_stats["dropped_buckets"] = int(row["nb"] or 0)
+            drop_stats["dropped_rows"] = int(row["nr"] or 0)
+            drop_stats["unpersist"] = sized_all.unpersist
         if row["nb"]:
             msg = (f"minhash_lsh_candidates: dropping {row['nb']} bucket(s) "
                    f"({row['nr']} banded rows) larger than "
@@ -295,6 +314,12 @@ def minhash_lsh_candidates(df: DataFrame, text_col: str = "text",
                 sized_all.unpersist()
                 raise ValueError(msg)
             warnings.warn(msg, RuntimeWarning, stacklevel=3)
+        if drop_stats is None:
+            # nobody holds an unpersist handle: release the cache now
+            # rather than leak it for the session lifetime (advice r4);
+            # the lazy pair output then recomputes the signature stage
+            # once — the pre-r4 cost, paid only on this handle-less path
+            sized_all.unpersist()
     sized = sized_all.filter(
         (F.col("bsz") > 1) & (F.col("bsz") <= max_bucket_size))
     pairs = (sized
@@ -335,7 +360,9 @@ def jaccard(df_pairs: DataFrame, docs: DataFrame, text_col: str = "text",
 def minhash_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
                   threshold: float = 0.8, num_hashes: int = 64, bands: int = 16,
                   n: int = 3, seed: int = 17,
-                  portable: bool = False, on_drop: str = "ignore") -> DataFrame:
+                  max_bucket_size: int = 1000,
+                  portable: bool = False, on_drop: str = "ignore",
+                  drop_stats: Optional[dict] = None) -> DataFrame:
     """Full MinHash+LSH near-dup pass → (a, b, jaccard) pairs ≥ threshold.
 
     Connected-component collapse is left to the caller (iterative; for the
@@ -343,11 +370,13 @@ def minhash_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     standard single-pass approximation). ``portable=True`` switches to the
     DuckDB-reproducible hash family (operators/hashing.py) so the whole
     pass — candidates AND verified jaccard values — diffs bit-for-bit
-    against a SQL oracle.
+    against a SQL oracle. ``on_drop``/``drop_stats`` flow to
+    :func:`minhash_lsh_candidates` (hot-bucket-cap observability).
     """
     cands = minhash_lsh_candidates(df, text_col, id_col, num_hashes, bands,
-                                   n, seed, portable=portable,
-                                   on_drop=on_drop)
+                                   n, seed, max_bucket_size=max_bucket_size,
+                                   portable=portable,
+                                   on_drop=on_drop, drop_stats=drop_stats)
     verified = jaccard(cands, df, text_col, id_col, n, portable=portable)
     return verified.filter(F.col("jaccard") >= threshold)
 

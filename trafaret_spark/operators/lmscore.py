@@ -33,7 +33,7 @@ Reference analogue: none (prompt-mandated training-data op).
 from __future__ import annotations
 
 import math
-from typing import NamedTuple
+from typing import NamedTuple, Optional, Sequence
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -41,7 +41,8 @@ from pyspark.sql import functions as F
 from trafaret_spark.operators.dedup import _ngram_fold
 from trafaret_spark.operators.retrieval import tokens
 
-__all__ = ["BigramLM", "train_bigram_lm", "lm_score", "LOGP_SCALE"]
+__all__ = ["BigramLM", "train_bigram_lm", "lm_score", "lm_bucket",
+           "LOGP_SCALE"]
 
 LOGP_SCALE = 1_000_000
 
@@ -121,3 +122,45 @@ def lm_score(df: DataFrame, model: BigramLM, id_col: str = "doc_id",
         F.coalesce(F.col("n_bigrams"), F.lit(0)).cast("long")
          .alias("n_bigrams"),
         bits.alias("bits_per_token"))
+
+
+def lm_bucket(df: DataFrame, edges: Sequence[float],
+              bits_col: str = "bits_per_token",
+              out_col: str = "lm_bucket",
+              labels: Optional[Sequence[str]] = None) -> DataFrame:
+    """CCNet-style perplexity bucketing — the standard downstream consumer
+    of :func:`lm_score`: assign each document the half-open bucket its
+    ``bits_col`` falls in (bucket ``i`` ⇔ ``edges[i-1] <= bits <
+    edges[i]``; below ``edges[0]`` → 0, at/above ``edges[-1]`` →
+    ``len(edges)``). CCNet's head/middle/tail is ``len(edges) == 2`` with
+    per-domain perplexity-tercile edges; compute edges per domain with
+    ``percentile_approx`` and call this per partition of the config.
+
+    ``labels`` (optional, ``len(edges) + 1``) maps bucket ints to names
+    ("head", "middle", "tail"). NULL bits (docs with < 2 bigrams — no
+    evidence) → NULL bucket, never a default: filter explicitly.
+
+    Pure scan-side CASE chain — zero shuffle, zero Python, composable
+    before a ``mixture_sample``/``cap_per_key`` balancing pass. Edge
+    comparisons are exact: ``bits_per_token`` is the same double in any
+    engine (quantized-integer sum, one normative division chain), so an
+    oracle applying the same literals buckets identically.
+    """
+    if not edges:
+        raise ValueError("lm_bucket: edges must be non-empty")
+    es = [float(e) for e in edges]
+    if any(a >= b for a, b in zip(es, es[1:])):
+        raise ValueError(f"lm_bucket: edges must be strictly increasing, "
+                         f"got {es}")
+    if labels is not None and len(labels) != len(es) + 1:
+        raise ValueError(f"lm_bucket: need {len(es) + 1} labels for "
+                         f"{len(es)} edges, got {len(labels)}")
+    c = F.col(bits_col)
+    b = F.when(c.isNull(), F.lit(None).cast("int"))
+    for i, e in enumerate(es):
+        b = b.when(c < F.lit(e), F.lit(i))
+    b = b.otherwise(F.lit(len(es)))
+    if labels is not None:
+        lab = F.array(*[F.lit(s) for s in labels])
+        b = F.element_at(lab, b + F.lit(1))
+    return df.withColumn(out_col, b)

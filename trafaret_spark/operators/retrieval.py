@@ -42,10 +42,26 @@ from pyspark.sql import functions as F
 
 from trafaret_spark.operators.dedup import normalize_text
 
-__all__ = ["tokens", "build_postings", "bm25_topk",
+__all__ = ["tokens", "build_postings", "corpus_stats", "bm25_topk",
            "bm25_topk_from_postings", "SCORE_SCALE"]
 
 SCORE_SCALE = 1_000_000  # micro-unit quantization of per-term contributions
+
+
+def corpus_stats(corpus: DataFrame, text_col: str = "text") -> tuple[int, float]:
+    """(n_docs, avgdl) for :func:`bm25_topk_from_postings` — computed at
+    index-build time alongside :func:`build_postings` and stored with the
+    persisted index (the postings alone can't recover them: EMPTY docs
+    count into N and avgdl but produce no posting rows). One bounded agg
+    collected to two scalars; ``avgdl`` is the exact-integer double
+    division the scoring contract treats as normative."""
+    lens = corpus.select(tokens(F.col(text_col)).alias("__toks")) \
+        .select(F.size("__toks").alias("dl"))
+    row = lens.agg(F.count(F.lit(1)).alias("n"),
+                   F.sum("dl").alias("sdl")).collect()[0]
+    if not row["n"]:
+        raise ValueError("corpus_stats: empty corpus")
+    return int(row["n"]), row["sdl"] / row["n"]
 
 
 def tokens(col: Column) -> Column:
@@ -100,15 +116,7 @@ def bm25_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
 
-    lens = corpus.select(tokens(F.col(text_col)).alias("__toks")) \
-        .select(F.size("__toks").alias("dl"))
-    row = lens.agg(F.count(F.lit(1)).alias("n"),
-                   F.sum("dl").alias("sdl")).collect()[0]
-    n_docs, sum_dl = row["n"], row["sdl"]
-    if not n_docs:
-        raise ValueError("bm25_topk: empty corpus")
-    avgdl = sum_dl / n_docs  # exact-integer double division (normative)
-
+    n_docs, avgdl = corpus_stats(corpus, text_col)
     post = build_postings(corpus, id_col, text_col)
     return bm25_topk_from_postings(
         post, queries, n_docs=n_docs, avgdl=avgdl, k=k, id_col=id_col,

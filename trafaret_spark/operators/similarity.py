@@ -36,7 +36,7 @@ QUANT_SCALE = 1_000_000  # fixed-point quantization: q = floor(x * SCALE)
 __all__ = ["dot", "l2_norm", "cosine", "cosine_topk", "lsh_cosine_topk",
            "cosine_neardup", "lsh_band_buckets", "pool_embeddings",
            "ivf_cosine_topk", "train_ivf_centroids",
-           "centroid_literal", "assign_to_centroids"]
+           "centroid_literal", "assign_to_centroids", "cluster_assign"]
 
 
 def dot(a: Column, b: Column) -> Column:
@@ -318,6 +318,39 @@ def assign_to_centroids(df: DataFrame, cent_lit: Column, vec_col: str,
     probed = F.slice(ordered, 1, nprobe)
     return df.withColumn(
         "__cid", F.explode(F.transform(probed, lambda s: s["cid"])))
+
+
+def cluster_assign(df: DataFrame, centroids: DataFrame | None = None,
+                   n_centroids: int = 16, nprobe: int = 1,
+                   id_col: str = "vec_id", vec_col: str = "embedding",
+                   out_col: str = "cluster_id") -> DataFrame:
+    """Attach each row's nearest-centroid id(s) as ``out_col`` — the
+    embedding-cluster CURATION step (SemDeDup / topic-balancing style):
+    once every document carries a cluster label, per-topic balancing is a
+    plain composition — ``cap_per_key(out, out_col, n)`` caps each
+    cluster, ``mixture_sample(out, out_col, weights)`` resamples the
+    cluster mixture, and per-cluster near-dup runs with ``block_cols=
+    [out_col]``.
+
+    Assignment machinery is :func:`assign_to_centroids`: the codebook
+    inlines as a plan-time literal, so labeling 10^12 rows is a pure
+    scan-side projection — NO join, NO window, NO exchange of the corpus
+    (tests/test_plans.py pins the stage exchange-free). ``centroids``
+    defaults to the ``n_centroids`` smallest-``id_col`` rows of ``df``
+    (deterministic AND SQL-reproducible — the driver oracle recomputes
+    it); pass :func:`train_ivf_centroids` output for a real codebook.
+    ``nprobe > 1`` emits one row per probed centroid (soft assignment).
+    """
+    if out_col in df.columns or "__cid" in df.columns:
+        raise ValueError(f"cluster_assign: input already has "
+                         f"{out_col!r}/'__cid' — rename or drop it first")
+    if centroids is None:
+        centroids = (df.orderBy(id_col).limit(n_centroids)
+                     .select(F.col(id_col).cast("int").alias("__cid"),
+                             F.col(vec_col).alias("__cv")))
+    cent_lit = centroid_literal(centroids)
+    return assign_to_centroids(df, cent_lit, vec_col, nprobe=nprobe) \
+        .withColumnRenamed("__cid", out_col)
 
 
 def ivf_cosine_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,

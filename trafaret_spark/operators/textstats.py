@@ -257,27 +257,32 @@ def corpus_report(df: DataFrame, by: "str | list[str]" = "lang",
     tokens/chars to the sums and is EXCLUDED from min/mean/p50/max
     (counted in ``n_null_text`` instead).
     """
+    from trafaret_spark.operators.colnames import temp_col
     by = [by] if isinstance(by, str) else list(by)
     toks = F.when(F.col(text_col).isNotNull(),
                   token_count(F.col(text_col)))
+    # collision-proof helper names (a `by` column literally named
+    # __toks/__corpus_rows must survive — the round-4 temp_col convention)
+    tc = temp_col(df, "__toks")
+    rc = temp_col(df, "__corpus_rows")
     grouped = (df
-               .withColumn("__toks", toks.cast("long"))
+               .withColumn(tc, toks.cast("long"))
                .groupBy(*by)
                .agg(F.count(F.lit(1)).alias("n_docs"),
                     F.sum(F.col(text_col).isNull().cast("long"))
                     .alias("n_null_text"),
-                    F.coalesce(F.sum("__toks"), F.lit(0))
+                    F.coalesce(F.sum(tc), F.lit(0))
                     .alias("total_tokens"),
-                    F.round(F.avg("__toks"), 6).alias("mean_tokens"),
-                    F.round(F.expr("percentile(__toks, 0.5)"), 6)
+                    F.round(F.avg(tc), 6).alias("mean_tokens"),
+                    F.round(F.percentile(F.col(tc), F.lit(0.5)), 6)
                     .alias("p50_tokens"),
-                    F.min("__toks").alias("min_tokens"),
-                    F.max("__toks").alias("max_tokens"),
+                    F.min(tc).alias("min_tokens"),
+                    F.max(tc).alias("max_tokens"),
                     F.coalesce(F.sum(F.length(text_col)), F.lit(0))
                     .cast("long").alias("total_chars")))
-    total = df.select(F.count(F.lit(1)).alias("__corpus_rows"))
+    total = df.select(F.count(F.lit(1)).alias(rc))
     return (grouped.crossJoin(F.broadcast(total))
             .withColumn("share",
-                        F.round(F.col("n_docs") / F.col("__corpus_rows"), 6))
-            .drop("__corpus_rows")
+                        F.round(F.col("n_docs") / F.col(rc), 6))
+            .drop(rc)
             .orderBy(*by))
