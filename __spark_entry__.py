@@ -959,18 +959,31 @@ def q_lm_bits(spark, sf_dir):
 # CCNet-style buckets are non-empty on driver data (non-vacuous)
 _LM_EDGES = (4.99, 5.06)
 _LM_LABELS = ("head", "middle", "tail")
+# per-domain tercile quantiles for lm_bucket_edges: the SAME double
+# literals flow into Spark's F.percentile and the oracle's quantile_cont
+_LM_Q = (1.0 / 3.0, 2.0 / 3.0)
 
 
 def q_lm_bucket(spark, sf_dir):
-    # CCNet-style perplexity buckets over lm_score output — the scan-side
-    # CASE must agree with the oracle's because bits_per_token is the
-    # SAME double in both engines (quantized-integer sum, one normative
-    # division chain), so the edge comparisons are exact
+    # CCNet-style perplexity buckets over lm_score output, attested two
+    # ways in ONE query slot: lm_bucket with FIXED global edges, and
+    # lm_bucket_dom = the real CCNet recipe (per-DOMAIN tercile edges via
+    # lm_bucket_edges + lm_bucket_by_key). Edge comparisons are exact in
+    # both directions: bits_per_token is the SAME double in both engines
+    # (quantized-integer sum, one normative division chain), and Spark's
+    # exact F.percentile interpolation reproduces DuckDB quantile_cont
+    # bit-for-bit (probed per-lang on driver data before wiring this)
     docs = _t(spark, sf_dir, "documents")
     model = lmscore.train_bigram_lm(docs.filter(F.col("doc_id") % 5 == 0))
-    scored = lmscore.lm_score(docs.filter(F.col("doc_id") % 5 != 0), model)
+    scored = lmscore.lm_score(docs.filter(F.col("doc_id") % 5 != 0), model) \
+        .join(docs.select("doc_id", "lang"), ["doc_id"])
     out = lmscore.lm_bucket(scored, _LM_EDGES, labels=_LM_LABELS)
-    return out.select("doc_id", "bits_per_token", "lm_bucket")
+    edges = lmscore.lm_bucket_edges(out, by="lang", q=_LM_Q)
+    out = lmscore.lm_bucket_by_key(out, edges, by="lang",
+                                   labels=_LM_LABELS,
+                                   out_col="lm_bucket_dom")
+    return out.select("doc_id", "lang", "bits_per_token", "lm_bucket",
+                      "lm_bucket_dom")
 
 
 def q_ret_bm25_idx(spark, sf_dir):
@@ -2020,18 +2033,33 @@ def _lm_bits_oracle(alpha: float = 0.5) -> str:
 
 
 def _lm_bucket_oracle() -> str:
-    """lm_bits oracle wrapped in the shared-edge CASE: bits_per_token is
-    the same double in both engines (exact integer sum, one normative
-    division chain), so the `< edge` comparisons bucket identically."""
+    """lm_bits oracle wrapped in (a) the shared-edge global CASE and
+    (b) the per-domain tercile recipe: quantile_cont reproduces Spark's
+    exact F.percentile interpolation bit-for-bit (same double inputs,
+    same q literals, same linear-interpolation formula — probed per-lang
+    on driver data), so `bits >= edges[i]` buckets identically."""
     e0, e1 = _LM_EDGES
     l0, l1, l2 = _LM_LABELS
+    q0, q1 = _LM_Q
     return f"""
-        SELECT doc_id, bits_per_token,
-               CASE WHEN bits_per_token IS NULL THEN NULL
-                    WHEN bits_per_token < {e0!r} THEN '{l0}'
-                    WHEN bits_per_token < {e1!r} THEN '{l1}'
-                    ELSE '{l2}' END AS lm_bucket
-        FROM ({_lm_bits_oracle()})"""
+        WITH s AS ({_lm_bits_oracle()}),
+        sl AS (SELECT s.doc_id, d.lang, s.bits_per_token
+               FROM s JOIN documents d USING (doc_id)),
+        e AS (SELECT lang,
+                     quantile_cont(bits_per_token, [{q0!r}, {q1!r}]) AS edges
+              FROM sl WHERE bits_per_token IS NOT NULL GROUP BY lang)
+        SELECT sl.doc_id, sl.lang, sl.bits_per_token,
+               CASE WHEN sl.bits_per_token IS NULL THEN NULL
+                    WHEN sl.bits_per_token < {e0!r} THEN '{l0}'
+                    WHEN sl.bits_per_token < {e1!r} THEN '{l1}'
+                    ELSE '{l2}' END AS lm_bucket,
+               CASE WHEN sl.bits_per_token IS NULL OR e.edges IS NULL
+                    THEN NULL
+                    ELSE (['{l0}', '{l1}', '{l2}'])[
+                      1 + CAST(sl.bits_per_token >= e.edges[1] AS INT)
+                        + CAST(sl.bits_per_token >= e.edges[2] AS INT)]
+               END AS lm_bucket_dom
+        FROM sl LEFT JOIN e USING (lang)"""
 
 
 def _cluster_cap_oracle() -> str:

@@ -21,10 +21,13 @@ import os
 import sys
 
 
+WORKLOADS = ("dedup", "ann", "bm25", "conv")
+
+
 def load(paths):
     runs = [json.load(open(p)) for p in paths]
     out = {}
-    for w in ("dedup", "ann", "bm25"):
+    for w in WORKLOADS:
         if not all(w in r for r in runs):
             continue
         times = [t for r in runs for t in r[w]["seconds_all"]]
@@ -33,6 +36,11 @@ def load(paths):
             "seconds_all": times,
             "passes": len(runs),
         }
+        if w == "conv":
+            # stage decomposition: per prefix, min across passes
+            out[w]["prefixes"] = {
+                k: min(r["conv_prefixes"][k] for r in runs)
+                for k in runs[0].get("conv_prefixes", {})}
     out["meta"] = runs[0]
     return out
 
@@ -47,11 +55,11 @@ def main():
     data = json.load(open(path))
     m = lo["meta"]
     factor = hi_cores / lo_cores
-    for w in ("dedup", "ann", "bm25"):
+    for w in WORKLOADS:
         if w not in lo or w not in hi:
             continue
         t_lo, t_hi = lo[w]["seconds_min"], hi[w]["seconds_min"]
-        n_key = "n_vecs" if w == "ann" else "n_docs"
+        n_key = {"ann": "n_vecs", "conv": "n_convs"}.get(w, "n_docs")
         entry = {
             "workload": m[w].get("workload", w),
             "input": {n_key: m.get(n_key), "partitions": m["partitions"]},
@@ -66,7 +74,15 @@ def main():
         }
         if w == "dedup" and "capped_bucket_drops" in m:
             entry["capped_bucket_drops"] = m["capped_bucket_drops"]
-        data[f"round4_{w}_{suffix}"] = entry
+        if w == "conv":
+            entry["input"]["n_turns"] = m.get("n_turns")
+            entry["convs_after"] = m.get("convs_after")
+            # marginal per-stage seconds at each leg (difference of
+            # cumulative lazy prefixes, min across passes)
+            entry["stage_decomposition"] = {
+                "N": lo[w].get("prefixes"), "4N": hi[w].get("prefixes")}
+        rnd = "round5" if w == "conv" else "round4"
+        data[f"{rnd}_{w}_{suffix}"] = entry
         print(f"{w}: t{lo_cores}={t_lo} t{hi_cores}={t_hi} "
               f"eff={entry['efficiency']}")
     json.dump(data, open(path, "w"), indent=1)

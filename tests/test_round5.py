@@ -59,6 +59,56 @@ class TestLmBucket:
             lm_bucket(df, [1.0, 2.0], labels=["a", "b"])
 
 
+class TestLmBucketByKey:
+    @pytest.fixture(scope="class")
+    def scored(self, spark):
+        # two domains with disjoint bits ranges: per-domain terciles must
+        # differ from any global bucketing
+        rows = ([(i, "a", float(i)) for i in range(1, 10)]
+                + [(100 + i, "b", 100.0 + i) for i in range(1, 10)]
+                + [(999, "a", None), (998, "c", None)])
+        return spark.createDataFrame(
+            rows, "doc_id long, lang string, bits_per_token double")
+
+    def test_per_key_terciles(self, spark, scored):
+        from trafaret_spark.operators.lmscore import (lm_bucket_edges,
+                                                      lm_bucket_by_key)
+        edges = lm_bucket_edges(scored, by="lang")
+        e = {r.lang: r.edges for r in edges.collect()}
+        assert set(e) == {"a", "b"}        # NULL-bits-only 'c' excluded
+        # exact interpolated terciles of 1..9
+        assert e["a"] == [pytest.approx((9 - 1) * (1 / 3) + 1),
+                          pytest.approx((9 - 1) * (2 / 3) + 1)]
+        out = lm_bucket_by_key(scored, edges, by="lang",
+                               labels=["head", "middle", "tail"])
+        got = {r.doc_id: r.lm_bucket for r in out.collect()}
+        # domain a: 1,2,3 head | 4,5,6 middle (edge 3.67, 6.33) | 7,8,9 tail
+        assert [got[i] for i in (1, 3, 4, 6, 7, 9)] == \
+            ["head", "head", "middle", "middle", "tail", "tail"]
+        # domain b buckets by ITS OWN edges, not a's
+        assert [got[101], got[105], got[109]] == ["head", "middle", "tail"]
+        assert got[999] is None and got[998] is None  # NULL bits / no edges
+
+    def test_broadcast_and_no_corpus_shuffle(self, scored):
+        from trafaret_spark.operators.lmscore import (lm_bucket_edges,
+                                                      lm_bucket_by_key)
+        out = lm_bucket_by_key(scored, lm_bucket_edges(scored, by="lang"))
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" in plan
+        assert "SortMergeJoin" not in plan
+
+    def test_bad_args_raise(self, spark, scored):
+        from trafaret_spark.operators.lmscore import (lm_bucket_edges,
+                                                      lm_bucket_by_key)
+        with pytest.raises(ValueError, match="strictly increasing"):
+            lm_bucket_edges(scored, q=[0.5, 0.5])
+        with pytest.raises(ValueError, match="in \\(0, 1\\)"):
+            lm_bucket_edges(scored, q=[0.0, 0.5])
+        edges = lm_bucket_edges(scored, by="lang")
+        with pytest.raises(ValueError, match="need 3 labels"):
+            lm_bucket_by_key(scored, edges, by="lang", labels=["x", "y"])
+
+
 class TestClusterAssign:
     @pytest.fixture(scope="class")
     def vecs(self, spark):
