@@ -12,9 +12,13 @@ from pyspark.sql import Row
 from pyspark.sql import functions as F
 
 
-def _n_persisted(spark):
-    """Count of currently-persisted RDDs in the shared session (leak probe)."""
-    return spark.sparkContext._jsc.getPersistentRDDs().size()
+def _persisted_ids(spark):
+    """Ids of currently-persisted RDDs (leak probe). Set-of-ids, not a
+    count: the shared session's ContextCleaner unpersists older tests'
+    localCheckpoint RDDs asynchronously, so a raw count can DROP between
+    two probes — "no NEW ids" is the order-robust assertion."""
+    m = spark.sparkContext._jsc.getPersistentRDDs()
+    return {k for k in m.keySet().toArray()}
 
 
 class TestLmBucket:
@@ -109,6 +113,25 @@ class TestLmBucketByKey:
             lm_bucket_by_key(scored, edges, by="lang", labels=["x", "y"])
 
 
+class TestLmBucketProperty:
+    def test_bucket_equals_searchsorted(self, spark):
+        # property sweep without a per-example Spark job: one DataFrame of
+        # (case_id, bits) pairs per edge set, compared against numpy's
+        # half-open searchsorted (side='right' ⇔ count of edges <= x)
+        from trafaret_spark.operators.lmscore import lm_bucket
+        rng = np.random.RandomState(3)
+        for _ in range(5):
+            edges = sorted(set(np.round(rng.uniform(0, 10, 4), 3)))
+            vals = list(np.round(rng.uniform(-1, 11, 40), 3)) + list(edges)
+            df = spark.createDataFrame(
+                [(i, float(v)) for i, v in enumerate(vals)],
+                "doc_id long, bits_per_token double")
+            got = {r.doc_id: r.lm_bucket
+                   for r in lm_bucket(df, edges).collect()}
+            want = np.searchsorted(edges, vals, side="right")
+            assert got == {i: int(w) for i, w in enumerate(want)}
+
+
 class TestClusterAssign:
     @pytest.fixture(scope="class")
     def vecs(self, spark):
@@ -154,6 +177,41 @@ class TestClusterAssign:
         _, df = vecs
         with pytest.raises(ValueError, match="already has"):
             cluster_assign(df.withColumn("cluster_id", F.lit(0)))
+
+
+class TestSemanticDedup:
+    def test_keeps_one_per_semantic_group(self, spark):
+        from trafaret_spark.operators.similarity import semantic_dedup
+        rng = np.random.RandomState(9)
+        base = rng.randn(6, 8)
+        rows = []
+        for i, v in enumerate(base):       # 6 well-separated originals
+            rows.append((i, [float(x) for x in v]))
+            if i < 3:                      # 3 get a near-identical clone;
+                # clone ids sit ABOVE every original so the default
+                # smallest-ids codebook is built from separated originals
+                # (a clone chosen as its own centroid can split its pair
+                # across clusters — the documented SemDeDup recall trade)
+                rows.append((100 + i,
+                             [float(x) for x in v + rng.randn(8) * 1e-3]))
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+        out = semantic_dedup(df, n_centroids=6, threshold=0.99)
+        kept = sorted(r.vec_id for r in out.collect())
+        # each clone collapses onto its original; originals survive
+        assert kept == [0, 1, 2, 3, 4, 5]
+        # surviving rows byte-identical to input
+        want = {r[0]: r[1] for r in rows}
+        assert all(r.embedding == want[r.vec_id] for r in out.collect())
+
+    def test_idempotent(self, spark):
+        from trafaret_spark.operators.similarity import semantic_dedup
+        rng = np.random.RandomState(11)
+        rows = [(i, [float(x) for x in rng.randn(8)]) for i in range(12)]
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+        once = semantic_dedup(df, n_centroids=4, threshold=0.95)
+        twice = semantic_dedup(once, n_centroids=4, threshold=0.95)
+        assert sorted(map(tuple, once.collect())) == \
+            sorted(map(tuple, twice.collect()))
 
 
 class TestCorpusStatsAndPersistedIndex:
@@ -226,7 +284,7 @@ class TestDropStats:
     def test_warn_populates_counts_and_handle(self, hot_corpus):
         from trafaret_spark.operators.dedup import minhash_lsh_candidates
         spark = hot_corpus.sparkSession
-        base = _n_persisted(spark)
+        base = _persisted_ids(spark)
         ds = {}
         with pytest.warns(RuntimeWarning, match="dropping"):
             out = minhash_lsh_candidates(hot_corpus, max_bucket_size=4,
@@ -236,18 +294,18 @@ class TestDropStats:
         assert out.count() == 0            # every dup bucket over the cap
         assert callable(ds["unpersist"])
         ds.pop("unpersist")()              # caller owns the cache lifetime
-        assert _n_persisted(spark) == base  # released — no leak
+        assert not _persisted_ids(spark) - base  # released — no leak
 
     def test_handleless_warn_releases_cache(self, hot_corpus):
         # advice r4: without a drop_stats handle the audit's shared cache
         # must be released before returning, not leaked for the session
         from trafaret_spark.operators.dedup import minhash_lsh_candidates
         spark = hot_corpus.sparkSession
-        base = _n_persisted(spark)
+        base = _persisted_ids(spark)
         with pytest.warns(RuntimeWarning, match="dropping"):
             out = minhash_lsh_candidates(hot_corpus, max_bucket_size=4,
                                          on_drop="warn")
-        assert _n_persisted(spark) == base
+        assert not _persisted_ids(spark) - base
         assert out.count() == 0            # lazy output still usable
 
     def test_neardup_conversations_consumes_handle(self, spark):
@@ -264,11 +322,11 @@ class TestDropStats:
         # persisted by design (ContextCleaner reclaims them on GC) — the
         # audited path must leave exactly the SAME residue, i.e. add no
         # cache of its own
-        base = _n_persisted(spark)
+        base = _persisted_ids(spark)
         neardup_conversations(df, threshold=0.5, max_bucket_size=4).count()
-        lazy_residue = _n_persisted(spark) - base
+        lazy_residue = len(_persisted_ids(spark) - base)
         ds = {}
-        before = _n_persisted(spark)
+        before = _persisted_ids(spark)
         with pytest.warns(RuntimeWarning, match="dropping"):
             out = neardup_conversations(df, threshold=0.5,
                                         max_bucket_size=4, on_drop="warn",
@@ -276,7 +334,7 @@ class TestDropStats:
             out.count()
         assert ds["dropped_buckets"] > 0
         assert "unpersist" not in ds       # operator consumed the handle
-        assert _n_persisted(spark) - before <= lazy_residue
+        assert len(_persisted_ids(spark) - before) <= lazy_residue
 
 
 def _mk_turns(conv, texts, start_role="user"):
@@ -389,10 +447,10 @@ class TestAuditTiers:
         # with near-dup disabled there is no connected-components loop
         # (whose localCheckpoint RDDs stay persisted by design until GC),
         # so EVERY persist run_curation takes must be released on return
-        base = _n_persisted(spark)
+        base = _persisted_ids(spark)
         self._run(spark, curation_corpus, tmp_path, "leak",
                   neardup_threshold=None)
-        assert _n_persisted(spark) == base
+        assert not _persisted_ids(spark) - base
 
 
 class TestRangeJoinProbePersist:
@@ -423,11 +481,11 @@ class TestRangeJoinProbePersist:
         from trafaret_spark.operators.rangejoin import range_join
         left, right = frames
         spark = left.sparkSession
-        base = _n_persisted(spark)
+        base = _persisted_ids(spark)
         out = range_join(left, right.filter(F.col("label") != "LONG"),
                          bucket_width=5.0, max_buckets_per_interval=4,
                          on_long="warn")
-        assert _n_persisted(spark) == base   # zero-long prune unpersisted
+        assert not _persisted_ids(spark) - base  # zero-long prune released
         assert out.count() > 0
 
 

@@ -162,7 +162,11 @@ def lm_bucket(df: DataFrame, edges: Sequence[float],
     b = b.otherwise(F.lit(len(es)))
     if labels is not None:
         lab = F.array(*[F.lit(s) for s in labels])
-        b = F.element_at(lab, b + F.lit(1))
+        # try_element_at, not element_at: ANSI's element_at mishandles a
+        # constant-folded NULL CASE branch in the index (returns the last
+        # element instead of NULL for NULL-bits rows) — the repo's
+        # standard try_* ANSI-proofing applies
+        b = F.try_element_at(lab, b + F.lit(1))
     return df.withColumn(out_col, b)
 
 
@@ -229,5 +233,5 @@ def lm_bucket_by_key(df: DataFrame, edges: DataFrame,
         F.size(F.filter("edges", lambda e: e <= c)))
     if labels is not None:
         lab = F.array(*[F.lit(s) for s in labels])
-        b = F.element_at(lab, b + F.lit(1))
+        b = F.try_element_at(lab, b + F.lit(1))  # ANSI-proof (see lm_bucket)
     return j.withColumn(out_col, b).drop("edges")

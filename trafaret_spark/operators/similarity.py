@@ -36,7 +36,8 @@ QUANT_SCALE = 1_000_000  # fixed-point quantization: q = floor(x * SCALE)
 __all__ = ["dot", "l2_norm", "cosine", "cosine_topk", "lsh_cosine_topk",
            "cosine_neardup", "lsh_band_buckets", "pool_embeddings",
            "ivf_cosine_topk", "train_ivf_centroids",
-           "centroid_literal", "assign_to_centroids", "cluster_assign"]
+           "centroid_literal", "assign_to_centroids", "cluster_assign",
+           "semantic_dedup"]
 
 
 def dot(a: Column, b: Column) -> Column:
@@ -351,6 +352,57 @@ def cluster_assign(df: DataFrame, centroids: DataFrame | None = None,
     cent_lit = centroid_literal(centroids)
     return assign_to_centroids(df, cent_lit, vec_col, nprobe=nprobe) \
         .withColumnRenamed("__cid", out_col)
+
+
+def semantic_dedup(df: DataFrame, centroids: DataFrame | None = None,
+                   n_centroids: int = 16, threshold: float = 0.9,
+                   id_col: str = "vec_id", vec_col: str = "embedding",
+                   max_block_size: int | None = 10_000,
+                   on_drop: str = "warn", max_iter: int = 25,
+                   checkpoint_dir: "str | None" = None) -> DataFrame:
+    """SemDeDup-style semantic deduplication end-state: keep one document
+    per cluster-local near-duplicate group, judged by embedding cosine.
+
+    The three stages are the engine's individually oracle-attested
+    pieces, composed in scale order:
+
+    1. :func:`cluster_assign` labels every vector with its nearest
+       centroid — a pure scan-side projection (codebook inlined as a
+       plan-time literal; cluster_cap driver query attests the labels);
+    2. :func:`cosine_neardup` with ``block_cols=[cluster label]`` finds
+       exact within-cluster pairs ≥ ``threshold`` (dedup_embedding
+       attests the blocked-pairs semantics) — the SemDeDup observation
+       is that semantic dups land in the same coarse cluster, so the
+       quadratic is bounded per cluster and ``max_block_size`` caps the
+       degenerate ones (drops surfaced per ``on_drop``);
+    3. :func:`~trafaret_spark.operators.dedup.keep_canonical` collapses
+       the pair graph and anti-joins the losers (dedup_keep_canonical
+       attests the closure).
+
+    Returns the deduplicated frame — input rows byte-identical, losers
+    removed. Pass ``centroids=`` (e.g. :func:`train_ivf_centroids`
+    output) for a trained codebook; the default smallest-ids codebook is
+    deterministic but arbitrary — fine for dedup (any consistent
+    partition of the space works; a dup pair split across two clusters
+    is missed, the standard SemDeDup recall trade), wrong for retrieval.
+
+    Plan at 10^12 rows: label projection is exchange-free; the ONE
+    corpus shuffle is the block key; keep_canonical's component loop
+    runs at pair-graph cardinality (use ``checkpoint_dir`` on long
+    cluster runs). Composition is pytest-pinned (tests/test_round5.py);
+    the composed end-state intentionally reuses attested parts rather
+    than adding a fourth oracle.
+    """
+    from trafaret_spark.operators.dedup import keep_canonical
+    label = "__semdedup_cluster"
+    assigned = cluster_assign(df, centroids=centroids,
+                              n_centroids=n_centroids, id_col=id_col,
+                              vec_col=vec_col, out_col=label)
+    pairs = cosine_neardup(assigned, threshold=threshold, id_col=id_col,
+                           vec_col=vec_col, block_cols=[label],
+                           max_block_size=max_block_size, on_drop=on_drop)
+    return keep_canonical(df, pairs, id_col=id_col, max_iter=max_iter,
+                          checkpoint_dir=checkpoint_dir)
 
 
 def ivf_cosine_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
