@@ -1469,8 +1469,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # plan) + tiered-audit persists. NOT touched by the rotation's
         # standard: dedup_minhash / conv_neardup drive on_drop="ignore",
         # whose executed plan the round-5 dedup.py change leaves
-        # byte-identical (drop_stats params are additive; dedup_minhash
-        # re-attests anyway — it's inside the stale window), and
+        # byte-identical (drop_stats params are additive, defaulting to
+        # the attested r4 behavior), and
         # ret_bm25's corpus_stats extraction is expression-identical
         # (tests/test_round5.py pins bm25_topk == corpus_stats +
         # from_postings). Everything else is additive or a NEW query
