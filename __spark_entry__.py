@@ -997,8 +997,12 @@ def q_ret_bm25_idx(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     n_docs, avgdl = retrieval.corpus_stats(docs)
     post = retrieval.build_postings(docs)
-    path = os.path.join(tempfile.gettempdir(),
-                        f"trafaret_bm25_idx_{os.path.basename(sf_dir.rstrip('/'))}")
+    # unique dir per call: a fixed shared /tmp path would race concurrent
+    # gate runs (ANSI-on + ANSI-off, CI matrix) and dynamic partition
+    # overwrite could resurrect a previous run's stale bucket partitions
+    path = os.path.join(
+        tempfile.mkdtemp(prefix="trafaret_bm25_idx_"),
+        os.path.basename(sf_dir.rstrip("/")))
     ts_io.write_bucketed(post, path, key="term", n_buckets=16)
     post2 = ts_io.read_table(spark, path).drop("bucket")
     qs = spark.createDataFrame(_BM25_QUERIES, ["query_id", "text"])

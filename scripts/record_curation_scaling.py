@@ -36,11 +36,13 @@ def load(paths):
             "seconds_all": times,
             "passes": len(runs),
         }
-        if w == "conv":
-            # stage decomposition: per prefix, min across passes
+        if w == "conv" and all("conv_prefixes" in r for r in runs):
+            # stage decomposition: per prefix, min across passes (only
+            # when EVERY pass recorded prefixes — a mixed set would
+            # KeyError, and a partial min would misstate the protocol)
             out[w]["prefixes"] = {
                 k: min(r["conv_prefixes"][k] for r in runs)
-                for k in runs[0].get("conv_prefixes", {})}
+                for k in runs[0]["conv_prefixes"]}
     out["meta"] = runs[0]
     return out
 

@@ -101,6 +101,18 @@ class TestLmBucketByKey:
         assert "BroadcastHashJoin" in plan
         assert "SortMergeJoin" not in plan
 
+    def test_corpus_edges_column_survives(self, spark, scored):
+        # temp_col convention: a corpus that already carries an 'edges'
+        # column must neither crash (ambiguous reference) nor lose it
+        from trafaret_spark.operators.lmscore import (lm_bucket_edges,
+                                                      lm_bucket_by_key)
+        with_edges = scored.withColumn("edges", F.lit("keep-me"))
+        out = lm_bucket_by_key(with_edges, lm_bucket_edges(scored, by="lang"),
+                               by="lang")
+        rows = out.collect()
+        assert all(r.edges == "keep-me" for r in rows)
+        assert sum(r.lm_bucket is not None for r in rows) == 18
+
     def test_bad_args_raise(self, spark, scored):
         from trafaret_spark.operators.lmscore import (lm_bucket_edges,
                                                       lm_bucket_by_key)
@@ -477,7 +489,13 @@ class TestRangeJoinProbePersist:
                          max_buckets_per_interval=4, on_long="ignore")
         assert got_w == sorted(map(tuple, ign.collect()))
 
-    def test_pruned_probe_releases_cache(self, frames):
+    def test_probe_checkpoint_reclaimed_not_cached(self, frames):
+        # the probe materializes the long side via localCheckpoint, NOT a
+        # DataFrame persist: no CacheManager entry can outlive the caller
+        # — once the result frame is dropped, the ContextCleaner reclaims
+        # the checkpoint blocks (poll: cleaning is async on GC)
+        import gc
+        import time
         from trafaret_spark.operators.rangejoin import range_join
         left, right = frames
         spark = left.sparkSession
@@ -485,8 +503,14 @@ class TestRangeJoinProbePersist:
         out = range_join(left, right.filter(F.col("label") != "LONG"),
                          bucket_width=5.0, max_buckets_per_interval=4,
                          on_long="warn")
-        assert not _persisted_ids(spark) - base  # zero-long prune released
         assert out.count() > 0
+        del out
+        deadline = time.time() + 30
+        while _persisted_ids(spark) - base and time.time() < deadline:
+            gc.collect()                     # drop the py4j handle…
+            spark._jvm.System.gc()           # …then let the JVM GC reach
+            time.sleep(0.5)                  # the ContextCleaner weak refs
+        assert not _persisted_ids(spark) - base
 
 
 class TestDecontaminateBroadcastEquivalence:

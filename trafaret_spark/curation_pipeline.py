@@ -73,9 +73,10 @@ class CurationConfig:
 def _counts(df: DataFrame, by: str, mode: str) -> dict:
     """Per-stage audit counts. ``exact`` pays a full count +
     countDistinct job per stage; ``approx`` swaps the distinct for
-    ``approx_count_distinct`` (HLL, ~2% rsd — one pass, no distinct
-    shuffle; the right default at 10^12 turns where five exact-distinct
-    bookkeeping jobs rival the DAG's real work); ``off`` is free."""
+    ``approx_count_distinct`` (HLL at its default 5% rsd — one pass, no
+    distinct shuffle; the right default at 10^12 turns where five
+    exact-distinct bookkeeping jobs rival the DAG's real work); ``off``
+    is free."""
     if mode == "off":
         return {}
     cdist = (F.countDistinct(by) if mode == "exact"
@@ -94,11 +95,17 @@ def run_curation(spark: SparkSession, turns: DataFrame,
 
     Audit tiers (``cfg.audit``): ``"exact"`` counts turns + exact
     distinct conversations per stage off a persisted frame; ``"approx"``
-    keeps the persists but uses HLL ``approx_count_distinct`` (no
-    per-stage distinct shuffle — the 10^12-turn default); ``"off"``
-    skips counts AND inter-stage persists, leaving one lazy pass into
-    the write. ``cfg.storage_level`` overrides the persists' level
-    (default MEMORY_AND_DISK). The near-dup stage's hot-bucket-cap drop
+    uses HLL ``approx_count_distinct`` (no per-stage distinct shuffle —
+    the 10^12-turn default); ``"off"`` skips the count jobs entirely.
+    The inter-stage persists stay at EVERY tier: each conversation-level
+    op consumes its input at least twice internally (the render/report
+    groupBy AND the join back to turn rows), so a persisted frame inside
+    the one final action is computed once and reused — that is what
+    makes ``"off"`` a true single-pass DAG instead of 2-3 recomputes of
+    the upstream chain. With counts on, each cache is released as soon
+    as its successor stage materializes; with counts off the releases
+    defer to after the final write. ``cfg.storage_level`` overrides the
+    persists' level (default MEMORY_AND_DISK). The near-dup stage's hot-bucket-cap drop
     counts (``dropped_buckets`` / ``dropped_rows``) are recorded in the
     audit at EVERY tier while ``cfg.neardup_on_drop`` is "warn"/"error"
     — a boilerplate-heavy corpus silently losing candidate pairs is the
@@ -125,24 +132,50 @@ def run_curation(spark: SparkSession, turns: DataFrame,
                          f"got {cfg.neardup_on_drop!r}")
     audit: dict = {"stages": {}, "audit_mode": cfg.audit}
     lvl = cfg.storage_level or StorageLevel.MEMORY_AND_DISK
-    # audit="off" skips the inter-stage persists too: without the count
-    # jobs every stage has exactly ONE consumer (the next stage / the
-    # final write), so the whole DAG is a single lazy pass and caching
-    # intermediates would only burn executor memory
-    do_persist = cfg.audit != "off"
+    counts_on = cfg.audit != "off"
+    # Persist lifecycle: `held` tracks every cache this function takes.
+    # With counts on, a cache is released the moment its successor stage
+    # has materialized (the historical behavior); with counts off nothing
+    # materializes before the final write, so releases defer to the
+    # `finally` — which also stops the error paths (neardup_on_drop=
+    # "error", a failing write) from leaking caches on the way out.
+    # Identity comparison, not `in`/`remove`: DataFrame.__eq__ builds a
+    # Column, it does not compare frames.
+    held: list = []
 
     def _p(df: DataFrame) -> DataFrame:
-        return df.persist(lvl) if do_persist else df
+        held.append(df.persist(lvl))
+        return df
 
-    def _up(df: DataFrame) -> None:
-        if do_persist:
-            df.unpersist()
+    def _release(df: DataFrame, now: bool = False) -> None:
+        """Release `df` now (counts on) or leave it for the finally."""
+        if not (counts_on or now):
+            return
+        for i, h in enumerate(held):
+            if h is df:
+                h.unpersist()
+                held.pop(i)
+                return
 
+    try:
+        _run_stages(spark, turns, cfg, audit, _p, _release, counts_on)
+    finally:
+        for h in held:
+            h.unpersist()
+        held.clear()
+    audit["output_path"] = cfg.output_path
+    audit["final"] = audit["stages"][list(audit["stages"])[-1]]
+    return audit
+
+
+def _run_stages(spark, turns, cfg, audit, _p, _release, counts_on) -> None:
     # don't evict a cache the CALLER set up: only persist/unpersist the
-    # input when it wasn't already persisted on entry
+    # input when it wasn't already persisted on entry. With counts off
+    # the input has exactly one consumer (the first stutter
+    # materialization), so caching it would only burn executor memory.
     caller_cached = (turns.storageLevel.useMemory
                      or turns.storageLevel.useDisk)
-    t0 = turns if caller_cached else _p(turns)
+    t0 = turns if (caller_cached or not counts_on) else _p(turns)
     audit["stages"]["input"] = _counts(t0, cfg.by, cfg.audit)
 
     # 1. stutter dedup — consecutive repeated (role, text) turns
@@ -150,8 +183,7 @@ def run_curation(spark: SparkSession, turns: DataFrame,
                       role_col=cfg.role_col, text_col=cfg.text_col)
     t = _p(t)
     audit["stages"]["stutter"] = _counts(t, cfg.by, cfg.audit)
-    if not caller_cached:
-        _up(t0)
+    _release(t0)
 
     # 2. structural validation — conversation_report's is_valid verdict;
     #    quarantined conversations keep ALL their surviving turns for
@@ -166,26 +198,31 @@ def run_curation(spark: SparkSession, turns: DataFrame,
         # the bad-key set is tiny (one row per invalid conversation) but
         # its lineage is the full window+groupBy pass — persist so the
         # quarantine write and the anti-join share one computation
-        # (two consumers regardless of audit tier when quarantining)
+        # (two consumers regardless of audit tier when quarantining).
+        # With counts off its cache must survive until the final write
+        # materializes the anti-join, so its release defers to the
+        # finally like every other cache (the quarantine write populates
+        # it; the final write reuses it).
         two_consumers = cfg.quarantine_path is not None
         bad = rep.filter(~F.col("is_valid")).select(cfg.by)
-        bad = bad.persist(lvl) if two_consumers else bad
+        if two_consumers:
+            bad = _p(bad)
         if cfg.quarantine_path:
             write_bucketed(t.join(bad, [cfg.by], "left_semi"),
                            cfg.quarantine_path, key=cfg.by,
                            n_buckets=cfg.n_buckets)
         prev, t = t, _p(t.join(bad, [cfg.by], "left_anti"))
         audit["stages"]["structural"] = _counts(t, cfg.by, cfg.audit)
-        _up(prev)
+        _release(prev)
         if two_consumers:
-            bad.unpersist()
+            _release(bad)
 
     # 3. exact conversation dedup (cheap, removes the bulk) …
     prev, t = t, _p(dedup_conversations(t, by=cfg.by, order=cfg.order,
                                         role_col=cfg.role_col,
                                         text_col=cfg.text_col))
     audit["stages"]["exact_dedup"] = _counts(t, cfg.by, cfg.audit)
-    _up(prev)
+    _release(prev)
 
     # 4. … then minhash near-dup on the exact-deduped survivors only.
     #    The hot-bucket cap must never silently under-dedup (r4 verdict
@@ -204,7 +241,7 @@ def run_curation(spark: SparkSession, turns: DataFrame,
             stage["dropped_buckets"] = ds.get("dropped_buckets", 0)
             stage["dropped_rows"] = ds.get("dropped_rows", 0)
         audit["stages"]["near_dedup"] = stage
-        _up(prev)
+        _release(prev)
 
     # 5. token-budget truncation at turn boundaries
     if cfg.max_tokens is not None:
@@ -216,10 +253,7 @@ def run_curation(spark: SparkSession, turns: DataFrame,
                                        order=cfg.order,
                                        token_col=tok_col).drop(tok_col))
         audit["stages"]["truncate"] = _counts(t, cfg.by, cfg.audit)
-        _up(prev)
+        _release(prev)
 
     write_bucketed(t, cfg.output_path, key=cfg.by, n_buckets=cfg.n_buckets)
-    _up(t)
-    audit["output_path"] = cfg.output_path
-    audit["final"] = audit["stages"][list(audit["stages"])[-1]]
-    return audit
+    _release(t, now=True)

@@ -246,7 +246,13 @@ def clone_transcripts(spark: SparkSession, n_convs: int = 50_000,
       clone would not render identical to its base (the repair-then-
       dedup order is load-bearing, exactly as in run_curation).
     * ``bad_frac`` open illegally (role 'tool' at turn 0) — structural
-      quarantine fodder.
+      quarantine fodder. A clone whose hash-picked BASE is bad renders
+      differently from it (role derives from the clone's own flag, text
+      from the base) and the base is quarantined anyway, so
+      ~``bad_frac x (clone_frac + near_frac)`` of conversations
+      (~0.3% at defaults) land as effectively-unique rather than in
+      their planted category — the recorded per-stage survivor counts
+      are exact measurements either way.
 
     Pure Column expressions on ``spark.range`` — no driver data, scales
     to any ``n_convs``. Text derives from the SOURCE id so clones match

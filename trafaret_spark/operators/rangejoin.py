@@ -67,11 +67,15 @@ def range_join(left: DataFrame, right: DataFrame, on: str = "ts",
       * ``"warn"`` (default) — run one bounded eager count of the long
         side now. Zero long intervals ⇒ the fallback join is pruned from
         the plan entirely; otherwise ``warnings.warn`` with the count.
-        The long side is persisted around the probe so the pruning
-        decision and the executed join see the SAME rows (and an
-        expensive right lineage isn't computed twice); the cache is
-        released on prune/error, and kept only while the (rare-by-
-        contract) long path is live in the returned plan.
+        The long side is materialized with an eager localCheckpoint
+        around the probe so the pruning decision and the executed join
+        see the SAME rows (and an expensive right lineage isn't
+        computed twice); the blocks are reclaimed by the
+        ContextCleaner as soon as the frame is dropped — immediately on
+        prune/error, and when the caller drops the returned plan
+        otherwise (the same lifecycle as connected_components'
+        checkpoints; unlike a DataFrame persist there is no
+        session-lifetime cache entry to leak).
         With empty ``by`` AND more than ``max_long_intervals`` long
         intervals, raise instead — that crossJoin is a scale bug, not a
         tail case.
@@ -127,21 +131,22 @@ def range_join(left: DataFrame, right: DataFrame, on: str = "ts",
               .select(*by, *payload_sel))
     take_long_path = True
     if on_long != "ignore":
-        # persist the long side around the probe: the count decides
+        # materialize the long side around the probe: the count decides
         # whether the fallback join stays in the plan, so the EXECUTED
         # r_long must be the same rows the probe saw (a non-deterministic
         # or mutated right source could otherwise slip long intervals
         # past a pruned fallback — advice r4), and an expensive right
-        # lineage must not be paid twice. The cache is released
-        # immediately when the probe prunes the path; when intervals DO
-        # take the long path it stays cached for the join — bounded by
-        # contract (long intervals are rare; the no-`by` case is hard-
-        # capped at max_long_intervals rows).
-        r_long = r_long.persist()
-        n_long = r_long.count()  # bounded: one agg over the interval table
+        # lineage must not be paid twice. localCheckpoint, NOT persist: a
+        # persisted DataFrame with no release hook would live in the
+        # CacheManager for the session (the leak class advice r4 flagged
+        # in minhash); checkpoint blocks are ContextCleaner-reclaimed the
+        # moment the frame is unreferenced. Size is bounded by contract
+        # (long intervals are rare; the no-`by` case is hard-capped at
+        # max_long_intervals rows) and spills via MEMORY_AND_DISK.
+        r_long = r_long.localCheckpoint(eager=True)
+        n_long = r_long.count()  # reads the checkpointed blocks
         if n_long == 0:
             take_long_path = False
-            r_long.unpersist()
         else:
             msg = (f"range_join: {n_long} interval(s) span more than "
                    f"max_buckets_per_interval={max_buckets_per_interval} "
@@ -149,10 +154,8 @@ def range_join(left: DataFrame, right: DataFrame, on: str = "ts",
                    f"{'by-key join' if by else 'crossJoin'} fallback; "
                    f"raise bucket_width to keep them on the bucketed path")
             if on_long == "error":
-                r_long.unpersist()
                 raise ValueError(msg)
             if not by and n_long > max_long_intervals:
-                r_long.unpersist()
                 raise ValueError(
                     msg + f" — with no `by` keys this is a |left| × {n_long} "
                     f"cross join (> max_long_intervals={max_long_intervals}); "
