@@ -40,6 +40,15 @@ def main() -> None:
     ap.add_argument("--keep-invalid", action="store_true",
                     help="skip the structural quarantine stage")
     ap.add_argument("--checkpoint-dir", default=None)
+    ap.add_argument("--audit", default="exact",
+                    choices=["exact", "approx", "off"],
+                    help="per-stage audit tier: exact distinct counts, "
+                         "HLL approx (the 10^12-turn default), or none")
+    ap.add_argument("--neardup-on-drop", default="warn",
+                    choices=["warn", "error", "ignore"],
+                    help="hot-bucket cap observability for the near-dup "
+                         "stage; warn/error record drop counts in the audit")
+    ap.add_argument("--neardup-max-bucket-size", type=int, default=1000)
     ap.add_argument("--cores", type=int, default=None,
                     help="local[N] for dev; omit under spark-submit")
     args = ap.parse_args()
@@ -58,6 +67,9 @@ def main() -> None:
         n_buckets=args.buckets,
         drop_invalid=not args.keep_invalid,
         checkpoint_dir=args.checkpoint_dir,
+        audit=args.audit,
+        neardup_on_drop=args.neardup_on_drop,
+        neardup_max_bucket_size=args.neardup_max_bucket_size,
     )
     audit = run_curation(spark, turns, cfg)
     print(json.dumps(audit, sort_keys=True))
