@@ -447,6 +447,31 @@ class TestAuditTiers:
         assert all("turns" not in v for v in off_a["stages"].values())
         assert "dropped_buckets" in off_a["stages"]["near_dedup"]
 
+    def test_off_with_quarantine_equals_exact(self, spark,
+                                              curation_corpus, tmp_path):
+        # the riskiest lifecycle branch: audit="off" defers the `bad`
+        # cache release until after the final write (its second consumer,
+        # the anti-join, materializes only there) — output AND quarantine
+        # must equal the exact tier's
+        from trafaret_spark.curation_pipeline import (CurationConfig,
+                                                      run_curation)
+        corpus = curation_corpus.unionByName(spark.createDataFrame(
+            _mk_turns("bad1", ["one two", "three four"],
+                      start_role="tool")))   # illegal opener -> quarantine
+
+        def both(name, mode):
+            cfg = CurationConfig(output_path=str(tmp_path / f"{name}_o"),
+                                 quarantine_path=str(tmp_path / f"{name}_q"),
+                                 neardup_threshold=0.5, n_buckets=2,
+                                 audit=mode)
+            run_curation(spark, corpus, cfg)
+            o = spark.read.parquet(str(tmp_path / f"{name}_o")).drop("bucket")
+            q = spark.read.parquet(str(tmp_path / f"{name}_q")).drop("bucket")
+            return (sorted(map(tuple, o.collect())),
+                    sorted(map(tuple, q.collect())))
+
+        assert both("qx", "exact") == both("qo", "off")
+
     def test_storage_level_override(self, spark, curation_corpus,
                                     tmp_path):
         _, out = self._run(spark, curation_corpus, tmp_path, "disk",
