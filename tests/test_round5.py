@@ -558,3 +558,28 @@ class TestDecontaminateBroadcastEquivalence:
         plan_a = a._jdf.queryExecution().executedPlan().toString()
         assert "BroadcastHashJoin" in plan_a or "BroadcastNestedLoop" \
             in plan_a
+
+
+class TestEmptyBucketedWrite:
+    def test_empty_write_reads_back_with_schema(self, spark, tmp_path):
+        # an empty partitioned write must stay READABLE (zero invalid
+        # conversations -> empty quarantine is a legitimate outcome;
+        # pre-fix it left only _SUCCESS and read-back raised)
+        from trafaret_spark.io import write_bucketed, read_table
+        df = spark.createDataFrame(
+            [], "conv_id string, turn_idx long, text string")
+        write_bucketed(df, str(tmp_path / "empty"), key="conv_id",
+                       n_buckets=4)
+        back = read_table(spark, str(tmp_path / "empty"))
+        assert back.count() == 0
+        assert {"conv_id", "turn_idx", "text", "bucket"} <= set(back.columns)
+
+    def test_nonempty_write_unchanged(self, spark, tmp_path):
+        from trafaret_spark.io import write_bucketed, read_table
+        df = spark.createDataFrame([("a", 0, "x"), ("b", 1, "y")],
+                                   "conv_id string, turn_idx long, text string")
+        write_bucketed(df, str(tmp_path / "full"), key="conv_id", n_buckets=4)
+        back = read_table(spark, str(tmp_path / "full"))
+        assert sorted((r.conv_id, r.turn_idx, r.text)
+                      for r in back.collect()) == \
+            [("a", 0, "x"), ("b", 1, "y")]

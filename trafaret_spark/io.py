@@ -56,6 +56,19 @@ def write_bucketed(df: DataFrame, path: str, key: str = "conv_id",
        .option("partitionOverwriteMode", "dynamic")
        .partitionBy(*cols)
        .parquet(path))
+    # An EMPTY partitioned write leaves only _SUCCESS — no schema, and
+    # spark.read.parquet raises on read-back. An empty table is a
+    # legitimate outcome (a quarantine with zero invalid conversations,
+    # a fully-deduped shard), so detect it post-write (one FileSystem
+    # listing — works for HDFS/S3A/local alike, no count job) and append
+    # one zero-row file carrying the full schema; the partition columns
+    # ride along as ordinary columns, which is consistent because there
+    # are no partition directories to conflict with.
+    spark = df.sparkSession
+    jpath = spark._jvm.org.apache.hadoop.fs.Path(path)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not any(s.isDirectory() for s in fs.listStatus(jpath)):
+        df.limit(0).write.mode("append").parquet(path)
 
 
 def read_table(spark: SparkSession, path: str) -> DataFrame:
