@@ -986,23 +986,43 @@ def q_lm_bucket(spark, sf_dir):
                       "lm_bucket_dom")
 
 
+_BM25_IDX_ROOT: list = []  # [path] once created; atexit-removed
+
+
+def _bm25_idx_dir() -> str:
+    """One mkdtemp per PROCESS, removed at interpreter exit, with a fresh
+    numbered subdir per call. Per-call mkdtemp with no removal accumulated
+    an index copy in /tmp on every gate/CI run (ADVICE r5); the cleanup
+    must be deferred because the returned plan reads the persisted files
+    lazily — only after the driver collects. Distinct processes (ANSI-on +
+    ANSI-off gate matrix) still get distinct roots, and distinct calls get
+    distinct subdirs so dynamic partition overwrite can never resurrect a
+    previous run's stale bucket partitions."""
+    import atexit
+    import os
+    import shutil
+    import tempfile
+    if not _BM25_IDX_ROOT:
+        root = tempfile.mkdtemp(prefix="trafaret_bm25_idx_")
+        atexit.register(shutil.rmtree, root, ignore_errors=True)
+        _BM25_IDX_ROOT.append(root)
+    sub = os.path.join(_BM25_IDX_ROOT[0], f"run{len(_BM25_IDX_ROOT)}")
+    _BM25_IDX_ROOT.append(sub)
+    return sub
+
+
 def q_ret_bm25_idx(spark, sf_dir):
     # THE production retrieval path at 100 TB (retrieval.py module
     # docstring): build the inverted index ONCE, persist it term-bucketed,
     # read it back, and score query batches against the persisted postings
     # — must equal the cold bm25_topk path (same oracle) bit-for-bit.
     import os
-    import tempfile
     from trafaret_spark import io as ts_io
     docs = _t(spark, sf_dir, "documents")
     n_docs, avgdl = retrieval.corpus_stats(docs)
     post = retrieval.build_postings(docs)
-    # unique dir per call: a fixed shared /tmp path would race concurrent
-    # gate runs (ANSI-on + ANSI-off, CI matrix) and dynamic partition
-    # overwrite could resurrect a previous run's stale bucket partitions
-    path = os.path.join(
-        tempfile.mkdtemp(prefix="trafaret_bm25_idx_"),
-        os.path.basename(sf_dir.rstrip("/")))
+    path = os.path.join(_bm25_idx_dir(),
+                        os.path.basename(sf_dir.rstrip("/")))
     ts_io.write_bucketed(post, path, key="term", n_buckets=16)
     post2 = ts_io.read_table(spark, path).drop("bucket")
     qs = spark.createDataFrame(_BM25_QUERIES, ["query_id", "text"])
@@ -1030,6 +1050,65 @@ def q_cluster_cap(spark, sf_dir):
                                salt_partitions=4, salt_col="vec_id")
     return out.select("vec_id",
                       F.col("cluster_id").cast("int").alias("cluster_id"))
+
+
+# ---- sem_dedup: composed SemDeDup end-state (r5 verdict #3) ------------
+# Shared by q_sem_dedup AND _sem_dedup_oracle (the _BM25_QUERIES pattern).
+# Literal centroids (4 unit basis vectors) make cluster structure fully
+# controlled, and the planted rows make every stage provably non-vacuous
+# on driver data (driver-contract lesson: a green composed row can be
+# vacuous — both sides empty still hash-match):
+#   * 9000001/9000002/9000003 — colinear with centroid 0 (cosine 1
+#     pairwise): an in-cluster near-dup CHAIN; keep_canonical must keep
+#     only 9000001.
+#   * 9000004 (~e2+0.9·e3, cluster 2) and 9000005 (~0.9·e2+e3,
+#     cluster 3) — cosine 0.9945 ≥ θ but assigned to DIFFERENT clusters:
+#     the documented SemDeDup recall trade (a dup pair split across two
+#     coarse clusters is missed); BOTH must survive.
+# θ=0.5 also catches exactly one natural embeddings pair at sf0.01
+# (sim ≈ 0.513, probed), so the blocked-pairs stage runs on real data too.
+_SEM_DIM = 64
+_SEM_THRESHOLD = 0.5
+_SEM_CAP = 10_000
+
+
+def _sem_vec(**pos) -> list:
+    return [float(pos.get(f"p{j}", 0.0)) for j in range(_SEM_DIM)]
+
+
+_SEM_CENTROIDS = [(i, _sem_vec(**{f"p{i}": 1.0})) for i in range(4)]
+_SEM_PLANT = [
+    (9000001, _sem_vec(p0=1.25)),
+    (9000002, _sem_vec(p0=1.5)),
+    (9000003, _sem_vec(p0=0.75)),
+    (9000004, _sem_vec(p2=1.0, p3=0.9)),
+    (9000005, _sem_vec(p2=0.9, p3=1.0)),
+]
+
+
+def q_sem_dedup(spark, sf_dir):
+    # composed end-state: cluster_assign (scan-side literal-codebook
+    # argmax, attested by cluster_cap) → cosine_neardup with
+    # block_cols=[cluster] (attested by dedup_embedding) →
+    # keep_canonical's component closure (attested by
+    # dedup_keep_canonical), all in ONE value-level oracle — the
+    # conv_curate precedent for composed DAGs. on_drop="ignore" keeps the
+    # driver query lazy (the warn path's eager count is pytest-covered);
+    # no cluster approaches _SEM_CAP at gate scale, mirrored as HAVING.
+    emb = _t(spark, sf_dir, "embeddings") \
+        .select("vec_id",
+                F.col("embedding").cast("array<double>").alias("embedding"))
+    plant = spark.createDataFrame(_SEM_PLANT,
+                                  "vec_id long, embedding array<double>")
+    corpus = emb.unionByName(plant)
+    cent = spark.createDataFrame(_SEM_CENTROIDS,
+                                 "__cid int, __cv array<double>")
+    out = similarity.semantic_dedup(corpus, centroids=cent,
+                                    threshold=_SEM_THRESHOLD,
+                                    id_col="vec_id",
+                                    max_block_size=_SEM_CAP,
+                                    on_drop="ignore")
+    return out.select("vec_id")
 
 
 def q_mixture_sample(spark, sf_dir):
@@ -1455,6 +1534,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ret_bm25_idx": q_ret_bm25_idx,
         "cluster_cap": q_cluster_cap,
         "lm_bucket": q_lm_bucket,
+        # round-6 additions
+        "sem_dedup": q_sem_dedup,
     }
     # Rotation (r3 verdict "Next round" #1): the driver attests at most 50
     # rows per round, so order the registry (== driver execution order) by
@@ -1463,23 +1544,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # attestation gap the r3 verdict flagged — update _TOUCHED each round),
     # (2) everything else stalest-first. Ties broken by registry order.
     touched = {
-        # round 5: conv_report's oracle moved from min_by (which skips
-        # NULL keys and ties nondeterministically) to the engine-exact
-        # struct-min (advice r4); range_join's warn/error path now
-        # persists the long side around the probe (plan change);
-        # corpus_report switched to collision-proof temp_col names and
-        # the F.percentile builtin; conv_curate's run_curation defaults
-        # to neardup_on_drop="warn" (eager cap audit now in its executed
-        # plan) + tiered-audit persists. NOT touched by the rotation's
-        # standard: dedup_minhash / conv_neardup drive on_drop="ignore",
-        # whose executed plan the round-5 dedup.py change leaves
-        # byte-identical (drop_stats params are additive, defaulting to
-        # the attested r4 behavior), and
-        # ret_bm25's corpus_stats extraction is expression-identical
-        # (tests/test_round5.py pins bm25_topk == corpus_stats +
-        # from_postings). Everything else is additive or a NEW query
-        # (ret_bm25_idx / cluster_cap / lm_bucket — tier 0).
-        "conv_report", "range_join", "corpus_report", "conv_curate",
+        # round 6 (r5-attested queries whose EXECUTED plan changed):
+        # lm_bucket — lm_bucket_by_key's label validation moved from an
+        # eager collect to a scan-side assert_true (ADVICE r5, new plan
+        # expression); ret_bm25_idx — write_bucketed/read_table's empty-
+        # marker handling changed (sidecar _EMPTY_SCHEMA + root-file
+        # cleanup, ADVICE r5 medium) inside its executed write/read path;
+        # conv_curate — connected_components now pointer-jumps (the
+        # near-dup stage's closure plan changed; r5 verdict #4). NOT
+        # touched: range_join / range_join_long — the new checkpoint_dir
+        # param defaults to the attested localCheckpoint path
+        # (byte-identical plan); cur_pack / conv_truncate — the counter=
+        # params are additive with defaults preserving the attested
+        # token_col path. dedup_components / dedup_keep_canonical /
+        # conv_neardup also carry the pointer-jump change but are
+        # r4-stale, so the standard rotation re-attests them this round
+        # anyway (as it does dedup_minhash and ret_bm25, closing the r5
+        # exemption the verdict flagged). sem_dedup is NEW (tier 0).
+        "lm_bucket", "ret_bm25_idx", "conv_curate",
     }
     pos = {name: i for i, name in enumerate(reg)}
     last = _attestation_rounds()
@@ -2083,6 +2165,50 @@ def _cluster_cap_oracle() -> str:
         SELECT vec_id, CAST(cluster_id AS INT) AS cluster_id FROM ca
         QUALIFY row_number() OVER (PARTITION BY cluster_id
                                    ORDER BY vec_id) <= 25"""
+
+
+def _sem_dedup_oracle() -> str:
+    """Mirror q_sem_dedup end-to-end: literal-centroid argmax (the
+    cluster_cap-attested tiebreak: sim DESC — NaN greatest, NULLs last —
+    then cid), capped within-cluster exact-cosine pairs ≥ θ
+    (dedup_embedding's attested arithmetic: DuckDB's sequential list_sum
+    reproduces Spark's aggregate-fold doubles bit-for-bit), then the
+    min-label recursive closure and anti-join (_closure_sql's shape)."""
+    def arr(vec):
+        return "[" + ", ".join(repr(x) for x in vec) + "]::DOUBLE[]"
+    cent_rows = ", ".join(f"({cid}, {arr(cv)})"
+                          for cid, cv in _SEM_CENTROIDS)
+    plant_rows = ", ".join(f"({vid}, {arr(v)})" for vid, v in _SEM_PLANT)
+    asn = _COSINE_SQL.format(a="e.v", b="c.cv")
+    sim = _COSINE_SQL.format(a="l.v", b="r.v")
+    return f"""
+        WITH RECURSIVE
+        cent(cid, cv) AS (VALUES {cent_rows}),
+        plant(vec_id, v) AS (VALUES {plant_rows}),
+        e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+              UNION ALL SELECT vec_id, v FROM plant),
+        ca AS (SELECT vec_id, v, cid AS cl FROM (
+                 SELECT e.vec_id, e.v, c.cid,
+                        row_number() OVER (PARTITION BY e.vec_id
+                                           ORDER BY {asn} DESC, c.cid) AS rn
+                 FROM e CROSS JOIN cent c) WHERE rn = 1),
+        keep AS (SELECT cl FROM ca GROUP BY cl
+                 HAVING count(*) <= {_SEM_CAP}),
+        vp AS (SELECT a, b FROM (
+                 SELECT l.vec_id AS a, r.vec_id AS b, {sim} AS rawsim
+                 FROM ca l JOIN ca r ON l.cl = r.cl AND l.vec_id < r.vec_id
+                 JOIN keep ON keep.cl = l.cl)
+               WHERE rawsim >= {_SEM_THRESHOLD}),
+        ed AS (SELECT a AS x, b AS y FROM vp
+               UNION SELECT b, a FROM vp),
+        reach AS (
+          SELECT x, x AS label FROM (SELECT DISTINCT x FROM ed)
+          UNION
+          SELECT ed.x, r.label FROM ed JOIN reach r ON ed.y = r.x),
+        losers AS (
+          SELECT x FROM reach GROUP BY x HAVING x != min(label))
+        SELECT vec_id FROM e
+        WHERE vec_id NOT IN (SELECT x FROM losers)"""
 
 
 def _sample_oracle(rate: float, seed: int) -> str:
@@ -2889,6 +3015,7 @@ def oracle_sql() -> dict[str, str]:
         "ret_bm25_idx": _bm25_oracle(),
         "cluster_cap": _cluster_cap_oracle(),
         "lm_bucket": _lm_bucket_oracle(),
+        "sem_dedup": _sem_dedup_oracle(),
         # conv_neardup: minhash over the conversation RENDER (same CTE
         # chain as dedup_minhash via the parameterized _minhash_body),
         # then the keep_canonical min-label closure; corpus = transcript

@@ -121,8 +121,12 @@ class TestLmBucketByKey:
         with pytest.raises(ValueError, match="in \\(0, 1\\)"):
             lm_bucket_edges(scored, q=[0.0, 0.5])
         edges = lm_bucket_edges(scored, by="lang")
-        with pytest.raises(ValueError, match="need 3 labels"):
-            lm_bucket_by_key(scored, edges, by="lang", labels=["x", "y"])
+        # label-count validation went LAZY in r6 (ADVICE r5: the eager
+        # agg-collect executed the per-key quantile job twice) — the
+        # mismatch now raises from inside the single scoring pass
+        out = lm_bucket_by_key(scored, edges, by="lang", labels=["x", "y"])
+        with pytest.raises(Exception, match="requires every edges array"):
+            out.collect()
 
 
 class TestLmBucketProperty:

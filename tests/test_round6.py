@@ -1,0 +1,326 @@
+"""Round-6 additions: empty-write rerun sequences (ADVICE r5 medium),
+lazy lm_bucket_by_key label validation, range_join reliable checkpoints,
+pointer-jump connected components, pluggable token counters, and the
+sem_dedup composed query's non-vacuity pins."""
+
+import warnings
+
+import pytest
+from pyspark.sql import functions as F
+
+
+SCHEMA = "conv_id string, turn_idx long, text string"
+
+
+class TestEmptyWriteRerunSequences:
+    """ADVICE r5 (medium): the empty-schema marker must survive the
+    empty → non-empty and non-empty → empty rerun orders, not just the
+    fresh-path cases test_round5 pins."""
+
+    def _write(self, spark, rows, path):
+        from trafaret_spark.io import write_bucketed
+        df = spark.createDataFrame(rows, SCHEMA)
+        write_bucketed(df, path, key="conv_id", n_buckets=4)
+
+    def test_empty_then_nonempty_rerun_reads_clean(self, spark, tmp_path):
+        # pre-fix: the root-level zero-row marker survived the second
+        # write (dynamic overwrite never deletes root files) and read-back
+        # died with 'Conflicting directory structures'
+        from trafaret_spark.io import read_table
+        path = str(tmp_path / "t")
+        self._write(spark, [], path)
+        self._write(spark, [("a", 0, "x"), ("b", 1, "y")], path)
+        back = read_table(spark, path)
+        assert sorted((r.conv_id, r.turn_idx, r.text)
+                      for r in back.collect()) == \
+            [("a", 0, "x"), ("b", 1, "y")]
+
+    def test_nonempty_then_empty_rerun_keeps_rows_documented(self, spark,
+                                                             tmp_path):
+        # dynamic partition overwrite of an EMPTY frame rewrites nothing —
+        # the previous rows remain readable (the documented resume
+        # semantics; "now empty" requires deleting the path first)
+        from trafaret_spark.io import read_table
+        path = str(tmp_path / "t")
+        self._write(spark, [("a", 0, "x")], path)
+        self._write(spark, [], path)
+        back = read_table(spark, path)
+        assert [(r.conv_id, r.turn_idx, r.text) for r in back.collect()] == \
+            [("a", 0, "x")]
+
+    def test_empty_empty_rerun_still_empty_with_schema(self, spark,
+                                                       tmp_path):
+        from trafaret_spark.io import read_table
+        path = str(tmp_path / "t")
+        self._write(spark, [], path)
+        self._write(spark, [], path)
+        back = read_table(spark, path)
+        assert back.count() == 0
+        assert {"conv_id", "turn_idx", "text", "bucket"} <= set(back.columns)
+
+    def test_legacy_root_marker_cleaned_by_nonempty_write(self, spark,
+                                                          tmp_path):
+        # a pre-r6 layout (zero-row data file at the table ROOT) must be
+        # repaired by the next non-empty write instead of corrupting it
+        from trafaret_spark.io import read_table
+        path = str(tmp_path / "t")
+        spark.createDataFrame([], SCHEMA).write.parquet(path)  # legacy marker
+        self._write(spark, [("a", 0, "x")], path)
+        back = read_table(spark, path)
+        assert [(r.conv_id, r.turn_idx, r.text) for r in back.collect()] == \
+            [("a", 0, "x")]
+
+
+class TestLmBucketByKeyLazyValidation:
+    """ADVICE r5: the eager edges.agg().collect() label check executed the
+    per-key quantile job twice; validation now rides inside the returned
+    plan (assert_true), so building the plan runs ZERO jobs."""
+
+    def _scored(self, spark):
+        return spark.createDataFrame(
+            [("en", 1.0), ("en", 2.0), ("en", 3.0), ("de", None)],
+            "lang string, bits_per_token double")
+
+    def test_plan_construction_runs_no_job(self, spark):
+        from trafaret_spark.operators.lmscore import lm_bucket_by_key
+        # an edges frame that raises on ANY execution: if label validation
+        # were still eager, lm_bucket_by_key itself would blow up here
+        poison = spark.createDataFrame([("en", [1.5])],
+                                       "lang string, edges array<double>") \
+            .withColumn("edges",
+                        F.when(F.assert_true(F.lit(False),
+                                             F.lit("edges executed")).isNull(),
+                               F.col("edges")))
+        out = lm_bucket_by_key(self._scored(spark), poison, by="lang",
+                               labels=("lo", "hi"))
+        with pytest.raises(Exception, match="edges executed"):
+            out.collect()
+
+    def test_mis_sized_labels_raise_at_execution(self, spark):
+        from trafaret_spark.operators.lmscore import lm_bucket_by_key
+        edges = spark.createDataFrame([("en", [1.5, 2.5])],
+                                      "lang string, edges array<double>")
+        out = lm_bucket_by_key(self._scored(spark), edges, by="lang",
+                               labels=("lo", "hi"))  # need 3 for 2 edges
+        with pytest.raises(Exception,
+                           match="requires every edges array"):
+            out.collect()
+
+    def test_correct_labels_unchanged(self, spark):
+        from trafaret_spark.operators.lmscore import lm_bucket_by_key
+        edges = spark.createDataFrame([("en", [1.5, 2.5])],
+                                      "lang string, edges array<double>")
+        out = lm_bucket_by_key(self._scored(spark), edges, by="lang",
+                               labels=("head", "middle", "tail"))
+        got = {(r.lang, r.bits_per_token): r.lm_bucket
+               for r in out.collect()}
+        assert got == {("en", 1.0): "head", ("en", 2.0): "middle",
+                       ("en", 3.0): "tail",
+                       ("de", None): None}  # key absent from edges -> NULL
+
+
+class TestPointerJumpComponents:
+    """r5 verdict #4: cut the driver-sequenced serial tail — pointer
+    jumping makes round count O(log diameter), so a deep chain no longer
+    needs diameter-many rounds."""
+
+    def test_high_diameter_chain_rounds_logarithmic(self, spark):
+        from trafaret_spark.operators import dedup
+        # 255-edge path graph: plain min-label propagation needs 255
+        # rounds (FAR past max_iter=25 -> split components + warning);
+        # with the jump it must close in ~log2(256) rounds
+        pairs = spark.createDataFrame([(i, i + 1) for i in range(255)],
+                                      "a int, b int")
+        stats: dict = {}
+        with warnings.catch_warnings():
+            # non-convergence fails; don't escalate unrelated warning
+            # classes (py4j GC ResourceWarnings fire asynchronously)
+            warnings.simplefilter("error", RuntimeWarning)
+            got = {r["node"]: r["component"] for r in
+                   dedup.connected_components(pairs, max_iter=25,
+                                              stats=stats).collect()}
+        assert set(got.values()) == {0} and len(got) == 256
+        assert stats["rounds"] <= 12, stats
+
+    def test_star_and_mixed_graph_still_exact(self, spark):
+        from trafaret_spark.operators import dedup
+        # star + triangle + isolated pair: labels must equal the exact
+        # union-find min per component
+        edges = [(10, 2), (10, 5), (10, 7),          # star, min 2
+                 (20, 21), (21, 22), (22, 20),       # triangle, min 20
+                 (30, 31)]                           # pair, min 30
+        pairs = spark.createDataFrame(edges, "a int, b int")
+        stats: dict = {}
+        got = {r["node"]: r["component"] for r in
+               dedup.connected_components(pairs, stats=stats).collect()}
+        assert got == {10: 2, 2: 2, 5: 2, 7: 2,
+                       20: 20, 21: 20, 22: 20,
+                       30: 30, 31: 30}
+        assert stats["rounds"] <= 4
+
+    def test_jump_self_join_reuses_exchange(self, spark):
+        # the jump's two `prop` branches must materialize ONE shuffle
+        # (ReusedExchange), not recompute the propagation join twice
+        # labels are checkpointed each round, so the RESULT's executed
+        # plan is a scan — pin reuse on the in-round plan shape instead
+        from pyspark.sql import functions as SF
+        pairs = spark.createDataFrame([(1, 2), (2, 3)], "a int, b int")
+        edges = (pairs.select(SF.col("a").alias("x"), SF.col("b").alias("y"))
+                 .unionByName(pairs.select(SF.col("b").alias("x"),
+                                           SF.col("a").alias("y"))))
+        labels = edges.select("x").distinct() \
+            .withColumn("component", SF.col("x"))
+        nbr = (edges.join(labels.select(SF.col("x").alias("y"),
+                                        SF.col("component").alias("nc")), "y")
+               .groupBy("x").agg(SF.min("nc").alias("nmin")))
+        prop = (labels.join(nbr, "x", "left")
+                .select("x", SF.least(SF.col("component"),
+                                      SF.coalesce(SF.col("nmin"),
+                                                  SF.col("component")))
+                        .alias("component")))
+        lbl = prop.select(SF.col("x").alias("__jx"),
+                          SF.col("component").alias("__jc"))
+        j = prop.join(lbl, prop["component"] == lbl["__jx"], "left")
+        j.collect()
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "ReusedExchange" in plan or "reused" in plan.lower(), plan
+
+
+class TestPluggableTokenCounter:
+    """r5 verdict #5: the token-budget operators must meter a pluggable
+    unit (BPE tokens in production), not only whitespace tokens."""
+
+    ROWS = [(1, "hello world foo"),        # 3 ws tokens
+            (2, "a,b,c!!!"),               # punct-heavy: BPE-ish differs
+            (3, None),                     # NULL text
+            (4, "x " * 50)]                # long doc
+
+    def _docs(self, spark):
+        return spark.createDataFrame(self.ROWS, "doc_id long, text string")
+
+    @staticmethod
+    def _ref_pack(counts, capacity):
+        """Driver-side prefix-sum reference for pack assignment."""
+        out, cum = {}, 0
+        for doc_id, n in counts:
+            n = n or 0
+            out[doc_id] = (cum // capacity, cum % capacity,
+                           1 if n == 0 else (cum + n - 1) // capacity
+                           - cum // capacity + 1)
+            cum += n
+        return out
+
+    def _check_pack(self, spark, counter, counter_py):
+        from trafaret_spark.operators.curation import pack_sequences
+        docs = self._docs(spark)
+        out = pack_sequences(docs, capacity=8, counter=counter,
+                             text_col="text", order_by="doc_id")
+        got = {r.doc_id: (r.pack_id, r.offset, r.n_chunks)
+               for r in out.collect()}
+        counts = [(d, None if t is None else counter_py(t))
+                  for d, t in self.ROWS]
+        assert got == self._ref_pack(counts, 8)
+        assert set(out.columns) == {"doc_id", "text", "pack_id", "offset",
+                                    "n_chunks"}  # temp count col dropped
+
+    def test_pack_with_bpe_ish_native_counter(self, spark):
+        from trafaret_spark.operators.textstats import bpe_ish_token_count
+        import re
+
+        def bpe_py(t):  # mirror of the native expression
+            n = 0
+            for p in re.findall(r"([A-Za-z]+|[0-9]|[^A-Za-z0-9\s]|\s+)", t):
+                if p.strip() != "":
+                    n += max(1, int(len(p) / 4))
+            return n
+        self._check_pack(spark, bpe_ish_token_count, bpe_py)
+
+    def test_pack_with_arrow_tokenizer_udf(self, spark):
+        from trafaret_spark.operators.textstats import token_counter_udf
+        fake_bpe = lambda t: len(t) // 3 + 1  # stand-in for a real encoder
+        self._check_pack(spark, token_counter_udf(fake_bpe), fake_bpe)
+
+    def test_batch_tokenizer_and_vectorized_plan(self, spark):
+        from trafaret_spark.operators.textstats import token_counter_udf
+        counter = token_counter_udf(
+            lambda texts: [len(t.split()) for t in texts], batch=True)
+        docs = self._docs(spark)
+        out = docs.withColumn("n", counter(F.col("text")))
+        got = {r.doc_id: r.n for r in out.collect()}
+        assert got == {1: 3, 2: 1, 3: None, 4: 50}
+        # Arrow-batched, never row-at-a-time Python
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "ArrowEvalPython" in plan, plan
+        assert "BatchEvalPython" not in plan, plan
+
+    def test_truncate_with_counter(self, spark):
+        from trafaret_spark.operators.conversations import truncate_turns
+        from trafaret_spark.operators.textstats import token_counter_udf
+        turns = spark.createDataFrame(
+            [("c1", 0, "aaaa"), ("c1", 1, "bbbbbb"), ("c1", 2, "cc")],
+            "conv_id string, turn_idx long, text string")
+        # unit = chars: budget 10 keeps turns 0 (4) + 1 (6), drops 2
+        out = truncate_turns(turns, 10, counter=token_counter_udf(len),
+                             text_col="text")
+        assert sorted(r.turn_idx for r in out.collect()) == [0, 1]
+        assert set(out.columns) == {"conv_id", "turn_idx", "text"}
+
+    def test_counter_requires_text_col(self, spark):
+        from trafaret_spark.operators.curation import pack_sequences
+        with pytest.raises(ValueError, match="requires text_col"):
+            pack_sequences(self._docs(spark), 8, counter=lambda c: c)
+
+    def test_curation_pipeline_bpe_budget(self, spark, tmp_path):
+        from trafaret_spark.curation_pipeline import (CurationConfig,
+                                                      run_curation)
+        from trafaret_spark.io import read_table
+        from trafaret_spark.operators.textstats import bpe_ish_token_count
+        turns = spark.createDataFrame(
+            [("c1", 0, "user", "hello hello hello hello"),
+             ("c1", 1, "assistant", "!!!! " * 20),   # BPE-expensive turn
+             ("c1", 2, "user", "bye")],
+            "conv_id string, turn_idx long, role string, text string")
+        cfg = CurationConfig(output_path=str(tmp_path / "out"),
+                             ts_col=None, neardup_threshold=None,
+                             max_tokens=10, audit="off",
+                             token_counter=bpe_ish_token_count)
+        run_curation(spark, turns, cfg)
+        kept = sorted(r.turn_idx
+                      for r in read_table(spark, str(tmp_path / "out"))
+                      .collect())
+        # whitespace budget would keep turn 0 (4 tokens); BPE-ish counts
+        # 'hello'=1 each -> turn 0 costs 4, turn 1 costs 80 -> cut there
+        assert kept == [0]
+
+
+class TestSemDedupDriverQuery:
+    """Non-vacuity pins for the composed sem_dedup driver oracle
+    (driver-contract lesson: a green composed row can be vacuous). The
+    planted rows guarantee every stage does real work on driver data."""
+
+    SF = "/root/testdata/sf0.001"
+
+    def test_planted_structure(self, spark):
+        import __spark_entry__ as entry_mod
+        out = {r.vec_id
+               for r in entry_mod.q_sem_dedup(spark, self.SF).collect()}
+        # in-cluster near-dup chain: smallest planted id survives alone
+        assert 9000001 in out
+        assert 9000002 not in out and 9000003 not in out
+        # cross-cluster near-dup pair: cosine 0.9945 >= θ but the coarse
+        # clusters differ, so SemDeDup misses it — BOTH survive (the
+        # documented recall trade)
+        assert 9000004 in out and 9000005 in out
+
+    def test_cross_cluster_pair_really_is_near_dup(self, spark):
+        # pin the recall-trade premise itself: the missed pair would pass
+        # the threshold if blocked together
+        import numpy as np
+        from __spark_entry__ import _SEM_PLANT, _SEM_THRESHOLD
+        v4 = np.array(dict(_SEM_PLANT)[9000004])
+        v5 = np.array(dict(_SEM_PLANT)[9000005])
+        cos = float(v4 @ v5 / (np.linalg.norm(v4) * np.linalg.norm(v5)))
+        assert cos >= _SEM_THRESHOLD
+        # and they genuinely land in different clusters of the literal
+        # codebook (argmax over basis centroids = argmax component)
+        assert int(np.argmax(v4)) != int(np.argmax(v5))

@@ -59,6 +59,11 @@ class CurationConfig:
     ts_col: Optional[str] = "ts"              # None: skip ts_regress check
     neardup_threshold: Optional[float] = 0.8  # None disables the stage
     max_tokens: Optional[int] = None          # None disables truncation
+    # Column->Column token counter for the truncate budget (default:
+    # whitespace textstats.token_count). Pass textstats.bpe_ish_token_count
+    # or textstats.token_counter_udf(<real tokenizer>) to meter BPE tokens
+    # — production budgets are BPE units, not whitespace words.
+    token_counter: Optional[callable] = None
     n_buckets: int = 64
     portable: bool = False
     checkpoint_dir: Optional[str] = None      # reliable CC checkpoints
@@ -243,11 +248,13 @@ def _run_stages(spark, turns, cfg, audit, _p, _release, counts_on) -> None:
         audit["stages"]["near_dedup"] = stage
         _release(prev)
 
-    # 5. token-budget truncation at turn boundaries
+    # 5. token-budget truncation at turn boundaries (pluggable unit —
+    #    cfg.token_counter for BPE budgets, whitespace by default)
     if cfg.max_tokens is not None:
+        counter = cfg.token_counter or token_count
         tok_col = temp_col(t, "__n_tokens")
         with_tok = t.withColumn(tok_col,
-                                token_count(F.col(cfg.text_col))
+                                counter(F.col(cfg.text_col))
                                 .cast("long"))
         prev, t = t, _p(truncate_turns(with_tok, cfg.max_tokens, by=cfg.by,
                                        order=cfg.order,

@@ -222,7 +222,9 @@ def truncate_turns(df: DataFrame, max_tokens: int,
                    by: Union[str, Sequence[str]] = "conv_id",
                    order: str = "turn_idx",
                    token_col: str = "n_tokens",
-                   keep: str = "head") -> DataFrame:
+                   keep: str = "head",
+                   counter: "callable | None" = None,
+                   text_col: "str | None" = None) -> DataFrame:
     """Keep the longest prefix (``keep='head'``) or suffix
     (``keep='tail'``) of each conversation whose token sum fits
     ``max_tokens``, cutting ONLY at turn boundaries (a turn either fits
@@ -233,19 +235,34 @@ def truncate_turns(df: DataFrame, max_tokens: int,
     for ``tail``), then a scan-side filter — one exchange. NULL token
     counts count as 0 (sum ignores NULL); negative counts are invalid
     upstream (same contract as curation.pack_sequences).
+
+    The metered unit is pluggable (r5 verdict #5): precompute
+    ``token_col``, or pass ``counter=`` (``Column -> Column``, e.g.
+    ``textstats.bpe_ish_token_count`` or ``textstats.token_counter_udf(
+    <real BPE tokenizer>)``) with ``text_col`` to compute it in the same
+    pass — ``token_col`` is then ignored.
     """
     if max_tokens < 0:
         raise ValueError(f"max_tokens must be >= 0, got {max_tokens}")
     if keep not in ("head", "tail"):
         raise ValueError(f"keep must be 'head' or 'tail', got {keep!r}")
     by = _listify(by)
+    drop_tok = None
+    if counter is not None:
+        if text_col is None:
+            raise ValueError("counter= requires text_col= (the column "
+                             "to tokenize)")
+        drop_tok = temp_col(df, "__trunc_tok")
+        df = df.withColumn(drop_tok, counter(F.col(text_col)).cast("long"))
+        token_col = drop_tok
     direction = F.col(order).asc() if keep == "head" else F.col(order).desc()
     w = Window.partitionBy(*by).orderBy(direction) \
         .rowsBetween(Window.unboundedPreceding, 0)
     cum = F.sum(F.coalesce(F.col(token_col), F.lit(0))).over(w)
     ct = temp_col(df, "__cum_tok")
-    return df.withColumn(ct, cum) \
+    out = df.withColumn(ct, cum) \
         .filter(F.col(ct) <= F.lit(max_tokens)).drop(ct)
+    return out.drop(drop_tok) if drop_tok else out
 
 
 def render_conversation(df: DataFrame,

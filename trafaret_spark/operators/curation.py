@@ -150,7 +150,9 @@ def cap_per_key(df: DataFrame, key_cols: Union[str, Sequence[str]],
 def pack_sequences(df: DataFrame, capacity: int,
                    token_col: str = "n_tokens",
                    order_by: Union[str, Sequence[str]] = "doc_id",
-                   shard_col: Optional[str] = None) -> DataFrame:
+                   shard_col: Optional[str] = None,
+                   counter: Optional[callable] = None,
+                   text_col: Optional[str] = None) -> DataFrame:
     """Concat-and-chunk sequence packing: the token stream formed by
     concatenating documents in ``order_by`` order is cut into fixed
     ``capacity``-token packs, and every document is annotated with where
@@ -167,6 +169,16 @@ def pack_sequences(df: DataFrame, capacity: int,
     shard — validate upstream; a count this operator could trust is
     exactly what `textstats.token_count` produces).
 
+    The unit the budget meters is pluggable (r5 verdict #5 — production
+    packing budgets are BPE tokens, not whitespace tokens): either
+    precompute ``token_col`` yourself, or pass ``counter=`` (a
+    ``Column -> Column`` callable: ``textstats.bpe_ish_token_count``, or
+    ``textstats.token_counter_udf(<real tokenizer>)`` for an
+    Arrow-batched library tokenizer) together with ``text_col`` and the
+    count is computed in the same pass — ``token_col`` is then ignored.
+    The prefix-sum arithmetic is unit-agnostic and exact past 2^53
+    either way.
+
     Scale: one window exchange on ``shard_col`` (pack ids are then local
     to a shard — at 10^12 docs pack WITHIN shards; a global single-stream
     order (shard_col=None) funnels the cumsum through one partition and
@@ -179,6 +191,14 @@ def pack_sequences(df: DataFrame, capacity: int,
     if clash:
         raise ValueError(f"input already has columns {sorted(clash)}; "
                          f"rename them before packing")
+    drop_tok = None
+    if counter is not None:
+        if text_col is None:
+            raise ValueError("counter= requires text_col= (the column "
+                             "to tokenize)")
+        drop_tok = temp_col(df, "__pack_tok")
+        df = df.withColumn(drop_tok, counter(F.col(text_col)).cast("long"))
+        token_col = drop_tok
     order = [order_by] if isinstance(order_by, str) else list(order_by)
     part = [shard_col] if shard_col is not None else [F.lit(0)]
     w = Window.partitionBy(*part).orderBy(*order) \
@@ -194,9 +214,10 @@ def pack_sequences(df: DataFrame, capacity: int,
     # lightly-sharded run. `div` is exact at any scale.
     pack_id = F.call_function("div", cum_before, cap)
     last_pack = F.call_function("div", cum_before + tok - F.lit(1), cap)
-    return df.select(
+    out = df.select(
         "*",
         pack_id.alias("pack_id"),
         F.pmod(cum_before, F.lit(capacity)).alias("offset"),
         F.when(tok > 0, last_pack - pack_id + 1).otherwise(F.lit(1))
         .cast("long").alias("n_chunks"))
+    return out.drop(drop_tok) if drop_tok else out

@@ -219,16 +219,14 @@ def lm_bucket_by_key(df: DataFrame, edges: DataFrame,
     broadcast (NO corpus shuffle). NULL bits, or a key absent from
     ``edges`` (e.g. a domain whose every doc had < 2 bigrams), → NULL
     bucket. ``labels`` as in :func:`lm_bucket` (needs ``len(q) + 1``
-    entries; validated with one bounded agg over the tiny edges table —
-    the documented kind of eager scalar job).
+    entries; validated LAZILY with a scan-side ``assert_true`` on the
+    broadcast edge arrays — an eager agg-collect here executed the whole
+    per-key quantile job once for validation and AGAIN inside the
+    returned join plan, a full extra corpus-scale pass whenever
+    ``edges`` came straight from :func:`lm_bucket_edges` (ADVICE r5)).
     """
     by = [by] if isinstance(by, str) else list(by)
     c = F.col(bits_col)
-    if labels is not None:
-        n_edge = edges.agg(F.max(F.size("edges"))).collect()[0][0]
-        if n_edge is not None and len(labels) != n_edge + 1:
-            raise ValueError(f"lm_bucket_by_key: need {n_edge + 1} labels "
-                             f"for {n_edge} edges, got {len(labels)}")
     # collision-proof helper name: a corpus that already carries an
     # 'edges' column must survive the join (temp_col convention)
     from trafaret_spark.operators.colnames import temp_col
@@ -238,6 +236,17 @@ def lm_bucket_by_key(df: DataFrame, edges: DataFrame,
     b = F.when(c.isNull() | F.col(ec).isNull(),
                F.lit(None).cast("int")).otherwise(
         F.size(F.filter(ec, lambda e: e <= c)))
+    if labels is not None:
+        # lazy validation: raises at execution time, from inside the same
+        # single pass the bucketing runs in — no extra job, no double
+        # computation of the (possibly corpus-scale) edges lineage. Rows
+        # whose key has no edges entry (NULL array) legitimately skip it.
+        size_ok = F.assert_true(
+            F.col(ec).isNull() | (F.size(ec) == F.lit(len(labels) - 1)),
+            F.lit(f"lm_bucket_by_key: got {len(labels)} labels, which "
+                  f"requires every edges array to have exactly "
+                  f"{len(labels) - 1} entries"))
+        b = F.when(size_ok.isNull(), b)
     if labels is not None:
         lab = F.array(*[F.lit(s) for s in labels])
         b = F.try_element_at(lab, b + F.lit(1))  # ANSI-proof (see lm_bucket)

@@ -40,7 +40,8 @@ def range_join(left: DataFrame, right: DataFrame, on: str = "ts",
                max_buckets_per_interval: int = 10_000,
                suffix: str = "",
                on_long: str = "warn",
-               max_long_intervals: int = 1_000) -> DataFrame:
+               max_long_intervals: int = 1_000,
+               checkpoint_dir: "str | None" = None) -> DataFrame:
     """Inner-join left points to right intervals: ``l.on ∈ [r.start,
     r.end]`` (closed on both ends), optionally within ``by`` equality keys.
 
@@ -83,6 +84,17 @@ def range_join(left: DataFrame, right: DataFrame, on: str = "ts",
         long path.
       * ``"ignore"`` — fully lazy, no extra job; callers own
         observability (the pre-r4 behavior).
+
+    ``checkpoint_dir``: the probe's default materialization is
+    ``localCheckpoint`` — EXECUTOR-LOCAL blocks. On a cluster, losing the
+    executor holding them (preemption, OOM kill) makes them unrecoverable
+    and ABORTS the job ('checkpoint block not found') instead of
+    recomputing the lineage (ADVICE r5). For long cluster runs pass a
+    reliable (HDFS/object-store) directory — the long side is then
+    ``checkpoint()``-ed against it and survives executor loss, the same
+    dial as ``dedup.connected_components``. The long side is tiny by
+    contract (rare intervals; hard-capped when ``by`` is empty), so the
+    extra write is negligible; clean the directory after the job.
     """
     if on_long not in ("warn", "error", "ignore"):
         raise ValueError(f"on_long must be warn|error|ignore, got {on_long!r}")
@@ -136,14 +148,20 @@ def range_join(left: DataFrame, right: DataFrame, on: str = "ts",
         # r_long must be the same rows the probe saw (a non-deterministic
         # or mutated right source could otherwise slip long intervals
         # past a pruned fallback — advice r4), and an expensive right
-        # lineage must not be paid twice. localCheckpoint, NOT persist: a
+        # lineage must not be paid twice. Checkpoint, NOT persist: a
         # persisted DataFrame with no release hook would live in the
         # CacheManager for the session (the leak class advice r4 flagged
         # in minhash); checkpoint blocks are ContextCleaner-reclaimed the
         # moment the frame is unreferenced. Size is bounded by contract
         # (long intervals are rare; the no-`by` case is hard-capped at
         # max_long_intervals rows) and spills via MEMORY_AND_DISK.
-        r_long = r_long.localCheckpoint(eager=True)
+        # Reliable store when the caller provided one (executor-loss
+        # safety — see docstring), executor-local blocks otherwise.
+        if checkpoint_dir is not None:
+            r_long.sparkSession.sparkContext.setCheckpointDir(checkpoint_dir)
+            r_long = r_long.checkpoint(eager=True)
+        else:
+            r_long = r_long.localCheckpoint(eager=True)
         n_long = r_long.count()  # reads the checkpointed blocks
         if n_long == 0:
             take_long_path = False

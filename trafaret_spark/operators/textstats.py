@@ -8,13 +8,14 @@ transforms that pipeline into the dedup / validation stages.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 __all__ = [
-    "token_count", "bpe_ish_token_count", "quality_features",
-    "quality_score", "lang_id", "fingerprint", "redact_pii", "PII_PATTERNS",
-    "corpus_report",
+    "token_count", "bpe_ish_token_count", "token_counter_udf",
+    "quality_features", "quality_score", "lang_id", "fingerprint",
+    "redact_pii", "PII_PATTERNS", "corpus_report",
 ]
 
 # Engine-agnostic PII patterns (valid and identical under Java regex AND
@@ -74,6 +75,44 @@ def bpe_ish_token_count(col: Column) -> Column:
         pieces, F.lit(0),
         lambda acc, p: acc + F.when(F.trim(p) == "", F.lit(0))
         .otherwise(F.greatest(F.lit(1), (F.length(p) / 4).cast("int"))))
+
+
+def token_counter_udf(fn, batch: bool = False) -> "callable":
+    """Wrap a REAL tokenizer into an Arrow-batched token-counting Column
+    function — the pluggable-counter hook for the token-budget operators
+    (``curation.pack_sequences``, ``conversations.truncate_turns``,
+    ``CurationConfig.token_counter``): production packing budgets are BPE
+    tokens, not whitespace tokens, and the tokenizer is a Python library
+    (tiktoken/sentencepiece), so it must run as a vectorized pandas UDF —
+    never a row-at-a-time Python UDF (the repo-wide contract,
+    BASELINE.json input_hint).
+
+    ``fn``: with ``batch=False`` (default), a per-text callable
+    ``str -> int`` (e.g. ``lambda t: len(enc.encode(t))``) mapped over
+    each Arrow batch; with ``batch=True``, a batch callable
+    ``list[str] -> list[int]`` (e.g. tiktoken's ``encode_ordinary_batch``
+    composed with ``len``) — the fast path for tokenizers with native
+    batching. NULL text → NULL count either way (the budget operators
+    treat NULL as 0 / validate upstream).
+
+    Returns a ``Column -> Column`` callable, interchangeable with the
+    native :func:`token_count` / :func:`bpe_ish_token_count` expressions.
+    """
+    def make(col: Column) -> Column:
+        @F.pandas_udf("long")
+        def _count(s: pd.Series) -> pd.Series:
+            texts = s.tolist()
+            if batch:
+                mask = [t is not None for t in texts]
+                present = [t for t in texts if t is not None]
+                counts = iter(fn(present) if present else [])
+                out = [int(next(counts)) if m else None for m in mask]
+            else:
+                out = [None if t is None else int(fn(t)) for t in texts]
+            return pd.Series(out, dtype="object")
+
+        return _count(col)
+    return make
 
 
 def quality_features(df: DataFrame, text_col: str = "text",
