@@ -2,9 +2,9 @@
 
 Usage:
     python scripts/record_curation_scaling.py N 4N KEY_SUFFIX \
-        <legN.json>... --hi <leg4N.json>...
+        [--round roundK] <legN.json>... --hi <leg4N.json>...
 
-e.g. ``... 1 4 primary_1_to_4 runs/d1a.json --hi runs/d4a.json``
+e.g. ``... 1 4 primary_1_to_4 --round round6 runs/d1a.json --hi runs/d4a.json``
 
 Each input file is one ``scaling_curation.py`` output line (a JSON dict
 with ``dedup`` and/or ``ann`` blocks). Per leg the estimator is the MIN
@@ -50,6 +50,10 @@ def load(paths):
 def main():
     lo_cores, hi_cores, suffix = int(sys.argv[1]), int(sys.argv[2]), sys.argv[3]
     argv = sys.argv[4:]
+    round_prefix = None
+    if argv and argv[0] == "--round":
+        round_prefix = argv[1]
+        argv = argv[2:]
     split = argv.index("--hi")
     lo, hi = load(argv[:split]), load(argv[split + 1:])
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
@@ -83,7 +87,7 @@ def main():
             # cumulative lazy prefixes, min across passes)
             entry["stage_decomposition"] = {
                 "N": lo[w].get("prefixes"), "4N": hi[w].get("prefixes")}
-        rnd = "round5" if w == "conv" else "round4"
+        rnd = round_prefix or ("round5" if w == "conv" else "round4")
         data[f"{rnd}_{w}_{suffix}"] = entry
         print(f"{w}: t{lo_cores}={t_lo} t{hi_cores}={t_hi} "
               f"eff={entry['efficiency']}")

@@ -1,6 +1,6 @@
 """Curation-family scaling measurement at a single parallelism level.
 
-Usage: python scripts/scaling_curation.py <cores> [dedup|ann|both|bm25|conv]
+Usage: python scripts/scaling_curation.py <cores> [dedup|ann|both|bm25|conv|audit]
 
 The transcript pipeline's scaling evidence (scripts/scaling_run.py) does
 not cover the dedup/ANN families, whose 100 TB story rests on uniform
@@ -262,6 +262,55 @@ def main() -> None:
             "plus_exact_dedup": measure(lambda: prefix(3))["seconds_min"],
             "full": m["seconds_min"],
         }
+
+    if which == "audit":
+        # r5 verdict "Next round" #6: quantify the audit-tier saving.
+        # Times ``run_curation`` END-TO-END (the full DAG *including* the
+        # bucketed write — the write cost is identical across tiers, so
+        # tier deltas isolate the count-job overhead) at audit=exact /
+        # approx / off over the same cached 50k-conv corpus. Protocol
+        # matches measure(): fresh frames per run (run_curation re-reads
+        # the parquet and builds new near-dup checkpoints each call), one
+        # warm run, min over TIMED_RUNS.
+        import shutil
+        import tempfile
+
+        from trafaret_spark.curation_pipeline import (CurationConfig,
+                                                      run_curation)
+        cpath = materialize_conv(spark)
+        out["n_convs"] = N_CONVS
+        out["n_turns"] = spark.read.parquet(cpath).count()
+        outdir = tempfile.mkdtemp(prefix="trafaret_audit_tiers_")
+        tiers: dict = {}
+        try:
+            for tier in ("exact", "approx", "off"):
+                dest = os.path.join(outdir, tier)
+
+                def run_tier(tier=tier, dest=dest):
+                    shutil.rmtree(dest, ignore_errors=True)
+                    cfg = CurationConfig(output_path=dest,
+                                         neardup_threshold=0.7,
+                                         audit=tier)
+                    run_curation(spark, spark.read.parquet(cpath), cfg)
+
+                run_tier()  # warm
+                times = []
+                for _ in range(TIMED_RUNS):
+                    t0 = time.perf_counter()
+                    run_tier()
+                    times.append(time.perf_counter() - t0)
+                tiers[tier] = {
+                    "seconds_min": round(min(times), 3),
+                    "seconds_median": round(statistics.median(times), 3),
+                    "seconds_all": [round(t, 3) for t in times],
+                }
+        finally:
+            shutil.rmtree(outdir, ignore_errors=True)
+        base = tiers["off"]["seconds_min"]
+        for tier in ("exact", "approx"):
+            tiers[tier]["overhead_vs_off"] = round(
+                tiers[tier]["seconds_min"] / base - 1.0, 3)
+        out["audit_tiers"] = tiers
 
     if which == "bm25":
         zpath = materialize_bm25(spark)
