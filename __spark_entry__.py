@@ -1550,8 +1550,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # expression); ret_bm25_idx — write_bucketed/read_table's empty-
         # marker handling changed (sidecar _EMPTY_SCHEMA + root-file
         # cleanup, ADVICE r5 medium) inside its executed write/read path;
-        # conv_curate — connected_components now pointer-jumps (the
-        # near-dup stage's closure plan changed; r5 verdict #4). NOT
+        # conv_curate — connected_components now pointer-jumps adaptively
+        # (jump deferred past round 2 after the always-jump plan measured
+        # +13% on the conv DAG) and minhash's jaccard verify semi-joins to
+        # candidate ids before shingling (the near-dup stage's closure AND
+        # verify plans changed; r5 verdict #4 + round-6 profile). NOT
         # touched: range_join / range_join_long — the new checkpoint_dir
         # param defaults to the attested localCheckpoint path
         # (byte-identical plan); cur_pack / conv_truncate — the counter=

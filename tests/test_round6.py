@@ -158,6 +158,65 @@ class TestPointerJumpComponents:
                        30: 30, 31: 30}
         assert stats["rounds"] <= 4
 
+    def test_jump_policy_equivalence(self, spark):
+        # always / deferred / never jumping must all yield the exact
+        # union-find min labels; the policy only changes ROUND count.
+        # Mixed shape: a 9-edge chain (deep) + a star (shallow).
+        from trafaret_spark.operators import dedup
+        edges = [(i, i + 1) for i in range(100, 109)] + \
+                [(50, 41), (50, 42), (50, 43)]
+        pairs = spark.createDataFrame(edges, "a int, b int")
+        want = {**{n: 100 for n in range(100, 110)},
+                **{50: 41, 41: 41, 42: 41, 43: 41}}
+        rounds = {}
+        for ja in (0, 2, 99):
+            stats: dict = {}
+            got = {r["node"]: r["component"] for r in
+                   dedup.connected_components(pairs, jump_after=ja,
+                                              stats=stats).collect()}
+            assert got == want, ja
+            rounds[ja] = stats["rounds"]
+        # deferring by 2 costs at most 2 extra rounds over always-jump;
+        # prop-only pays O(diameter) on the chain
+        assert rounds[0] <= rounds[2] <= rounds[0] + 2
+        assert rounds[99] >= 9
+
+
+    def test_jaccard_shingles_candidates_only_and_single_pipeline(
+            self, spark):
+        # Round-6 perf fix: the verify stage shingles ONLY docs that
+        # appear in a candidate pair (explode -> one join -> shingle ->
+        # pivot) instead of re-shingling the whole corpus once per join
+        # side. Pins (a) jaccard values identical to a brute-force
+        # oracle, and (b) the expensive candidate pipeline is planned
+        # exactly once — the pair plan is referenced once by
+        # construction, so the pandas_udf signature stage appears once
+        # in the executed plan regardless of AQE's join-strategy picks
+        # (a broadcast-converted consumer would NOT reuse a shuffle
+        # exchange — the trap the single-reference shape avoids).
+        from trafaret_spark.operators import dedup
+        base = " ".join(f"w{i}" for i in range(40))
+        rows = [(1, base), (2, base + " tail tail"),
+                (3, "entirely different text " * 10),
+                (4, base.replace("w3", "x3"))]
+        docs = spark.createDataFrame(rows, "doc_id int, text string")
+        out = dedup.minhash_dedup(docs, threshold=0.5, num_hashes=16,
+                                  bands=8)
+        got = {(r.a, r.b): r.jaccard for r in out.collect()}
+
+        def sh(text):
+            toks = text.split()
+            return {tuple(toks[i:i + 3]) for i in range(len(toks) - 2)}
+
+        for (a, b), j in got.items():
+            sa, sb = sh(rows[a - 1][1]), sh(rows[b - 1][1])
+            assert abs(j - len(sa & sb) / len(sa | sb)) < 1e-12
+
+        out.write.format("noop").mode("overwrite").save()
+        executed = out._jdf.queryExecution().executedPlan().toString()
+        final = executed.split("== Initial Plan ==")[0]  # AQE echoes both
+        assert final.count("ArrowEvalPython") == 1, final
+
     def test_jump_self_join_reuses_exchange(self, spark):
         # the jump's two `prop` branches must materialize ONE shuffle
         # (ReusedExchange), not recompute the propagation join twice

