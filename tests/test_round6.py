@@ -217,6 +217,36 @@ class TestPointerJumpComponents:
         final = executed.split("== Initial Plan ==")[0]  # AQE echoes both
         assert final.count("ArrowEvalPython") == 1, final
 
+    def test_fused_kernel_portable_signature_bit_identical(self, spark):
+        # the fused grams->minima Arrow kernel must reproduce the staged
+        # shingle_hashes -> minhash_from_hashes portable signatures
+        # BIT-FOR-BIT (multiset minima == set minima; same polynomial) —
+        # this is what keeps every minhash SQL-oracle attestation valid.
+        # Shapes covered: normal doc, heavy shingle repetition (multiset
+        # vs set), exactly n tokens, < n tokens (whole-text fold), one
+        # token, empty string.
+        from trafaret_spark.operators import dedup
+        texts = ["the quick brown fox jumps over the lazy dog",
+                 "spam spam spam spam spam spam spam",
+                 "alpha beta gamma",
+                 "alpha beta",
+                 "solo",
+                 ""]
+        df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)],
+                                   "doc_id int, text string")
+        staged = df.select(
+            "doc_id",
+            dedup.minhash_from_hashes(
+                dedup.shingle_hashes(F.col("text"), n=3, portable=True),
+                num_hashes=32, seed=17).alias("sig"))
+        fused = df.select(
+            "doc_id",
+            dedup.minhash_signature(F.col("text"), num_hashes=32, n=3,
+                                    seed=17, portable=True).alias("sig"))
+        got_s = {r.doc_id: r.sig for r in staged.collect()}
+        got_f = {r.doc_id: r.sig for r in fused.collect()}
+        assert got_s == got_f
+
     def test_jump_self_join_reuses_exchange(self, spark):
         # the jump's two `prop` branches must materialize ONE shuffle
         # (ReusedExchange), not recompute the propagation join twice

@@ -44,12 +44,13 @@ from pyspark.sql import functions as F
 
 from trafaret_spark.operators.colnames import temp_col
 from trafaret_spark.operators.hashing import (
-    M31 as _M31, gram_combine, tok_hash,
+    M31 as _M31, MULT as _MULT31, gram_combine, tok_hash,
 )
 
 __all__ = [
     "normalize_text", "shingles", "exact_dedup",
-    "minhash_signature", "minhash_lsh_candidates", "minhash_dedup",
+    "minhash_signature", "minhash_from_token_hashes",
+    "minhash_lsh_candidates", "minhash_dedup",
     "simhash", "simhash_dedup", "jaccard", "ngram_jaccard_pairs",
     "connected_components", "keep_canonical",
     "winnow_fingerprints", "winnow_dedup", "capped_blocks",
@@ -148,15 +149,18 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
 
 def minhash_signature(col: Column, num_hashes: int = 64, n: int = 3,
                       seed: int = 17, portable: bool = False) -> Column:
-    """K-minhash signature of the shingle set → array<bigint>.
+    """K-minhash signature of the shingle multiset → array<bigint>.
 
-    Each shingle string is hashed ONCE (token hash → gram combine → mod
-    M31); the K permutations are cheap affine maps ``(a_i*h + b_i) mod M31``
-    with plan-time literal (a_i, b_i) — K string hashes per shingle would
-    dominate the scan otherwise. a*h stays < 2^62, no overflow.
-    """
-    hs = shingle_hashes(col, n=n, portable=portable)
-    return minhash_from_hashes(hs, num_hashes=num_hashes, seed=seed)
+    Each token is hashed ONCE scan-side (xxhash64 fast / md5-derived tok31
+    portable); the n-gram combine and the K affine permutations
+    ``(a_i*g + b_i) mod M31`` run fused in one Arrow kernel
+    (:func:`minhash_from_token_hashes`). Portable signatures are
+    bit-identical to the staged shingle_hashes → minhash_from_hashes
+    pipeline (minima over a multiset equal minima over its set)."""
+    toks_h = F.transform(F.split(normalize_text(col), r"\s+"),
+                         lambda t: tok_hash(t, portable))
+    return minhash_from_token_hashes(toks_h, n=n, num_hashes=num_hashes,
+                                     seed=seed)
 
 
 def shingle_hashes(col: Column, n: int = 3, portable: bool = False) -> Column:
@@ -233,6 +237,91 @@ def minhash_from_hashes(hs: Column, num_hashes: int = 64,
     return _sig(hs)
 
 
+def minhash_from_token_hashes(toks_h: Column, n: int = 3,
+                              num_hashes: int = 64, seed: int = 17) -> Column:
+    """Fused n-gram-combine → K-minima Arrow kernel over an IN-ORDER
+    token-hash array — the signature path's hot loop in one numpy pass.
+
+    Replaces the three-stage JVM pipeline (zip_with n-gram fold →
+    array_distinct → minhash kernel) that dominated the minhash pass's
+    memory traffic: the interpreted HOF fold materialized n fresh
+    ~|tokens|-element arrays per row and array_distinct another (round-6
+    profile on 44k conversation renders: grams 12.2 s of the 59.3 s pass
+    at 4 cores, and the allocation stream is what saturates this 1-NUMA
+    box's bus at low thread counts). Here the gram combine is two
+    vectorized multiply-add-mod lines over the flattened Arrow batch.
+
+    Two exactness facts make the fusion safe:
+
+      * K-permutation MINIMA over a multiset equal minima over its set,
+        so the distinct step is unnecessary for signatures (the verify
+        stage still computes exact set Jaccard via
+        :func:`shingle_hashes`, unchanged).
+      * The portable gram combine ``(a*MULT + b) mod M31`` is exact in
+        int64 (inputs < 2^31, product < 2^52) — portable signatures are
+        BIT-IDENTICAL to the staged pipeline (pinned in tests), so every
+        SQL-oracle attestation stands.
+
+    Token hashes are reduced mod M31 first, so ONE code path serves both
+    families: the portable path feeds tok31 values (already < M31 —
+    reduction is the identity); the fast path feeds xxhash64 token
+    hashes, making its gram family "xxhash64 mod M31 + polynomial" —
+    31-bit gram space, per-pair collision odds ~|shingles|²/2^32 (~5e-5
+    at 440 shingles), immaterial for CANDIDATE generation and never
+    touching the exact 64-bit verify. Rows shorter than ``n`` tokens
+    fold whole-text from 0 (same as ``_ngram_fold``'s otherwise branch);
+    null/empty arrays yield a null signature.
+    """
+    coeffs = _coeffs(num_hashes, seed)
+    A = np.array([a for a, _ in coeffs], dtype=np.int64)
+    B = np.array([b for _, b in coeffs], dtype=np.int64)
+    PERM_CHUNK = 16
+    _MULT = _MULT31
+
+    @F.pandas_udf("array<long>")
+    def _sig(col: pd.Series) -> pd.Series:
+        nrows = len(col)
+        if nrows == 0:
+            return pd.Series([], dtype=object)
+        raw = col.tolist()
+        null_mask = [a is None or len(a) == 0 for a in raw]
+        arrs = [np.array([0], dtype=np.int64) if m else
+                np.asarray(a, dtype=np.int64) % _M31
+                for a, m in zip(raw, null_mask)]
+        lens = np.array([len(a) for a in arrs], dtype=np.int64)
+        flat = np.concatenate(arrs)
+        starts = np.zeros(nrows, dtype=np.int64)
+        np.cumsum(lens[:-1], out=starts[1:])
+        # chained polynomial combine over the flat array (positions that
+        # straddle a row boundary are computed but never selected)
+        g = flat
+        for j in range(1, n):
+            g = (g[:-1] * _MULT + flat[j:]) % _M31
+        grams = []
+        for r in range(nrows):
+            ln = lens[r]
+            if ln >= n:
+                grams.append(g[starts[r]:starts[r] + ln - n + 1])
+            else:  # whole-text fold from 0 — _ngram_fold's short branch
+                f = 0
+                for t in arrs[r]:
+                    f = (f * _MULT + int(t)) % _M31
+                grams.append(np.array([f], dtype=np.int64))
+        glens = np.array([len(a) for a in grams], dtype=np.int64)
+        gflat = np.concatenate(grams)
+        gstarts = np.zeros(nrows, dtype=np.int64)
+        np.cumsum(glens[:-1], out=gstarts[1:])
+        out = np.empty((num_hashes, nrows), dtype=np.int64)
+        for lo in range(0, num_hashes, PERM_CHUNK):
+            hi = min(lo + PERM_CHUNK, num_hashes)
+            p = (A[lo:hi, None] * gflat[None, :] + B[lo:hi, None]) % _M31
+            out[lo:hi] = np.minimum.reduceat(p, gstarts, axis=1)
+        return pd.Series([None if null_mask[i] else out[:, i]
+                          for i in range(nrows)])
+
+    return _sig(toks_h)
+
+
 def minhash_lsh_candidates(df: DataFrame, text_col: str = "text",
                            id_col: str = "doc_id", num_hashes: int = 64,
                            bands: int = 16, n: int = 3, seed: int = 17,
@@ -266,14 +355,13 @@ def minhash_lsh_candidates(df: DataFrame, text_col: str = "text",
         raise ValueError("drop_stats requires on_drop='warn' or 'error' "
                          "(the lazy path never measures the cap)")
     rows_per_band = num_hashes // bands
-    # two projection boundaries: shingle hashes materialize once per row,
-    # then the signature once, before the K-fold banding fan-out
-    hashed = df.select(F.col(id_col),
-                       shingle_hashes(F.col(text_col), n=n,
-                                      portable=portable).alias("__hs"))
-    signed = hashed.select(
-        id_col,
-        minhash_from_hashes(F.col("__hs"), num_hashes, seed).alias("__sig"))
+    # one projection boundary: the signature materializes once per row
+    # (token hashes scan-side, gram-combine + minima fused in the Arrow
+    # kernel) before the K-fold banding fan-out
+    signed = df.select(
+        F.col(id_col),
+        minhash_signature(F.col(text_col), num_hashes=num_hashes, n=n,
+                          seed=seed, portable=portable).alias("__sig"))
     sig = F.col("__sig")
     banded = signed.select(
         F.col(id_col),
