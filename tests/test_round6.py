@@ -413,3 +413,129 @@ class TestSemDedupDriverQuery:
         # and they genuinely land in different clusters of the literal
         # codebook (argmax over basis centroids = argmax component)
         assert int(np.argmax(v4)) != int(np.argmax(v5))
+
+
+class TestIncrementalDedup:
+    """Incremental near-dup against a persisted LSH band index: the
+    per-ingest production path that never re-shingles history. The
+    contract under test: incremental(new, index(old)) == batch(old ∪ new)
+    restricted to pairs touching a new doc, including cap behavior."""
+
+    WORDS = ("alpha bravo charlie delta echo foxtrot golf hotel india "
+             "juliet kilo lima mike november oscar papa quebec romeo "
+             "sierra tango uniform victor whiskey xray yankee zulu").split()
+
+    def _docs(self, spark):
+        rows = []
+        # 6 near-dup families of 3 (one-token mutation) spanning old/new
+        for fam in range(6):
+            base = " ".join(self.WORDS[(fam + i) % len(self.WORDS)]
+                            for i in range(30))
+            for j in range(3):
+                toks = base.split()
+                if j:
+                    toks[5 + j] = f"mut{fam}{j}"
+                rows.append((fam * 10 + j, " ".join(toks)))
+        # 8 identical boilerplate docs (ids 100..107) — the hot bucket
+        boiler = " ".join(self.WORDS[:25])
+        for i in range(8):
+            rows.append((100 + i, boiler))
+        # unique chaff
+        for i in range(5):
+            rows.append((200 + i, " ".join(
+                self.WORDS[(7 * i + k) % len(self.WORDS)] + str(i * 31 + k)
+                for k in range(30))))
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    @staticmethod
+    def _split(docs):
+        new = docs.filter(F.col("doc_id") % 3 == 0)
+        old = docs.filter(F.col("doc_id") % 3 != 0)
+        return new, old
+
+    def _expected(self, docs, new_ids, **kw):
+        from trafaret_spark.operators import dedup
+        batch = dedup.minhash_lsh_candidates(docs, **kw)
+        return {(r.a, r.b) for r in batch.collect()
+                if r.a in new_ids or r.b in new_ids}
+
+    def test_matches_batch_union_restriction(self, spark):
+        from trafaret_spark.operators import dedup
+        docs = self._docs(spark)
+        new, old = self._split(docs)
+        new_ids = {r.doc_id for r in new.select("doc_id").collect()}
+        idx = dedup.minhash_band_index(old)
+        got = {(r.a, r.b) for r in
+               dedup.minhash_lsh_candidates_incremental(
+                   dedup.minhash_band_index(new), idx).collect()}
+        exp = self._expected(docs, new_ids)
+        assert got == exp
+        # non-vacuous in both kinds
+        assert any(a in new_ids and b in new_ids for a, b in got)
+        assert any((a in new_ids) != (b in new_ids) for a, b in got)
+
+    def test_persisted_index_roundtrip_and_zero_signature_stages(
+            self, spark, tmp_path):
+        from trafaret_spark.io import read_table, write_bucketed
+        from trafaret_spark.operators import dedup
+        docs = self._docs(spark)
+        new, old = self._split(docs)
+        new_ids = {r.doc_id for r in new.select("doc_id").collect()}
+        # the production ingest loop: history's index is already in the
+        # store; the batch's index is computed ONCE (its only signature
+        # run) and appended, then the probe reads both sides as narrow
+        # index rows. band is an existing column: write_bucketed
+        # partitions by it directly (16 dirs), no extra hash-bucket col
+        path_old = str(tmp_path / "lsh_idx_old")
+        path_new = str(tmp_path / "lsh_idx_new")
+        write_bucketed(dedup.minhash_band_index(old), path_old,
+                       bucket_col="band")
+        write_bucketed(dedup.minhash_band_index(new), path_new,
+                       bucket_col="band")
+        cands = dedup.minhash_lsh_candidates_incremental(
+            read_table(spark, path_new), read_table(spark, path_old))
+        got = {(r.a, r.b) for r in cands.collect()}
+        assert got == self._expected(docs, new_ids)
+        # the probe itself is pure index-level: ZERO Arrow signature
+        # stages in the executed plan (no text is ever re-shingled)
+        final = cands._jdf.queryExecution().executedPlan().toString()
+        assert final.count("ArrowEvalPython") == 0, final
+
+    def test_cap_counts_union_and_drop_stats(self, spark):
+        from trafaret_spark.operators import dedup
+        docs = self._docs(spark)
+        new, old = self._split(docs)
+        new_ids = {r.doc_id for r in new.select("doc_id").collect()}
+        boiler_ids = set(range(100, 108))
+        idx = dedup.minhash_band_index(old)
+        stats = {}
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore", RuntimeWarning)
+            inc = dedup.minhash_lsh_candidates_incremental(
+                dedup.minhash_band_index(new), idx, max_bucket_size=5,
+                on_drop="warn", drop_stats=stats)
+            got = {(r.a, r.b) for r in inc.collect()}
+        try:
+            # 8 identical docs > cap 5: counted over old ∪ new, so the
+            # bucket drops even though only 3 of its members are new
+            assert stats["dropped_buckets"] >= 1
+            assert stats["dropped_rows"] >= 8
+            assert not any(a in boiler_ids or b in boiler_ids
+                           for a, b in got)
+            assert got == self._expected(docs, new_ids, max_bucket_size=5)
+        finally:
+            stats["unpersist"]()
+
+    def test_verified_incremental_dedup(self, spark):
+        from trafaret_spark.operators import dedup
+        docs = self._docs(spark)
+        new, old = self._split(docs)
+        new_ids = {r.doc_id for r in new.select("doc_id").collect()}
+        got = {(r.a, r.b, round(r.jaccard, 6)) for r in
+               dedup.minhash_dedup_incremental(
+                   new, dedup.minhash_band_index(old), old,
+                   threshold=0.5).collect()}
+        batch = dedup.minhash_dedup(docs, threshold=0.5)
+        exp = {(r.a, r.b, round(r.jaccard, 6)) for r in batch.collect()
+               if r.a in new_ids or r.b in new_ids}
+        assert got == exp and got

@@ -51,6 +51,8 @@ __all__ = [
     "normalize_text", "shingles", "exact_dedup",
     "minhash_signature", "minhash_from_token_hashes",
     "minhash_lsh_candidates", "minhash_dedup",
+    "minhash_band_index", "minhash_lsh_candidates_incremental",
+    "minhash_dedup_incremental",
     "simhash", "simhash_dedup", "jaccard", "ngram_jaccard_pairs",
     "connected_components", "keep_canonical",
     "winnow_fingerprints", "winnow_dedup", "capped_blocks",
@@ -322,6 +324,169 @@ def minhash_from_token_hashes(toks_h: Column, n: int = 3,
     return _sig(toks_h)
 
 
+def minhash_band_index(df: DataFrame, text_col: str = "text",
+                       id_col: str = "doc_id", num_hashes: int = 64,
+                       bands: int = 16, n: int = 3, seed: int = 17,
+                       portable: bool = False) -> DataFrame:
+    """LSH band index: one ``(id, band, bucket)`` row per (doc, band).
+
+    This is the PERSISTABLE dedup artifact for an ever-growing corpus:
+    three narrow columns instead of the text, computed once per ingest
+    batch and appended (e.g. ``io.write_bucketed(idx, path,
+    bucket_col="band")`` — 16 partition dirs, column-pruned reads), then
+    probed by :func:`minhash_lsh_candidates_incremental` without ever
+    re-shingling history. At 100 TB of text the index is ~3 orders of
+    magnitude smaller than the corpus, and incremental dedup of a daily
+    batch touches the batch's text plus index ROWS only.
+
+    The banding is exactly :func:`minhash_lsh_candidates`'s (same
+    signature kernel, same xxhash64 bucket), so an index built here and
+    the batch operator's internal banding agree bit-for-bit.
+    """
+    rows_per_band = num_hashes // bands
+    # one projection boundary: the signature materializes once per row
+    # (token hashes scan-side, gram-combine + minima fused in the Arrow
+    # kernel) before the K-fold banding fan-out
+    signed = df.select(
+        F.col(id_col),
+        minhash_signature(F.col(text_col), num_hashes=num_hashes, n=n,
+                          seed=seed, portable=portable).alias("__sig"))
+    sig = F.col("__sig")
+    return signed.select(
+        F.col(id_col),
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.xxhash64(
+                    F.array_join(
+                        F.transform(
+                            F.slice(sig, b * rows_per_band + F.lit(1),
+                                    rows_per_band),
+                            lambda x: x.cast("string")),
+                        ","),
+                    b),
+            )).alias("band", "bucket"))
+
+
+def minhash_lsh_candidates_incremental(
+        new_index: DataFrame, index: DataFrame, id_col: str = "doc_id",
+        max_bucket_size: int = 1000, on_drop: str = "ignore",
+        drop_stats: Optional[dict] = None) -> DataFrame:
+    """Incremental LSH candidates: a NEW batch's band index vs history's.
+
+    Both inputs are ``(id, band, bucket)`` tables from
+    :func:`minhash_band_index` — the probe is pure index-level (no text,
+    no signature stage). Production materializes the batch's index rows
+    anyway (they get APPENDED to the index store so the next batch can
+    probe them), so pass the written/persisted table: a lazily-derived
+    banding works but re-runs the batch's signature stage once per
+    reference (it is referenced twice below).
+
+    Returns distinct oriented (a, b) pairs with at least one new side —
+    new×old and new×new — semantically equal to running
+    :func:`minhash_lsh_candidates` over (old ∪ new) and keeping the pairs
+    that touch a new doc: bucket sizes are counted over the union, so the
+    hot-bucket cap drops exactly the buckets the full-batch operator
+    would (old×old pairs are history's business and are never emitted).
+
+    Scale shape (the reason this exists): the historical corpus is NEVER
+    re-shingled — the probe semi-joins the index's three narrow columns
+    to the batch's bucket keys (AQE broadcasts the batch side when small),
+    so per-ingest cost is O(touched index rows), not O(|corpus|).
+    Re-submitted ids pair with themselves only as a==b, which the a<b
+    orientation drops.
+
+    ``on_drop``/``drop_stats`` follow :func:`minhash_lsh_candidates`;
+    the audit here counts only buckets the batch touches (untouched
+    over-cap buckets can't produce a new pair anyway).
+    """
+    if on_drop not in ("warn", "error", "ignore"):
+        raise ValueError(f"on_drop must be warn|error|ignore, got {on_drop!r}")
+    if drop_stats is not None and on_drop == "ignore":
+        raise ValueError("drop_stats requires on_drop='warn' or 'error' "
+                         "(the lazy path never measures the cap)")
+    new_banded = new_index.select(F.col(id_col), "band", "bucket")
+    idx = index.select(F.col(id_col), "band", "bucket")
+    # prune history to buckets the batch actually touches; only (id, band,
+    # bucket) index columns are read — never historical text
+    new_keys = new_banded.select("band", "bucket").distinct()
+    idx_hits = idx.join(new_keys, ["band", "bucket"], "leftsemi")
+    union = (idx_hits.withColumn("__new", F.lit(False))
+             .unionByName(new_banded.withColumn("__new", F.lit(True))))
+    sized_all = (union.groupBy("band", "bucket")
+                 .agg(F.collect_list(
+                         F.struct(F.col(id_col).alias("id"),
+                                  F.col("__new").alias("nw"))).alias("entries"),
+                      F.count(F.lit(1)).alias("bsz")))
+    if on_drop != "ignore":
+        # same shared-materialization contract as the batch operator: the
+        # audit count and the lazy pair output share one persist, whose
+        # lifetime the caller owns iff drop_stats is passed
+        sized_all = sized_all.persist()
+        row = (sized_all.filter(F.col("bsz") > max_bucket_size)
+               .agg(F.count(F.lit(1)).alias("nb"),
+                    F.sum("bsz").alias("nr")).collect()[0])
+        if drop_stats is not None:
+            drop_stats["dropped_buckets"] = int(row["nb"] or 0)
+            drop_stats["dropped_rows"] = int(row["nr"] or 0)
+            drop_stats["unpersist"] = sized_all.unpersist
+        if row["nb"]:
+            msg = (f"minhash_lsh_candidates_incremental: dropping "
+                   f"{row['nb']} bucket(s) ({row['nr']} banded rows) larger "
+                   f"than max_bucket_size={max_bucket_size}")
+            if on_drop == "error":
+                sized_all.unpersist()
+                raise ValueError(msg)
+            warnings.warn(msg, RuntimeWarning, stacklevel=3)
+        if drop_stats is None:
+            sized_all.unpersist()
+    sized = sized_all.filter(
+        (F.col("bsz") > 1) & (F.col("bsz") <= max_bucket_size))
+    pairs = (sized
+             .select(F.explode("entries").alias("ea"), F.col("entries"))
+             .select("ea", F.explode("entries").alias("eb"))
+             .filter((F.col("ea.id") < F.col("eb.id"))
+                     & (F.col("ea.nw") | F.col("eb.nw")))
+             .select(F.col("ea.id").alias("a"), F.col("eb.id").alias("b"))
+             .distinct())
+    return pairs
+
+
+def minhash_dedup_incremental(
+        new_df: DataFrame, index: DataFrame, old_df: DataFrame,
+        text_col: str = "text", id_col: str = "doc_id",
+        threshold: float = 0.8, num_hashes: int = 64, bands: int = 16,
+        n: int = 3, seed: int = 17, max_bucket_size: int = 1000,
+        portable: bool = False, on_drop: str = "ignore",
+        drop_stats: Optional[dict] = None) -> DataFrame:
+    """Incremental near-dup pass → (a, b, jaccard) pairs ≥ threshold with
+    at least one new side.
+
+    ``old_df`` supplies the text of historical docs for the exact-Jaccard
+    verify — only the candidate docs' text rows are fetched (the verify
+    joins text AFTER candidate generation at pair cardinality, never
+    scanning history). In production ``old_df`` is the corpus table the
+    index was built from; the scan is pruned to candidate ids.
+
+    This convenience wrapper derives the batch's band index lazily, so
+    the batch's (small) signature stage is re-evaluated once per probe
+    reference; the production ingest loop should instead append
+    :func:`minhash_band_index(new_df)` to the index store and probe the
+    materialized rows (see :func:`minhash_lsh_candidates_incremental`).
+    The minhash parameters here must match the ones the persisted
+    ``index`` was built with, or the bucket keys won't align.
+    """
+    new_idx = minhash_band_index(new_df, text_col, id_col, num_hashes,
+                                 bands, n, seed, portable)
+    cands = minhash_lsh_candidates_incremental(
+        new_idx, index, id_col, max_bucket_size=max_bucket_size,
+        on_drop=on_drop, drop_stats=drop_stats)
+    docs = (old_df.select(F.col(id_col), F.col(text_col))
+            .unionByName(new_df.select(F.col(id_col), F.col(text_col))))
+    verified = jaccard(cands, docs, text_col, id_col, n, portable=portable)
+    return verified.filter(F.col("jaccard") >= threshold)
+
+
 def minhash_lsh_candidates(df: DataFrame, text_col: str = "text",
                            id_col: str = "doc_id", num_hashes: int = 64,
                            bands: int = 16, n: int = 3, seed: int = 17,
@@ -354,28 +519,8 @@ def minhash_lsh_candidates(df: DataFrame, text_col: str = "text",
     if drop_stats is not None and on_drop == "ignore":
         raise ValueError("drop_stats requires on_drop='warn' or 'error' "
                          "(the lazy path never measures the cap)")
-    rows_per_band = num_hashes // bands
-    # one projection boundary: the signature materializes once per row
-    # (token hashes scan-side, gram-combine + minima fused in the Arrow
-    # kernel) before the K-fold banding fan-out
-    signed = df.select(
-        F.col(id_col),
-        minhash_signature(F.col(text_col), num_hashes=num_hashes, n=n,
-                          seed=seed, portable=portable).alias("__sig"))
-    sig = F.col("__sig")
-    banded = signed.select(
-        F.col(id_col),
-        F.posexplode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda b: F.xxhash64(
-                    F.array_join(
-                        F.transform(
-                            F.slice(sig, b * rows_per_band + F.lit(1), rows_per_band),
-                            lambda x: x.cast("string")),
-                        ","),
-                    b),
-            )).alias("band", "bucket"))
+    banded = minhash_band_index(df, text_col, id_col, num_hashes, bands,
+                                n, seed, portable)
     sized_all = (banded.groupBy("band", "bucket")
                  .agg(F.collect_list(id_col).alias("ids"),
                       F.count(F.lit(1)).alias("bsz")))
