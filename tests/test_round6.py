@@ -415,37 +415,44 @@ class TestSemDedupDriverQuery:
         assert int(np.argmax(v4)) != int(np.argmax(v5))
 
 
+_INC_WORDS = ("alpha bravo charlie delta echo foxtrot golf hotel india "
+              "juliet kilo lima mike november oscar papa quebec romeo "
+              "sierra tango uniform victor whiskey xray yankee zulu").split()
+
+
+def _inc_docs(spark):
+    """Corpus for the incremental-dedup contracts: near-dup families
+    spanning the old/new split, a hot boilerplate bucket, unique chaff."""
+    rows = []
+    # 6 near-dup families of 3 (one-token mutation) spanning old/new
+    for fam in range(6):
+        base = " ".join(_INC_WORDS[(fam + i) % len(_INC_WORDS)]
+                        for i in range(30))
+        for j in range(3):
+            toks = base.split()
+            if j:
+                toks[5 + j] = f"mut{fam}{j}"
+            rows.append((fam * 10 + j, " ".join(toks)))
+    # 8 identical boilerplate docs (ids 100..107) — the hot bucket
+    boiler = " ".join(_INC_WORDS[:25])
+    for i in range(8):
+        rows.append((100 + i, boiler))
+    # unique chaff
+    for i in range(5):
+        rows.append((200 + i, " ".join(
+            _INC_WORDS[(7 * i + k) % len(_INC_WORDS)] + str(i * 31 + k)
+            for k in range(30))))
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
 class TestIncrementalDedup:
     """Incremental near-dup against a persisted LSH band index: the
     per-ingest production path that never re-shingles history. The
     contract under test: incremental(new, index(old)) == batch(old ∪ new)
     restricted to pairs touching a new doc, including cap behavior."""
 
-    WORDS = ("alpha bravo charlie delta echo foxtrot golf hotel india "
-             "juliet kilo lima mike november oscar papa quebec romeo "
-             "sierra tango uniform victor whiskey xray yankee zulu").split()
-
     def _docs(self, spark):
-        rows = []
-        # 6 near-dup families of 3 (one-token mutation) spanning old/new
-        for fam in range(6):
-            base = " ".join(self.WORDS[(fam + i) % len(self.WORDS)]
-                            for i in range(30))
-            for j in range(3):
-                toks = base.split()
-                if j:
-                    toks[5 + j] = f"mut{fam}{j}"
-                rows.append((fam * 10 + j, " ".join(toks)))
-        # 8 identical boilerplate docs (ids 100..107) — the hot bucket
-        boiler = " ".join(self.WORDS[:25])
-        for i in range(8):
-            rows.append((100 + i, boiler))
-        # unique chaff
-        for i in range(5):
-            rows.append((200 + i, " ".join(
-                self.WORDS[(7 * i + k) % len(self.WORDS)] + str(i * 31 + k)
-                for k in range(30))))
-        return spark.createDataFrame(rows, "doc_id long, text string")
+        return _inc_docs(spark)
 
     @staticmethod
     def _split(docs):
@@ -539,3 +546,110 @@ class TestIncrementalDedup:
         exp = {(r.a, r.b, round(r.jaccard, 6)) for r in batch.collect()
                if r.a in new_ids or r.b in new_ids}
         assert got == exp and got
+
+
+class TestExactIncrementalDedup:
+    """Exact dedup against a persisted hash index: incremental(new,
+    index(old)) must equal exact_dedup(old ∪ new) restricted to the new
+    rows, column for column."""
+
+    def test_matches_batch_union_restriction(self, spark):
+        from trafaret_spark.operators import dedup
+        docs = _inc_docs(spark)
+        new = docs.filter(F.col("doc_id") % 3 == 0)
+        old = docs.filter(F.col("doc_id") % 3 != 0)
+        new_ids = {r.doc_id for r in new.select("doc_id").collect()}
+        idx = dedup.exact_hash_index(old)
+        cols = ("doc_id", "dup_group", "group_size", "is_canonical")
+        got = {tuple(r[c] for c in cols) for r in
+               dedup.exact_dedup_incremental(new, idx).collect()}
+        exp = {tuple(r[c] for c in cols) for r in
+               dedup.exact_dedup(docs).collect() if r.doc_id in new_ids}
+        assert got == exp
+        # non-vacuous: the boilerplate group spans old and new, so some
+        # new row must see group_size > its in-batch count and lose
+        # canonicity to a historical doc (id 100 is old, 102 is new)
+        by_id = {t[0]: t for t in got}
+        assert by_id[102][2] == 8 and by_id[102][3] is False
+        # and a batch-only group where the new row IS canonical
+        assert any(t[3] for t in got)
+
+    def test_index_merge_equals_full_build(self, spark):
+        from trafaret_spark.operators import dedup
+        docs = _inc_docs(spark)
+        parts = [docs.filter(F.col("doc_id") % 3 == k) for k in range(3)]
+        merged = dedup.exact_index_merge(
+            *[dedup.exact_hash_index(p) for p in parts])
+        full = dedup.exact_hash_index(docs)
+        as_set = lambda d: {(r.dup_group, r.n_docs, r.canon_id)
+                            for r in d.collect()}
+        assert as_set(merged) == as_set(full)
+
+
+class TestMinhashIndexIngest:
+    """The ingest loop: band → append under ingest_batch=<id> → probe.
+    Across sequential batches every full-batch candidate pair must be
+    emitted exactly once (in the ingest of its later member), and a
+    replayed batch id must be idempotent."""
+
+    def _batches(self, spark):
+        docs = _inc_docs(spark)
+        return docs, [docs.filter(F.col("doc_id") % 3 == k)
+                      for k in range(3)]
+
+    def test_sequential_ingests_partition_the_pair_set(
+            self, spark, tmp_path):
+        from trafaret_spark.operators import dedup
+        docs, batches = self._batches(spark)
+        path = str(tmp_path / "store")
+        per_batch = []
+        for i, b in enumerate(batches):
+            got = {(r.a, r.b) for r in
+                   dedup.minhash_index_ingest(b, path, str(i)).collect()}
+            per_batch.append(got)
+        full = {(r.a, r.b) for r in
+                dedup.minhash_lsh_candidates(docs).collect()}
+        assert set().union(*per_batch) == full
+        for i in range(3):
+            for j in range(i):
+                assert not (per_batch[i] & per_batch[j])
+
+    def test_replayed_batch_id_is_idempotent(self, spark, tmp_path):
+        from trafaret_spark.io import read_table
+        from trafaret_spark.operators import dedup
+        docs, batches = self._batches(spark)
+        path = str(tmp_path / "store")
+        dedup.minhash_index_ingest(batches[0], path, "0").collect()
+        first = {(r.a, r.b) for r in
+                 dedup.minhash_index_ingest(batches[1], path, "1").collect()}
+        n_idx = read_table(spark, path).count()
+        # the failure-retry: same batch id again
+        replay = {(r.a, r.b) for r in
+                  dedup.minhash_index_ingest(batches[1], path, "1").collect()}
+        assert replay == first
+        assert read_table(spark, path).count() == n_idx
+
+    def test_streaming_sink_effectively_once(self, spark, tmp_path):
+        from trafaret_spark import streaming
+        from trafaret_spark.operators import dedup
+        docs, batches = self._batches(spark)
+        src = str(tmp_path / "src")
+        for i, b in enumerate(batches):
+            b.coalesce(1).write.mode("overwrite").parquet(
+                f"{src}/batch{i}")
+        idx = str(tmp_path / "idx")
+        pairs = str(tmp_path / "pairs")
+        stream = (spark.readStream.schema("doc_id long, text string")
+                  .option("maxFilesPerTrigger", 1)
+                  .parquet(src + "/batch*"))
+        q = (stream.writeStream
+             .foreachBatch(streaming.stream_minhash_dedup_sink(idx, pairs))
+             .option("checkpointLocation", str(tmp_path / "ckpt"))
+             .start())
+        q.processAllAvailable()
+        q.stop()
+        got = {(r.a, r.b) for r in
+               spark.read.parquet(pairs).select("a", "b").collect()}
+        full = {(r.a, r.b) for r in
+                dedup.minhash_lsh_candidates(docs).collect()}
+        assert got == full and got

@@ -49,10 +49,11 @@ from trafaret_spark.operators.hashing import (
 
 __all__ = [
     "normalize_text", "shingles", "exact_dedup",
+    "exact_hash_index", "exact_index_merge", "exact_dedup_incremental",
     "minhash_signature", "minhash_from_token_hashes",
     "minhash_lsh_candidates", "minhash_dedup",
     "minhash_band_index", "minhash_lsh_candidates_incremental",
-    "minhash_dedup_incremental",
+    "minhash_dedup_incremental", "minhash_index_ingest",
     "simhash", "simhash_dedup", "jaccard", "ngram_jaccard_pairs",
     "connected_components", "keep_canonical",
     "winnow_fingerprints", "winnow_dedup", "capped_blocks",
@@ -145,6 +146,69 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
               .agg(F.count(F.lit(1)).alias("group_size"),
                    F.min(id_col).alias("__canon")))
     return (with_key.join(groups, "dup_group")
+            .withColumn("is_canonical", F.col(id_col) == F.col("__canon"))
+            .drop("__canon"))
+
+
+def exact_hash_index(df: DataFrame, text_col: str = "text",
+                     id_col: str = "doc_id",
+                     normalized: bool = True) -> DataFrame:
+    """Persistable exact-dedup index: ``(dup_group, n_docs, canon_id)``,
+    one row per DISTINCT [normalized] text — the artifact an ever-growing
+    corpus keeps so each ingest batch dedups against history without
+    rescanning it (probe with :func:`exact_dedup_incremental`, fold the
+    batch's own index in with :func:`exact_index_merge`). Persist it
+    bucketed on the hash (``io.write_bucketed(idx, path,
+    key="dup_group")``) so probe reads prune to touched buckets."""
+    key = normalize_text(F.col(text_col)) if normalized else F.col(text_col)
+    return (df.withColumn("dup_group", F.md5(key))
+            .groupBy("dup_group")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.min(id_col).alias("canon_id")))
+
+
+def exact_index_merge(*indexes: DataFrame) -> DataFrame:
+    """Merge :func:`exact_hash_index` tables (counts add, canonical id is
+    the min) — associative, so a daily ingest folds its batch index into
+    the store with one narrow groupBy and history is never re-hashed."""
+    out = indexes[0]
+    for idx in indexes[1:]:
+        out = out.unionByName(idx)
+    return (out.groupBy("dup_group")
+            .agg(F.sum("n_docs").alias("n_docs"),
+                 F.min("canon_id").alias("canon_id")))
+
+
+def exact_dedup_incremental(new_df: DataFrame, index: DataFrame,
+                            text_col: str = "text", id_col: str = "doc_id",
+                            normalized: bool = True) -> DataFrame:
+    """Exact dedup of a NEW batch against a persisted hash index:
+    semantically :func:`exact_dedup` over (history ∪ batch) restricted to
+    the batch's rows — same ``dup_group`` / ``group_size`` /
+    ``is_canonical`` columns, where ``group_size`` counts history + batch
+    and a new row is canonical only if its id beats every historical AND
+    in-batch id of its group.
+
+    Scale shape: history is touched only through the index's three
+    narrow columns, semi-join-pruned to the batch's hashes first (AQE
+    broadcasts the batch's distinct-hash side when small), so per-ingest
+    cost is O(batch + touched index rows), never O(|corpus|).
+    """
+    key = normalize_text(F.col(text_col)) if normalized else F.col(text_col)
+    with_key = new_df.withColumn("dup_group", F.md5(key))
+    batch_groups = (with_key.groupBy("dup_group")
+                    .agg(F.count(F.lit(1)).alias("__bn"),
+                         F.min(id_col).alias("__bmin")))
+    hits = index.join(batch_groups.select("dup_group"), "dup_group",
+                      "leftsemi")
+    merged = (batch_groups.join(hits, "dup_group", "left")
+              .select("dup_group",
+                      (F.col("__bn") + F.coalesce(F.col("n_docs"), F.lit(0))
+                       ).alias("group_size"),
+                      F.least(F.col("__bmin"),
+                              F.coalesce(F.col("canon_id"), F.col("__bmin"))
+                              ).alias("__canon")))
+    return (with_key.join(merged, "dup_group")
             .withColumn("is_canonical", F.col(id_col) == F.col("__canon"))
             .drop("__canon"))
 
@@ -485,6 +549,43 @@ def minhash_dedup_incremental(
             .unionByName(new_df.select(F.col(id_col), F.col(text_col))))
     verified = jaccard(cands, docs, text_col, id_col, n, portable=portable)
     return verified.filter(F.col("jaccard") >= threshold)
+
+
+def minhash_index_ingest(batch_df: DataFrame, index_path: str,
+                         batch_id: str, text_col: str = "text",
+                         id_col: str = "doc_id", num_hashes: int = 64,
+                         bands: int = 16, n: int = 3, seed: int = 17,
+                         portable: bool = False,
+                         max_bucket_size: int = 1000,
+                         on_drop: str = "ignore",
+                         drop_stats: Optional[dict] = None) -> DataFrame:
+    """One step of the production ingest loop: band the batch, APPEND its
+    index rows to the persisted store under ``ingest_batch=<batch_id>``,
+    and return incremental candidate pairs vs every previously ingested
+    batch (plus the batch's own internal pairs).
+
+    The store is laid out ``band=*/ingest_batch=*`` with DYNAMIC partition
+    overwrite, so re-running a failed batch id rewrites exactly its own
+    partitions — the ingest is idempotent per ``batch_id`` (retries don't
+    duplicate index rows; a RE-USED id silently replaces that batch). Both
+    probe sides read back as narrow parquet index rows: the batch's text
+    is shingled exactly once (during the index write), history never.
+    Minhash parameters must stay fixed for the lifetime of a store.
+    """
+    from trafaret_spark.io import read_table, write_bucketed
+    bid = str(batch_id)
+    new_idx = minhash_band_index(batch_df, text_col, id_col, num_hashes,
+                                 bands, n, seed, portable)
+    write_bucketed(new_idx.withColumn("ingest_batch", F.lit(bid)),
+                   index_path, bucket_col="band",
+                   extra_partition_cols=["ingest_batch"])
+    full = read_table(batch_df.sparkSession, index_path)
+    ib = F.col("ingest_batch").cast("string")
+    return minhash_lsh_candidates_incremental(
+        full.filter(ib == bid).drop("ingest_batch"),
+        full.filter(ib != bid).drop("ingest_batch"),
+        id_col, max_bucket_size=max_bucket_size, on_drop=on_drop,
+        drop_stats=drop_stats)
 
 
 def minhash_lsh_candidates(df: DataFrame, text_col: str = "text",

@@ -35,7 +35,7 @@ from trafaret_spark.schema import Schema
 from trafaret_spark.validate import apply_schema
 
 __all__ = ["validate_stream", "stream_sessionize", "running_turn_stats",
-           "stream_exact_dedup"]
+           "stream_exact_dedup", "stream_minhash_dedup_sink"]
 
 
 def validate_stream(stream_df: DataFrame, schema: Schema,
@@ -80,6 +80,40 @@ def stream_exact_dedup(df: DataFrame, text_col: str = "text",
     keyed = (df.withColumn("dup_group", F.md5(key))
              .withWatermark(ts, f"{int(watermark_s)} seconds"))
     return keyed.dropDuplicatesWithinWatermark(["dup_group"])
+
+
+def stream_minhash_dedup_sink(index_path: str, pairs_path: str, **kw):
+    """``foreachBatch`` sink for streaming near-dup detection: each
+    micro-batch is banded once, appended to the persisted LSH index store
+    at ``index_path`` (``dedup.minhash_index_ingest``), and its
+    incremental candidate pairs — vs ALL history plus the batch itself —
+    land under ``pairs_path/ingest_batch=<id>``.
+
+    Both writes are dynamic-partition overwrites keyed by the micro-batch
+    id, so a batch replayed after a failure rewrites exactly its own
+    partitions: the sink is effectively-once without any dedup on read.
+    State lives entirely in the two parquet stores (no state store),
+    so the stream restarts from any checkpoint without rebuild.
+    ``**kw`` forwards to :func:`~trafaret_spark.operators.dedup.
+    minhash_index_ingest` (minhash params must stay fixed per store).
+
+    Usage::
+
+        q = (stream.writeStream
+             .foreachBatch(stream_minhash_dedup_sink(idx, pairs))
+             .option("checkpointLocation", ckpt).start())
+    """
+    from trafaret_spark.operators.dedup import minhash_index_ingest
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        bid = str(batch_id)
+        pairs = minhash_index_ingest(batch_df, index_path, bid, **kw)
+        (pairs.withColumn("ingest_batch", F.lit(bid))
+         .write.mode("overwrite")
+         .option("partitionOverwriteMode", "dynamic")
+         .partitionBy("ingest_batch").parquet(pairs_path))
+
+    return _sink
 
 
 _STATE_SCHEMA = T.StructType([
