@@ -1430,6 +1430,79 @@ def _attestation_rounds() -> dict[str, int]:
     return rounds
 
 
+# ---- r7-pending registry entries (incremental dedup, SURVEY §7.5 #8) ----
+# Written and DuckDB-validated in round 6 (tests/test_round6.py::
+# TestR7PendingIncQueries runs both against their oracles value-level) but
+# NOT registered in queries()/oracle_sql() yet: the r6 50-row attestation
+# window is exactly consumed (sem_dedup + 3 touched + all 46 r4-stale
+# rows), so a new tier-0 entry would push an r4 row two rounds stale.
+# ROUND 7: move R7_PENDING_QUERIES / R7_PENDING_ORACLES into the registry
+# dicts — they enter as tier 0 (never attested).
+
+_INC_IDX_ROOT: list = []  # [path] once created; atexit-removed
+
+
+def _inc_idx_dir() -> str:
+    """Process-level temp root for the minhash ingest store (same
+    lifecycle contract as :func:`_bm25_idx_dir`: removed at interpreter
+    exit, fresh numbered subdir per call so dynamic partition overwrite
+    never resurrects a previous run's partitions)."""
+    import atexit
+    import os
+    import shutil
+    import tempfile
+    if not _INC_IDX_ROOT:
+        root = tempfile.mkdtemp(prefix="trafaret_minhash_idx_")
+        atexit.register(shutil.rmtree, root, ignore_errors=True)
+        _INC_IDX_ROOT.append(root)
+    sub = os.path.join(_INC_IDX_ROOT[0], f"run{len(_INC_IDX_ROOT)}")
+    _INC_IDX_ROOT.append(sub)
+    return sub
+
+
+def q_dedup_minhash_inc(spark, sf_dir):
+    """Incremental near-dup through the PERSISTED band-index store — the
+    production ingest loop (dedup.minhash_index_ingest): history
+    (doc_id % 4 != 0) is banded and written as batch "0", the new batch
+    (doc_id % 4 == 0) is ingested as batch "1" and probed index-only,
+    then candidates get the exact-Jaccard verify at pair cardinality.
+    Semantics == the full-batch minhash pass restricted to pairs with at
+    least one new side (the tested batch-union contract), which is what
+    the oracle expresses as a WHERE over the shared _minhash_body CTE."""
+    import os
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    old = docs.filter(F.col("doc_id") % 4 != 0)
+    new = docs.filter(F.col("doc_id") % 4 == 0)
+    path = os.path.join(_inc_idx_dir(),
+                        os.path.basename(sf_dir.rstrip("/")))
+    # batch-0 ingest writes the store eagerly; its returned (old x old)
+    # candidate plan is intentionally unused — no jobs run for it
+    dedup.minhash_index_ingest(old, path, "0", portable=True)
+    cands = dedup.minhash_index_ingest(new, path, "1", portable=True)
+    ver = dedup.jaccard(cands, docs, portable=True)
+    return (ver.filter(F.col("jaccard") >= 0.3)
+            .select("a", "b", F.round("jaccard", 6).alias("jaccard")))
+
+
+def q_dedup_exact_inc(spark, sf_dir):
+    """Exact dedup of the new batch (doc_id % 4 == 0) against the hash
+    index of history — dedup.exact_dedup_incremental; == exact_dedup over
+    the union restricted to the new rows."""
+    docs = _t(spark, sf_dir, "documents")
+    old = docs.filter(F.col("doc_id") % 4 != 0)
+    new = docs.filter(F.col("doc_id") % 4 == 0)
+    out = dedup.exact_dedup_incremental(new, dedup.exact_hash_index(old))
+    return out.select("doc_id", "dup_group",
+                      F.col("group_size").cast("long").alias("group_size"),
+                      "is_canonical")
+
+
+R7_PENDING_QUERIES = {
+    "dedup_exact_inc": q_dedup_exact_inc,
+    "dedup_minhash_inc": q_dedup_minhash_inc,
+}
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     reg = {
         "time_rollup": q_time_rollup,
@@ -2241,6 +2314,33 @@ def _text_redact_oracle() -> str:
     return f"""
         SELECT doc_id, {red} AS text, {counts}
         FROM documents"""
+
+
+def r7_pending_oracles() -> dict[str, str]:
+    """Oracles for R7_PENDING_QUERIES (see the comment block there): the
+    incremental operators equal the batch pass over (history ∪ batch)
+    restricted to the new side — so each oracle is the already-attested
+    batch oracle plus that WHERE restriction."""
+    return {
+        "dedup_exact_inc": r"""
+            WITH k AS (
+              SELECT doc_id,
+                     md5(trim(regexp_replace(lower(text), '[^\p{L}\p{N}]+', ' ', 'g')))
+                       AS dup_group
+              FROM documents),
+            g AS (
+              SELECT dup_group, count(*) AS group_size, min(doc_id) AS canon
+              FROM k GROUP BY dup_group)
+            SELECT k.doc_id, k.dup_group, g.group_size,
+                   k.doc_id = g.canon AS is_canonical
+            FROM k JOIN g USING (dup_group)
+            WHERE k.doc_id % 4 = 0""",
+        "dedup_minhash_inc": f"""
+            WITH {_minhash_body()}
+            SELECT a, b, round(i::DOUBLE / u, 6) AS jaccard
+            FROM v WHERE i::DOUBLE / u >= 0.3
+              AND (a % 4 = 0 OR b % 4 = 0)""",
+    }
 
 
 def oracle_sql() -> dict[str, str]:

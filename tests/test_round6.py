@@ -653,3 +653,36 @@ class TestMinhashIndexIngest:
         full = {(r.a, r.b) for r in
                 dedup.minhash_lsh_candidates(docs).collect()}
         assert got == full and got
+
+
+class TestR7PendingIncQueries:
+    """The r7-pending incremental driver queries (see the R7_PENDING block
+    in __spark_entry__.py) must already be oracle-green value-level, so
+    round-7 registration is a pure dict move."""
+
+    SF = "/root/testdata/sf0.001"
+
+    def test_pending_queries_match_their_oracles(self, spark):
+        import sys
+        import duckdb
+        sys.path.insert(0, "/root/repo/scripts")
+        import __spark_entry__ as entry
+        from check_contract import normalize
+        con = duckdb.connect()
+        con.sql(f"CREATE VIEW documents AS "
+                f"SELECT * FROM '{self.SF}/documents.parquet'")
+        oracles = entry.r7_pending_oracles()
+        assert set(entry.R7_PENDING_QUERIES) == set(oracles)
+        for name, fn in entry.R7_PENDING_QUERIES.items():
+            a = normalize(fn(spark, self.SF).toPandas())
+            b = normalize(con.sql(oracles[name]).df())
+            assert len(a) > 0, name
+            assert list(a.columns) == list(b.columns), name
+            assert a.equals(b), f"{name}: value mismatch"
+
+    def test_pending_names_not_yet_registered(self):
+        import __spark_entry__ as entry
+        # the window-budget deferral: registering early would break the
+        # r6 staleness invariant (see the R7_PENDING comment block)
+        assert not (set(entry.R7_PENDING_QUERIES) & set(entry.queries()))
+        assert not (set(entry.r7_pending_oracles()) & set(entry.oracle_sql()))
