@@ -1,6 +1,10 @@
 """Curation-family scaling measurement at a single parallelism level.
 
-Usage: python scripts/scaling_curation.py <cores> [dedup|ann|both|bm25|conv|audit]
+Usage: python scripts/scaling_curation.py <cores> [dedup|ann|both|bm25|conv|audit|inc]
+
+``inc`` is a DATA-scaling measurement at fixed cores (per-ingest cost vs
+history size for the persisted-index incremental dedup), not a core-
+scaling one; everything else follows the N vs 4N core protocol.
 
 The transcript pipeline's scaling evidence (scripts/scaling_run.py) does
 not cover the dedup/ANN families, whose 100 TB story rests on uniform
@@ -69,6 +73,8 @@ CACHE = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
 N_CONVS = int(os.environ.get("SPARK_GRAFT_SCALE_CONVS", "50000"))
+
+INC_BATCH = int(os.environ.get("SPARK_GRAFT_SCALE_INC_BATCH", "10000"))
 
 
 N_BM25_DOCS = int(os.environ.get("SPARK_GRAFT_SCALE_BM25_DOCS", "300000"))
@@ -319,6 +325,48 @@ def main() -> None:
         m = measure(lambda: bm25_job(spark, zpath))
         m["docs_per_sec"] = round(N_BM25_DOCS / m["seconds_min"], 1)
         out["bm25"] = m
+
+    if which == "inc":
+        # Incremental-ingest DATA scaling (fixed cores): a fixed 10k-doc
+        # batch ingested against persisted band-index stores built from
+        # history prefixes of 1x / 2x / 4x size, vs the naive alternative
+        # (full-batch minhash candidates over history ∪ batch). The claim
+        # under measurement — per-ingest cost is O(batch + touched index
+        # rows), not O(|corpus|) — shows up as a ~flat ingest curve while
+        # the full-batch curve grows ~linearly with history. Both timed
+        # jobs end at the same surface (candidate pairs, noop sink); the
+        # ingest number INCLUDES its band-index write (that is the real
+        # per-ingest cost). Repeated timed runs reuse the same batch id —
+        # idempotent by the dynamic-overwrite contract, so every run does
+        # identical work on an identical store.
+        from trafaret_spark import io as ts_io
+        docs = spark.read.parquet(docs_path).select("doc_id", "text")
+        hist_full = N_DOCS - INC_BATCH
+        batch = docs.filter(F.col("doc_id") >= hist_full)
+        sizes = [hist_full // 4, hist_full // 2, hist_full]
+        inc_out: dict = {"batch_docs": INC_BATCH, "by_history_size": {}}
+        for hs in sizes:
+            store = f"{CACHE}/inc_store_{N_DOCS}_{hs}"
+            if not os.path.exists(os.path.join(store, "band=0")):
+                hist_idx = dedup.minhash_band_index(
+                    docs.filter(F.col("doc_id") < hs)) \
+                    .withColumn("ingest_batch", F.lit("hist"))
+                ts_io.write_bucketed(hist_idx, store, bucket_col="band",
+                                     extra_partition_cols=["ingest_batch"])
+            n_pairs = dedup.minhash_index_ingest(batch, store,
+                                                 "probe").count()
+            m_inc = measure(lambda: dedup.minhash_index_ingest(
+                batch, store, "probe"))
+            union = docs.filter((F.col("doc_id") < hs)
+                                | (F.col("doc_id") >= hist_full))
+            m_full = measure(lambda: dedup.minhash_lsh_candidates(union))
+            inc_out["by_history_size"][str(hs)] = {
+                "ingest": m_inc, "full_batch": m_full,
+                "candidate_pairs": n_pairs,
+                "speedup": round(m_full["seconds_min"]
+                                 / m_inc["seconds_min"], 2),
+            }
+        out["inc_ingest"] = inc_out
 
     print(json.dumps(out))
 
