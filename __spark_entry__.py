@@ -1497,9 +1497,28 @@ def q_dedup_exact_inc(spark, sf_dir):
                       "is_canonical")
 
 
+def q_dedup_embedding_inc(spark, sf_dir):
+    """Incremental embedding near-dup: the new batch (vec_id % 4 == 0)
+    probed against the sign-LSH band index of history
+    (similarity.embedding_band_index + embedding_dedup_incremental, the
+    same integer-Rademacher banding as the attested dedup_embedding_lsh)
+    == cosine_neardup over the union restricted to pairs with a new
+    side. History is never re-bucketed; the cosine verify joins vectors
+    at pair cardinality."""
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding"))
+    old = emb.filter(F.col("vec_id") % 4 != 0)
+    new = emb.filter(F.col("vec_id") % 4 == 0)
+    idx = similarity.embedding_band_index(old, nbits=6, bands=8, dim=64)
+    out = similarity.embedding_dedup_incremental(
+        new, idx, old, threshold=0.3, nbits=6, bands=8, dim=64)
+    return out.select("a", "b", F.round("sim", 4).alias("sim"))
+
+
 R7_PENDING_QUERIES = {
     "dedup_exact_inc": q_dedup_exact_inc,
     "dedup_minhash_inc": q_dedup_minhash_inc,
+    "dedup_embedding_inc": q_dedup_embedding_inc,
 }
 
 
@@ -2340,6 +2359,21 @@ def r7_pending_oracles() -> dict[str, str]:
             SELECT a, b, round(i::DOUBLE / u, 6) AS jaccard
             FROM v WHERE i::DOUBLE / u >= 0.3
               AND (a % 4 = 0 OR b % 4 = 0)""",
+        "dedup_embedding_inc": f"""
+            WITH {_lsh_bands_sql(64, 6, 8, 7)},
+            cand AS (
+              SELECT DISTINCT l.vec_id AS a, r.vec_id AS b
+              FROM bands l JOIN bands r
+                ON l.band = r.band AND l.bucket = r.bucket
+              WHERE l.vec_id < r.vec_id
+                AND (l.vec_id % 4 = 0 OR r.vec_id % 4 = 0)),
+            s AS (
+              SELECT c.a, c.b,
+                     {_COSINE_SQL.format(a="qa.v", b="qb.v")} AS rawsim
+              FROM cand c JOIN q qa ON qa.vec_id = c.a
+                          JOIN q qb ON qb.vec_id = c.b)
+            SELECT a, b, round(rawsim, 4) AS sim FROM s
+            WHERE rawsim >= 0.3""",
     }
 
 

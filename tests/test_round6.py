@@ -669,8 +669,9 @@ class TestR7PendingIncQueries:
         import __spark_entry__ as entry
         from check_contract import normalize
         con = duckdb.connect()
-        con.sql(f"CREATE VIEW documents AS "
-                f"SELECT * FROM '{self.SF}/documents.parquet'")
+        for t in ("documents", "embeddings"):
+            con.sql(f"CREATE VIEW {t} AS "
+                    f"SELECT * FROM '{self.SF}/{t}.parquet'")
         oracles = entry.r7_pending_oracles()
         assert set(entry.R7_PENDING_QUERIES) == set(oracles)
         for name, fn in entry.R7_PENDING_QUERIES.items():
@@ -686,3 +687,127 @@ class TestR7PendingIncQueries:
         # r6 staleness invariant (see the R7_PENDING comment block)
         assert not (set(entry.R7_PENDING_QUERIES) & set(entry.queries()))
         assert not (set(entry.r7_pending_oracles()) & set(entry.oracle_sql()))
+
+
+def _inc_vecs(spark):
+    """Embedding corpus for the incremental contracts: exact-dup and
+    perturbed near-dup families spanning the old/new split (identical
+    vectors collide in every LSH band, so non-vacuity is guaranteed),
+    plus well-separated chaff and one NULL vector."""
+    import numpy as np
+    rng = np.random.RandomState(42)
+    rows = []
+    # 5 families of 3: one base direction, one exact dup, one tiny
+    # perturbation. Id offsets vary the old/new (%3) split topology per
+    # family: two-new (new×new pairs), all-old (the restriction must
+    # drop these), and one-new (new×old pairs).
+    offsets = [(0, 3, 1), (1, 2, 4), (0, 1, 2)]
+    for fam in range(5):
+        base = rng.randn(16)
+        base /= np.linalg.norm(base)
+        for j in range(3):
+            v = base.copy()
+            if j == 2:
+                v = v + 0.01 * rng.randn(16)
+                v /= np.linalg.norm(v)
+            rows.append((fam * 12 + offsets[fam % 3][j],
+                         [float(x) for x in v]))
+    # chaff: independent random directions
+    for i in range(10):
+        v = rng.randn(16)
+        v /= np.linalg.norm(v)
+        rows.append((200 + i, [float(x) for x in v]))
+    rows.append((300, None))
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+
+class TestEmbeddingIncrementalDedup:
+    """Incremental embedding near-dup against a persisted sign-LSH band
+    index — the embedding twin of TestIncrementalDedup. Contract:
+    incremental(new, index(old)) == cosine_neardup(old ∪ new, LSH path,
+    same params) restricted to pairs touching a new vector."""
+
+    KW = dict(nbits=6, bands=4, seed=7, dim=16)
+
+    @staticmethod
+    def _split(vecs):
+        new = vecs.filter(F.col("vec_id") % 3 == 0)
+        old = vecs.filter(F.col("vec_id") % 3 != 0)
+        return new, old
+
+    def _expected(self, vecs, new_ids, threshold):
+        from trafaret_spark.operators import similarity
+        batch = similarity.cosine_neardup(vecs, threshold=threshold,
+                                          **self.KW)
+        return {(r.a, r.b, round(r.sim, 6)) for r in batch.collect()
+                if r.a in new_ids or r.b in new_ids}
+
+    def test_matches_batch_union_restriction(self, spark):
+        from trafaret_spark.operators import similarity
+        vecs = _inc_vecs(spark)
+        new, old = self._split(vecs)
+        new_ids = {r.vec_id for r in new.select("vec_id").collect()}
+        idx = similarity.embedding_band_index(old, **self.KW)
+        got = {(r.a, r.b, round(r.sim, 6)) for r in
+               similarity.embedding_dedup_incremental(
+                   new, idx, old, threshold=0.9, **self.KW).collect()}
+        exp = self._expected(vecs, new_ids, 0.9)
+        assert got == exp
+        # non-vacuous in both kinds: new×new and new×old pairs exist
+        assert any(a in new_ids and b in new_ids for a, b, _ in got)
+        assert any((a in new_ids) != (b in new_ids) for a, b, _ in got)
+        # and the restriction bites: the full batch has old×old pairs too
+        full = {(r.a, r.b) for r in similarity.cosine_neardup(
+            vecs, threshold=0.9, **self.KW).collect()}
+        assert {(a, b) for a, b, _ in got} < full
+
+    def test_persisted_index_probe_is_index_level(self, spark, tmp_path):
+        from trafaret_spark.io import read_table, write_bucketed
+        from trafaret_spark.operators import similarity
+        vecs = _inc_vecs(spark)
+        new, old = self._split(vecs)
+        path_old = str(tmp_path / "emb_idx_old")
+        path_new = str(tmp_path / "emb_idx_new")
+        write_bucketed(similarity.embedding_band_index(old, **self.KW),
+                       path_old, bucket_col="band")
+        write_bucketed(similarity.embedding_band_index(new, **self.KW),
+                       path_new, bucket_col="band")
+        cands = similarity.embedding_lsh_candidates_incremental(
+            read_table(spark, path_new), read_table(spark, path_old))
+        got = {(r.a, r.b) for r in cands.collect()}
+        new_ids = {r.vec_id for r in new.select("vec_id").collect()}
+        exp = {(a, b) for a, b, _ in self._expected(vecs, new_ids, -1.1)}
+        assert got == exp
+        # pure index-level probe: ZERO Arrow bucketing stages — vectors
+        # are never re-projected from the persisted store
+        final = cands._jdf.queryExecution().executedPlan().toString()
+        assert final.count("ArrowEvalPython") == 0, final
+
+    def test_sequential_ingests_partition_candidates(self, spark,
+                                                     tmp_path):
+        from trafaret_spark.operators import similarity
+        vecs = _inc_vecs(spark)
+        path = str(tmp_path / "emb_idx_store")
+        steps = []
+        for m in range(3):
+            batch = vecs.filter(F.col("vec_id") % 3 == m)
+            steps.append({(r.a, r.b) for r in similarity.
+                          embedding_index_ingest(batch, path, str(m),
+                                                 **self.KW).collect()})
+        # step m emits exactly the full-batch pairs whose LATER member
+        # (by ingest order) arrived at step m: the steps PARTITION the
+        # full candidate set
+        full = {(r.a, r.b) for r in similarity.cosine_neardup(
+            vecs, threshold=-1.1, **self.KW).collect()}
+        assert set().union(*steps) == full
+        assert sum(len(s) for s in steps) == len(full)
+        # replay idempotence: re-ingesting the latest batch id leaves the
+        # store and its output unchanged (dynamic partition overwrite
+        # rewrites that batch's partitions, never appends). An EARLIER id
+        # replayed later would legitimately see the batches ingested
+        # after it — probe output is "vs the rest of the store", and the
+        # store is the same, so index rows still aren't duplicated.
+        replay = {(r.a, r.b) for r in similarity.embedding_index_ingest(
+            vecs.filter(F.col("vec_id") % 3 == 2), path, "2",
+            **self.KW).collect()}
+        assert replay == steps[2]

@@ -37,7 +37,9 @@ __all__ = ["dot", "l2_norm", "cosine", "cosine_topk", "lsh_cosine_topk",
            "cosine_neardup", "lsh_band_buckets", "pool_embeddings",
            "ivf_cosine_topk", "train_ivf_centroids",
            "centroid_literal", "assign_to_centroids", "cluster_assign",
-           "semantic_dedup"]
+           "semantic_dedup", "embedding_band_index",
+           "embedding_lsh_candidates_incremental",
+           "embedding_dedup_incremental", "embedding_index_ingest"]
 
 
 def dot(a: Column, b: Column) -> Column:
@@ -166,6 +168,137 @@ def cosine_neardup(df: DataFrame, threshold: float = 0.9,
     return (pairs.withColumn("sim", cosine(F.col("__va"), F.col("__vb")))
             .filter(F.col("sim") >= threshold)
             .drop("__va", "__vb"))
+
+
+def embedding_band_index(df: DataFrame, id_col: str = "vec_id",
+                         vec_col: str = "embedding", nbits: int = 8,
+                         bands: int = 4, seed: int = 7,
+                         dim: int | None = None) -> DataFrame:
+    """Sign-LSH band index for embeddings: one ``(id, band, bucket)`` row
+    per (vector, band) — the embedding-side analogue of
+    :func:`dedup.minhash_band_index`, and the PERSISTABLE artifact for
+    incremental embedding near-dup over an ever-growing corpus.
+
+    The banding is exactly :func:`cosine_neardup`'s LSH path (same
+    :func:`lsh_band_buckets` kernel: fixed-point Rademacher projection,
+    strict >0 sign, big-endian bit packing), so an index built here and
+    the batch operator's internal banding agree bit-for-bit, and the
+    incremental probe's output equals the batch pass restricted to new
+    pairs. NULL / dimension-mismatched vectors yield a NULL bucket array
+    and so contribute no index rows (posexplode of NULL emits nothing) —
+    identical to their fate inside the batch operator.
+
+    Persist with ``io.write_bucketed(idx, path, bucket_col="band")``:
+    ``bands`` narrow partition dirs, three columns instead of the vectors
+    (at 100 TB of embeddings the index is ~2-3 orders smaller — 8 bytes
+    x bands vs dim floats). LSH parameters (nbits/bands/seed/dim) must
+    stay fixed for the lifetime of a store or bucket keys won't align.
+    """
+    return df.select(
+        F.col(id_col),
+        F.posexplode(lsh_band_buckets(F.col(vec_col), nbits, bands, seed,
+                                      dim=dim)).alias("band", "bucket"))
+
+
+def embedding_lsh_candidates_incremental(
+        new_index: DataFrame, index: DataFrame, id_col: str = "vec_id",
+        max_bucket_size: int = 1000, on_drop: str = "ignore",
+        drop_stats: dict | None = None) -> DataFrame:
+    """Incremental embedding near-dup candidates: a new batch's band
+    index vs history's — distinct oriented (a, b) pairs with at least
+    one new side.
+
+    Both inputs are ``(id, band, bucket)`` tables from
+    :func:`embedding_band_index`. The probe itself is the SHARED
+    index-level candidate join (:func:`dedup.
+    minhash_lsh_candidates_incremental` — it never looks inside the
+    bucket key, so minhash and sign-LSH indexes probe identically):
+    history is semi-join-pruned to the buckets the batch touches, vectors
+    are never re-projected, and the hot-bucket cap counts over old ∪ new
+    so drops match the full-batch operator exactly. See that function
+    for the cap/``drop_stats`` contract and the scale argument.
+    """
+    from trafaret_spark.operators.dedup import (
+        minhash_lsh_candidates_incremental)
+    return minhash_lsh_candidates_incremental(
+        new_index, index, id_col, max_bucket_size=max_bucket_size,
+        on_drop=on_drop, drop_stats=drop_stats)
+
+
+def embedding_dedup_incremental(
+        new_df: DataFrame, index: DataFrame, old_df: DataFrame,
+        threshold: float = 0.9, id_col: str = "vec_id",
+        vec_col: str = "embedding", nbits: int = 8, bands: int = 4,
+        seed: int = 7, dim: int | None = None,
+        max_bucket_size: int = 1000, on_drop: str = "ignore",
+        drop_stats: dict | None = None) -> DataFrame:
+    """Incremental embedding near-dup pass → (a, b, sim) pairs with
+    cosine ≥ ``threshold`` and at least one new side — semantically
+    :func:`cosine_neardup` (LSH path, same nbits/bands/seed/dim) over
+    (old ∪ new) restricted to pairs touching a new vector, without ever
+    re-bucketing history.
+
+    ``old_df`` supplies historical vectors for the exact-cosine verify
+    only — the verify joins vectors AFTER candidate generation at pair
+    cardinality (two narrow id-equi joins), never crossing the corpus.
+    This convenience wrapper derives the batch's band index lazily (the
+    batch's small bucketing kernel re-runs once per probe reference);
+    the production ingest loop is :func:`embedding_index_ingest`, which
+    appends the batch's index rows to the persisted store and probes the
+    materialized table.
+    """
+    new_idx = embedding_band_index(new_df, id_col, vec_col, nbits, bands,
+                                   seed, dim)
+    cands = embedding_lsh_candidates_incremental(
+        new_idx, index, id_col, max_bucket_size=max_bucket_size,
+        on_drop=on_drop, drop_stats=drop_stats)
+    vecs = (old_df.select(F.col(id_col), F.col(vec_col))
+            .unionByName(new_df.select(F.col(id_col), F.col(vec_col))))
+    va = vecs.select(F.col(id_col).alias("a"), F.col(vec_col).alias("__va"))
+    vb = vecs.select(F.col(id_col).alias("b"), F.col(vec_col).alias("__vb"))
+    return (cands.join(va, "a").join(vb, "b")
+            .withColumn("sim", cosine(F.col("__va"), F.col("__vb")))
+            .filter(F.col("sim") >= threshold)
+            .select("a", "b", "sim"))
+
+
+def embedding_index_ingest(batch_df: DataFrame, index_path: str,
+                           batch_id: str, id_col: str = "vec_id",
+                           vec_col: str = "embedding", nbits: int = 8,
+                           bands: int = 4, seed: int = 7,
+                           dim: int | None = None,
+                           max_bucket_size: int = 1000,
+                           on_drop: str = "ignore",
+                           drop_stats: dict | None = None) -> DataFrame:
+    """One step of the embedding ingest loop: bucket the batch, APPEND
+    its index rows to the persisted store under ``ingest_batch=<id>``,
+    and return incremental candidate pairs vs every previously ingested
+    batch (plus the batch's own internal pairs) — the embedding twin of
+    :func:`dedup.minhash_index_ingest`, sharing its store layout
+    (``band=*/ingest_batch=*``, dynamic partition overwrite) and
+    idempotence contract: re-running a failed ``batch_id`` rewrites
+    exactly its own partitions, so retries never duplicate index rows.
+
+    The batch's vectors are bucketed exactly once (during the index
+    write); history is read back as narrow parquet index rows only.
+    Feed the returned candidates to an exact-cosine verify against the
+    corpus vector table pruned to candidate ids (as
+    :func:`embedding_dedup_incremental` does) when scores are needed.
+    """
+    from trafaret_spark.io import read_table, write_bucketed
+    bid = str(batch_id)
+    new_idx = embedding_band_index(batch_df, id_col, vec_col, nbits,
+                                   bands, seed, dim)
+    write_bucketed(new_idx.withColumn("ingest_batch", F.lit(bid)),
+                   index_path, bucket_col="band",
+                   extra_partition_cols=["ingest_batch"])
+    full = read_table(batch_df.sparkSession, index_path)
+    ib = F.col("ingest_batch").cast("string")
+    return embedding_lsh_candidates_incremental(
+        full.filter(ib == bid).drop("ingest_batch"),
+        full.filter(ib != bid).drop("ingest_batch"),
+        id_col, max_bucket_size=max_bucket_size, on_drop=on_drop,
+        drop_stats=drop_stats)
 
 
 def lsh_band_buckets(vec: Column, nbits: int = 12, bands: int = 1,
