@@ -1515,10 +1515,23 @@ def q_dedup_embedding_inc(spark, sf_dir):
     return out.select("a", "b", F.round("sim", 4).alias("sim"))
 
 
+def q_text_repetition(spark, sf_dir):
+    """Gopher repetition rules (textstats.repetition_features): top
+    2/3/4-gram and duplicate 5..10-gram character fractions, all
+    scan-side folds over sorted gram arrays — the within-document twin
+    of the dedup family."""
+    docs = _t(spark, sf_dir, "documents")
+    out = textstats.repetition_features(docs)
+    frac_cols = [c for c in out.columns if c.endswith("gram_char_frac")]
+    return out.select("doc_id",
+                      *[F.round(c, 6).alias(c) for c in frac_cols])
+
+
 R7_PENDING_QUERIES = {
     "dedup_exact_inc": q_dedup_exact_inc,
     "dedup_minhash_inc": q_dedup_minhash_inc,
     "dedup_embedding_inc": q_dedup_embedding_inc,
+    "text_repetition": q_text_repetition,
 }
 
 
@@ -2335,6 +2348,47 @@ def _text_redact_oracle() -> str:
         FROM documents"""
 
 
+def _text_repetition_oracle(top_ns=(2, 3, 4),
+                            dup_ns=(5, 6, 7, 8, 9, 10)) -> str:
+    """Generated per-n CTEs mirroring textstats.repetition_features
+    exactly: same token normalization, gram join, every-occurrence
+    duplicate mass, and (count, mass)-lexicographic top tie-break
+    (DuckDB struct max compares fields in declared order, which IS the
+    engine's fold rule)."""
+    ctes, selects, joins = [], [], []
+    for n in sorted(set(top_ns) | set(dup_ns)):
+        ctes.append(f"""
+        g{n} AS (
+          SELECT doc_id,
+                 unnest(list_transform(
+                   generate_series(1, len(toks) - {n} + 1),
+                   i -> array_to_string(toks[i:i + {n} - 1], ' '))) AS gram
+          FROM t),
+        a{n} AS (
+          SELECT doc_id,
+                 (max(struct_pack(c := cnt, m := cnt * glen))).m AS topm,
+                 coalesce(sum(CASE WHEN cnt >= 2 THEN cnt * glen END), 0)
+                   AS dupm
+          FROM (SELECT doc_id, count(*) AS cnt, length(gram) AS glen
+                FROM g{n} GROUP BY doc_id, gram)
+          GROUP BY doc_id)""")
+        joins.append(f"LEFT JOIN a{n} USING (doc_id)")
+    for n in top_ns:
+        selects.append(f"round(coalesce(a{n}.topm / t.nc, 0), 6) "
+                       f"AS top_{n}gram_char_frac")
+    for n in dup_ns:
+        selects.append(f"round(coalesce(a{n}.dupm / t.nc, 0), 6) "
+                       f"AS dup_{n}gram_char_frac")
+    return f"""
+        WITH t AS (
+          SELECT doc_id,
+                 string_split_regex(trim(lower(text)), '\\s+') AS toks,
+                 greatest(length(text), 1)::DOUBLE AS nc
+          FROM documents),{",".join(ctes)}
+        SELECT t.doc_id, {", ".join(selects)}
+        FROM t {" ".join(joins)}"""
+
+
 def r7_pending_oracles() -> dict[str, str]:
     """Oracles for R7_PENDING_QUERIES (see the comment block there): the
     incremental operators equal the batch pass over (history ∪ batch)
@@ -2359,6 +2413,7 @@ def r7_pending_oracles() -> dict[str, str]:
             SELECT a, b, round(i::DOUBLE / u, 6) AS jaccard
             FROM v WHERE i::DOUBLE / u >= 0.3
               AND (a % 4 = 0 OR b % 4 = 0)""",
+        "text_repetition": _text_repetition_oracle(),
         "dedup_embedding_inc": f"""
             WITH {_lsh_bands_sql(64, 6, 8, 7)},
             cand AS (

@@ -811,3 +811,56 @@ class TestEmbeddingIncrementalDedup:
             vecs.filter(F.col("vec_id") % 3 == 2), path, "2",
             **self.KW).collect()}
         assert replay == steps[2]
+
+
+class TestRepetitionFeatures:
+    """Gopher repetition rules: hand-computed masses, edge cases, and the
+    count-then-mass top tie-break."""
+
+    def _run(self, spark, rows, **kw):
+        df = spark.createDataFrame(rows, "doc_id int, text string")
+        from trafaret_spark.operators import textstats
+        out = textstats.repetition_features(df, **kw)
+        return {r.doc_id: r.asDict() for r in out.collect()}
+
+    def test_hand_computed_masses(self, spark):
+        got = self._run(spark, [
+            (1, "a b a b a b"),          # 11 chars; "a b" x3, "b a" x2
+            (2, "x y z w"),              # 7 chars; all 2-grams unique
+            (3, ""),                     # no grams
+            (4, "q"),                    # fewer tokens than n
+        ], top_ns=(2,), dup_ns=(2,))
+        one = got[1]
+        assert abs(one["top_2gram_char_frac"] - 9 / 11) < 1e-9
+        # every-occurrence duplicate mass: (3 + 2) x len("a b") = 15
+        assert abs(one["dup_2gram_char_frac"] - 15 / 11) < 1e-9
+        # a count-1 gram is still "the most frequent" when nothing repeats
+        assert abs(got[2]["top_2gram_char_frac"] - 3 / 7) < 1e-9
+        assert got[2]["dup_2gram_char_frac"] == 0.0
+        assert got[3]["top_2gram_char_frac"] == 0.0
+        assert got[4]["top_2gram_char_frac"] == 0.0
+
+    def test_top_tiebreak_prefers_larger_mass(self, spark):
+        # "aa b" and "c dd" both occur twice; tie broken by char mass —
+        # equal here (4 each), so top = 2 x 4 = 8 regardless of which
+        got = self._run(spark, [(1, "aa b c dd aa b c dd")],
+                        top_ns=(2,), dup_ns=())
+        # 19 chars; most frequent 2-grams: "aa b" x2, "b c" x2, "c dd" x2,
+        # "dd aa" x1 -> top mass = max count 2, mass max(8, 6, 8) = 8
+        assert abs(got[1]["top_2gram_char_frac"] - 8 / 19) < 1e-9
+
+    def test_default_gopher_column_set(self, spark):
+        got = self._run(spark, [(1, "one two three " * 12)])
+        cols = set(got[1]) - {"doc_id", "text"}
+        assert cols == ({f"top_{n}gram_char_frac" for n in (2, 3, 4)}
+                        | {f"dup_{n}gram_char_frac"
+                           for n in (5, 6, 7, 8, 9, 10)})
+        # a 12x-repeated phrase is pathological under every rule
+        assert all(got[1][c] > 0.5 for c in cols)
+
+    def test_scan_side_plan(self, spark):
+        from trafaret_spark.operators import textstats
+        df = spark.createDataFrame([(1, "a b c")], "doc_id int, text string")
+        out = textstats.repetition_features(df)
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan and "EvalPython" not in plan

@@ -14,8 +14,8 @@ from pyspark.sql import functions as F
 
 __all__ = [
     "token_count", "bpe_ish_token_count", "token_counter_udf",
-    "quality_features", "quality_score", "lang_id", "fingerprint",
-    "redact_pii", "PII_PATTERNS", "corpus_report",
+    "quality_features", "quality_score", "repetition_features", "lang_id",
+    "fingerprint", "redact_pii", "PII_PATTERNS", "corpus_report",
 ]
 
 # Engine-agnostic PII patterns (valid and identical under Java regex AND
@@ -184,6 +184,90 @@ def quality_features(df: DataFrame, text_col: str = "text",
         bullet_ratio.alias("bullet_line_ratio"),
         ellipsis_ratio.alias("ellipsis_line_ratio"),
     )
+
+
+def _gram_run_masses(toks: Column, n: int) -> Column:
+    """struct(dup, top) of character masses over the word n-grams of
+    ``toks``: ``dup`` = Σ count·len over grams occurring ≥ 2 times (every
+    occurrence's characters counted), ``top`` = count·len of the most
+    frequent gram (count ties broken toward the larger character mass).
+    One O(G log G) sort + one linear fold over runs of the sorted gram
+    array — NOT a per-distinct-gram filter-count, which would be O(G²)
+    per row (the trap dedup._ngram_fold documents)."""
+    n_tok = F.size(toks)
+    grams = F.when(n_tok >= n, F.transform(
+        F.sequence(F.lit(1), n_tok - n + 1),
+        lambda i: F.array_join(F.slice(toks, i, n), " "))
+    ).otherwise(F.array().cast("array<string>"))
+    zero = F.lit(0).cast("long")
+    acc0 = F.struct(F.lit("").alias("prev"), zero.alias("run"),
+                    zero.alias("dup"), zero.alias("bc"), zero.alias("bm"))
+
+    def _mass(acc):
+        return acc["run"] * F.length(acc["prev"]).cast("long")
+
+    def _step(acc, w):
+        same = w == acc["prev"]
+        m = _mass(acc)
+        dup = F.when(same, acc["dup"]).otherwise(
+            acc["dup"] + F.when(acc["run"] >= 2, m).otherwise(F.lit(0)))
+        better = (~same) & ((acc["run"] > acc["bc"])
+                            | ((acc["run"] == acc["bc"]) & (m > acc["bm"])))
+        bc = F.when(better, acc["run"]).otherwise(acc["bc"])
+        bm = F.when(better, m).otherwise(acc["bm"])
+        run = F.when(same, acc["run"] + 1).otherwise(F.lit(1).cast("long"))
+        return F.struct(w.alias("prev"), run.alias("run"),
+                        dup.alias("dup"), bc.alias("bc"), bm.alias("bm"))
+
+    def _fin(acc):
+        m = _mass(acc)
+        dup = acc["dup"] + F.when(acc["run"] >= 2, m).otherwise(F.lit(0))
+        better = ((acc["run"] > acc["bc"])
+                  | ((acc["run"] == acc["bc"]) & (m > acc["bm"])))
+        top = F.when(better, m).otherwise(acc["bm"])
+        return F.struct(dup.alias("dup"), top.alias("top"))
+
+    return F.aggregate(F.array_sort(grams), acc0, _step, _fin)
+
+
+def repetition_features(df: DataFrame, text_col: str = "text",
+                        top_ns: "tuple[int, ...]" = (2, 3, 4),
+                        dup_ns: "tuple[int, ...]" = (5, 6, 7, 8, 9, 10)
+                        ) -> DataFrame:
+    """Gopher repetition rules (Rae et al. 2021, Table A1) — the
+    within-document twin of the corpus-level dedup family: adds
+    ``top_{n}gram_char_frac`` (n ∈ ``top_ns``) and
+    ``dup_{n}gram_char_frac`` (n ∈ ``dup_ns``) — the fraction of the
+    document's characters covered by its most frequent word n-gram,
+    respectively by all word n-grams occurring more than once.
+
+    Conventions (documented because thresholds transfer between
+    implementations only if these match): tokens are
+    lower(trim(text)) split on whitespace (the same normalization as
+    :func:`quality_features`); an n-gram's character length counts its
+    tokens plus single joining spaces; duplicate mass counts EVERY
+    occurrence's characters (the common RedPajama/Dolma variant — no
+    overlap discount); the denominator is the raw document length
+    (min 1). Documents with fewer than n tokens score 0.0. Gopher's
+    published cut-offs for the defaults: top 2/3/4-gram ≤ 0.20/0.18/0.16,
+    dup 5..10-gram ≤ 0.15/0.14/0.13/0.12/0.11/0.10.
+
+    Scale shape: pure scan-side Column expressions (no shuffle, no UDF);
+    per row the cost is one gram-array sort + linear fold per n —
+    O(Σn · T) gram characters built, T = token count. Pipelines into the
+    same projection as :func:`quality_features`.
+    """
+    t = F.col(text_col)
+    toks = F.split(F.trim(F.lower(t)), r"\s+")
+    nc = F.greatest(F.length(t), F.lit(1)).cast("double")
+    cols = list(df.columns)
+    for n in top_ns:
+        cols.append((_gram_run_masses(toks, n)["top"] / nc)
+                    .alias(f"top_{n}gram_char_frac"))
+    for n in dup_ns:
+        cols.append((_gram_run_masses(toks, n)["dup"] / nc)
+                    .alias(f"dup_{n}gram_char_frac"))
+    return df.select(*cols)
 
 
 def quality_score(df: DataFrame, text_col: str = "text",
