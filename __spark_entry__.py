@@ -1527,11 +1527,28 @@ def q_text_repetition(spark, sf_dir):
                       *[F.round(c, 6).alias(c) for c in frac_cols])
 
 
+def q_cur_chunk(spark, sf_dir):
+    """Stride-overlapped token-window chunking
+    (curation.chunk_documents): context-window prep with provenance —
+    suffix tail chunks dropped, last chunk always covers the final
+    token, blank docs emit nothing."""
+    from trafaret_spark.operators import curation
+    docs = _t(spark, sf_dir, "documents")
+    out = curation.chunk_documents(docs, max_tokens=16, stride=8)
+    return out.select("doc_id",
+                      F.col("chunk_idx").cast("long").alias("chunk_idx"),
+                      F.col("start_tok").cast("long").alias("start_tok"),
+                      F.col("n_chunk_tokens").cast("long")
+                      .alias("n_chunk_tokens"),
+                      "chunk_text")
+
+
 R7_PENDING_QUERIES = {
     "dedup_exact_inc": q_dedup_exact_inc,
     "dedup_minhash_inc": q_dedup_minhash_inc,
     "dedup_embedding_inc": q_dedup_embedding_inc,
     "text_repetition": q_text_repetition,
+    "cur_chunk": q_cur_chunk,
 }
 
 
@@ -2414,6 +2431,25 @@ def r7_pending_oracles() -> dict[str, str]:
             FROM v WHERE i::DOUBLE / u >= 0.3
               AND (a % 4 = 0 OR b % 4 = 0)""",
         "text_repetition": _text_repetition_oracle(),
+        "cur_chunk": r"""
+            WITH t AS (
+              SELECT doc_id,
+                     CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+                          ELSE string_split_regex(trim(text), '\s+')
+                     END AS toks
+              FROM documents),
+            s AS (
+              SELECT doc_id, toks, len(toks) AS n,
+                     unnest(list_filter(
+                       generate_series(1, len(toks), 8),
+                       s -> s = 1 OR s - 8 + 16 - 1 < len(toks))) AS st
+              FROM t WHERE len(toks) > 0)
+            SELECT doc_id,
+                   (st - 1) // 8 AS chunk_idx,
+                   st AS start_tok,
+                   least(16, n - st + 1) AS n_chunk_tokens,
+                   array_to_string(toks[st:st + 16 - 1], ' ') AS chunk_text
+            FROM s""",
         "dedup_embedding_inc": f"""
             WITH {_lsh_bands_sql(64, 6, 8, 7)},
             cand AS (

@@ -864,3 +864,64 @@ class TestRepetitionFeatures:
         out = textstats.repetition_features(df)
         plan = out._jdf.queryExecution().executedPlan().toString()
         assert "Exchange" not in plan and "EvalPython" not in plan
+
+
+class TestChunkDocuments:
+    """Stride-overlapped token-window chunking: coverage, suffix-drop,
+    provenance, and plan shape."""
+
+    def _chunks(self, spark, rows, **kw):
+        from trafaret_spark.operators import curation
+        df = spark.createDataFrame(rows, "doc_id int, text string")
+        out = curation.chunk_documents(df, **kw)
+        return [(r.doc_id, r.chunk_idx, r.start_tok, r.n_chunk_tokens,
+                 r.chunk_text)
+                for r in out.orderBy("doc_id", "chunk_idx").collect()]
+
+    def test_overlap_and_suffix_drop(self, spark):
+        got = self._chunks(spark, [(1, "t1 t2 t3 t4 t5 t6 t7 t8 t9 t10")],
+                           max_tokens=4, stride=2)
+        # start 9's chunk (t9 t10) is a suffix of start 7's -> dropped;
+        # the last kept chunk covers the final token
+        assert got == [(1, 0, 1, 4, "t1 t2 t3 t4"),
+                       (1, 1, 3, 4, "t3 t4 t5 t6"),
+                       (1, 2, 5, 4, "t5 t6 t7 t8"),
+                       (1, 3, 7, 4, "t7 t8 t9 t10")]
+
+    def test_disjoint_short_and_empty(self, spark):
+        got = self._chunks(spark, [(1, "a b c"), (2, ""), (3, "   "),
+                                   (4, "x1 x2 x3 x4 x5 x6 x7 x8")],
+                           max_tokens=4)
+        # short doc -> one partial chunk; blank docs -> no rows;
+        # exact multiple -> clean disjoint cover
+        assert got == [(1, 0, 1, 3, "a b c"),
+                       (4, 0, 1, 4, "x1 x2 x3 x4"),
+                       (4, 1, 5, 4, "x5 x6 x7 x8")]
+
+    def test_every_token_covered(self, spark):
+        text = " ".join(f"w{i}" for i in range(23))
+        got = self._chunks(spark, [(1, text)], max_tokens=5, stride=3)
+        covered = set()
+        for _, _, start, n, _ in got:
+            covered |= set(range(start, start + n))
+        assert covered == set(range(1, 24))
+        # strict progress: starts are the arithmetic prefix
+        assert [s for _, _, s, _, _ in got] == \
+            sorted({1 + 3 * i for i in range(len(got))})
+
+    def test_param_validation_and_clash(self, spark):
+        from trafaret_spark.operators import curation
+        df = spark.createDataFrame([(1, "a b")], "doc_id int, text string")
+        with pytest.raises(ValueError, match="max_tokens"):
+            curation.chunk_documents(df, 0)
+        with pytest.raises(ValueError, match="stride"):
+            curation.chunk_documents(df, 4, stride=5)
+        with pytest.raises(ValueError, match="already has columns"):
+            curation.chunk_documents(df.withColumn("chunk_idx", F.lit(1)), 4)
+
+    def test_scan_side_plan(self, spark):
+        from trafaret_spark.operators import curation
+        df = spark.createDataFrame([(1, "a b c")], "doc_id int, text string")
+        out = curation.chunk_documents(df, 2, stride=1)
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan and "EvalPython" not in plan

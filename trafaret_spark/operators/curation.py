@@ -38,7 +38,7 @@ from trafaret_spark.operators.colnames import temp_col
 from trafaret_spark.operators.dedup import shingle_hashes
 
 __all__ = ["ngram_decontaminate", "decontaminate", "cap_per_key",
-           "pack_sequences"]
+           "pack_sequences", "chunk_documents"]
 
 
 def ngram_decontaminate(corpus: DataFrame, benchmark: DataFrame,
@@ -221,3 +221,61 @@ def pack_sequences(df: DataFrame, capacity: int,
         F.when(tok > 0, last_pack - pack_id + 1).otherwise(F.lit(1))
         .cast("long").alias("n_chunks"))
     return out.drop(drop_tok) if drop_tok else out
+
+
+def chunk_documents(df: DataFrame, max_tokens: int,
+                    stride: Optional[int] = None, text_col: str = "text",
+                    id_col: str = "doc_id") -> DataFrame:
+    """Stride-overlapped token-window chunking: split each document into
+    chunks of at most ``max_tokens`` whitespace tokens whose starts are
+    ``stride`` tokens apart — the standard context-window prep before
+    embedding or long-document training (``stride == max_tokens`` for
+    disjoint chunks, ``stride < max_tokens`` for overlap).
+
+    Complements :func:`pack_sequences` (which concatenates ACROSS
+    documents under a capacity): chunking cuts WITHIN a document and
+    keeps provenance. Output = the input row fanned out per chunk with
+    ``chunk_idx`` (0-based), ``start_tok`` (1-based token offset of the
+    chunk in the document), ``n_chunk_tokens`` and ``chunk_text``.
+
+    Conventions: tokens are trim + whitespace-split (the
+    ``textstats.token_count`` unit; chunk text re-joins with single
+    spaces, so intra-document whitespace runs are normalized).
+    Whitespace-only documents emit NO chunks (filter them or union back
+    as needed). A tail start whose chunk would be a pure suffix of the
+    previous chunk is dropped — the kept starts are the prefix
+    1, 1+stride, … while the previous chunk does not already reach the
+    document's end, so every document with ≥ 1 token emits ≥ 1 chunk
+    and the last chunk always covers the final token.
+
+    Scale shape: pure scan-side fan-out (one posexplode, no shuffle, no
+    UDF); the gram arrays never materialize more than one document's
+    tokens per row. At 100 TB the output is bounded by
+    ceil(T/stride) chunks per document — budget the downstream
+    partition count for output bytes ≈ input bytes × max_tokens/stride.
+    """
+    if max_tokens < 1:
+        raise ValueError(f"max_tokens must be >= 1, got {max_tokens}")
+    stride = max_tokens if stride is None else stride
+    if not 1 <= stride <= max_tokens:
+        raise ValueError(f"stride must be in [1, max_tokens], got {stride}")
+    clash = {"chunk_idx", "start_tok", "n_chunk_tokens",
+             "chunk_text"} & set(df.columns)
+    if clash:
+        raise ValueError(f"input already has columns {sorted(clash)}; "
+                         f"rename them before chunking")
+    t = F.trim(F.col(text_col))
+    toks = F.split(t, r"\s+")
+    n_tok = F.when(t == "", F.lit(0)).otherwise(F.size(toks))
+    starts = F.when(n_tok > 0, F.filter(
+        F.sequence(F.lit(1), n_tok, F.lit(stride)),
+        lambda s: (s == 1) | (s - stride + max_tokens - 1 < n_tok))
+    ).otherwise(F.array().cast("array<int>"))
+    chunk = F.transform(starts, lambda s: F.struct(
+        s.alias("start_tok"),
+        F.least(F.lit(max_tokens), n_tok - s + 1).alias("n_chunk_tokens"),
+        F.array_join(F.slice(toks, s, max_tokens), " ").alias("chunk_text")))
+    out = df.select("*", F.posexplode(chunk).alias("chunk_idx", "__chunk"))
+    return (out.select("*", "__chunk.start_tok", "__chunk.n_chunk_tokens",
+                       "__chunk.chunk_text")
+            .drop("__chunk"))
