@@ -1543,12 +1543,39 @@ def q_cur_chunk(spark, sf_dir):
                       "chunk_text")
 
 
+def q_text_clean_lines(spark, sf_dir):
+    """C4 line-level cleaning (textstats.clean_lines) over PLANTED line
+    structure: the single-line synthetic docs get deterministic sentence
+    breaks (' batch ' / ' data ' → '.\\n'), a 'lorem ipsum.' line at
+    doc_id % 97 == 0 and a '{' line at doc_id % 89 == 0, so the keep
+    rules, both page flags, and the dropped-line counts are all
+    non-vacuous."""
+    docs = _t(spark, sf_dir, "documents")
+    planted = docs.withColumn(
+        "text",
+        F.concat(
+            F.regexp_replace("text", " (batch|data) ", ".\n"),
+            F.when(F.col("doc_id") % 97 == 0,
+                   F.lit("\nthis is Lorem Ipsum filler text."))
+            .otherwise(F.lit("")),
+            F.when(F.col("doc_id") % 89 == 0,
+                   F.lit("\ncode line with { brace here."))
+            .otherwise(F.lit(""))))
+    out = textstats.clean_lines(planted, min_words=3)
+    return out.select(
+        "doc_id", "text_clean",
+        F.col("n_lines_kept").cast("long").alias("n_lines_kept"),
+        F.col("n_lines_dropped").cast("long").alias("n_lines_dropped"),
+        "has_lorem_ipsum", "has_curly_brace")
+
+
 R7_PENDING_QUERIES = {
     "dedup_exact_inc": q_dedup_exact_inc,
     "dedup_minhash_inc": q_dedup_minhash_inc,
     "dedup_embedding_inc": q_dedup_embedding_inc,
     "text_repetition": q_text_repetition,
     "cur_chunk": q_cur_chunk,
+    "text_clean_lines": q_text_clean_lines,
 }
 
 
@@ -2406,6 +2433,41 @@ def _text_repetition_oracle(top_ns=(2, 3, 4),
         FROM t {" ".join(joins)}"""
 
 
+def _clean_lines_oracle(min_words: int = 3) -> str:
+    """Mirrors q_text_clean_lines: same planted line structure, keep
+    rules generated from textstats.TERMINAL_PUNCT_CLASS so the engine
+    and oracle share one punctuation contract."""
+    from trafaret_spark.operators.textstats import TERMINAL_PUNCT_CLASS
+    cls = TERMINAL_PUNCT_CLASS.replace("'", "''")
+    keep = (f"x -> trim(x) != '' "
+            f"AND len(string_split_regex(trim(x), '\\s+')) >= {min_words} "
+            f"AND regexp_matches(trim(x), '[{cls}]$')")
+    return f"""
+        WITH m AS (
+          SELECT doc_id,
+                 regexp_replace(text, ' (batch|data) ', '.' || chr(10), 'g')
+                 || CASE WHEN doc_id % 97 = 0
+                         THEN chr(10) || 'this is Lorem Ipsum filler text.'
+                         ELSE '' END
+                 || CASE WHEN doc_id % 89 = 0
+                         THEN chr(10) || 'code line with {{ brace here.'
+                         ELSE '' END AS text
+          FROM documents),
+        l AS (
+          SELECT doc_id, text, string_split(text, chr(10)) AS lines,
+                 list_filter(string_split(text, chr(10)), {keep}) AS kept
+          FROM m)
+        SELECT doc_id,
+               -- DuckDB folds the empty-list join to NULL; the engine's
+               -- array_join gives '' — match the engine
+               coalesce(array_to_string(kept, chr(10)), '') AS text_clean,
+               len(kept) AS n_lines_kept,
+               len(lines) - len(kept) AS n_lines_dropped,
+               contains(lower(text), 'lorem ipsum') AS has_lorem_ipsum,
+               contains(text, '{{') AS has_curly_brace
+        FROM l"""
+
+
 def r7_pending_oracles() -> dict[str, str]:
     """Oracles for R7_PENDING_QUERIES (see the comment block there): the
     incremental operators equal the batch pass over (history ∪ batch)
@@ -2431,6 +2493,7 @@ def r7_pending_oracles() -> dict[str, str]:
             FROM v WHERE i::DOUBLE / u >= 0.3
               AND (a % 4 = 0 OR b % 4 = 0)""",
         "text_repetition": _text_repetition_oracle(),
+        "text_clean_lines": _clean_lines_oracle(),
         "cur_chunk": r"""
             WITH t AS (
               SELECT doc_id,

@@ -925,3 +925,64 @@ class TestChunkDocuments:
         out = curation.chunk_documents(df, 2, stride=1)
         plan = out._jdf.queryExecution().executedPlan().toString()
         assert "Exchange" not in plan and "EvalPython" not in plan
+
+
+class TestCleanLines:
+    """C4 line-level cleaning: keep rules, flags, and the filter
+    end-state."""
+
+    DOC = ("Good sentence with words.\n"
+           "short one.\n"                 # < 3 words -> dropped
+           "No terminal punct here\n"     # no punct -> dropped
+           "Ends with a bang!\n"
+           "Is this kept?\n"
+           "\"Quoted ending works.\"\n"
+           "   \n")                       # blank -> dropped
+
+    def test_keep_rules(self, spark):
+        from trafaret_spark.operators import textstats
+        df = spark.createDataFrame([(1, self.DOC)],
+                                   "doc_id int, text string")
+        r = textstats.clean_lines(df).collect()[0]
+        assert r.text_clean.split("\n") == [
+            "Good sentence with words.", "Ends with a bang!",
+            "Is this kept?", "\"Quoted ending works.\""]
+        # 8 split elements: 7 physical lines + the empty string after the
+        # trailing newline — 4 kept, 4 dropped
+        assert r.n_lines_kept == 4 and r.n_lines_dropped == 4
+        assert not r.has_lorem_ipsum and not r.has_curly_brace
+
+    def test_flags_and_punct_opt_out(self, spark):
+        from trafaret_spark.operators import textstats
+        df = spark.createDataFrame(
+            [(1, "some Lorem Ipsum filler text"),
+             (2, "function f() { return 1; }"),
+             (3, "three plain words\nand two\nmore here yes")],
+            "doc_id int, text string")
+        got = {r.doc_id: r for r in textstats.clean_lines(
+            df, require_terminal_punct=False).collect()}
+        assert got[1].has_lorem_ipsum and not got[1].has_curly_brace
+        assert got[2].has_curly_brace
+        # without the punct rule only the word-count rule applies
+        assert got[3].n_lines_kept == 2 and got[3].n_lines_dropped == 1
+
+    def test_c4_filter_end_state(self, spark):
+        from trafaret_spark.operators import textstats
+        df = spark.createDataFrame(
+            [(1, self.DOC),                          # 4 lines kept -> stays
+             (2, "Only one good line here.\nbad"),   # < 3 kept -> dropped
+             (3, self.DOC + "\nlorem ipsum."),       # flag -> dropped
+             (4, self.DOC.replace("bang", "{ang"))], # flag -> dropped
+            "doc_id int, text string")
+        out = textstats.c4_filter(df, min_lines_kept=3)
+        rows = out.collect()
+        assert [r.doc_id for r in rows] == [1]
+        assert rows[0].text.split("\n")[0] == "Good sentence with words."
+        assert out.columns == df.columns  # schema preserved
+
+    def test_scan_side_plan(self, spark):
+        from trafaret_spark.operators import textstats
+        df = spark.createDataFrame([(1, "a b c.")], "doc_id int, text string")
+        plan = (textstats.c4_filter(df)._jdf.queryExecution()
+                .executedPlan().toString())
+        assert "Exchange" not in plan and "EvalPython" not in plan

@@ -14,9 +14,17 @@ from pyspark.sql import functions as F
 
 __all__ = [
     "token_count", "bpe_ish_token_count", "token_counter_udf",
-    "quality_features", "quality_score", "repetition_features", "lang_id",
+    "quality_features", "quality_score", "repetition_features",
+    "clean_lines", "c4_filter", "TERMINAL_PUNCT_CLASS", "lang_id",
     "fingerprint", "redact_pii", "PII_PATTERNS", "corpus_report",
 ]
+
+# C4's "terminal punctuation" (Raffel et al. 2020 §2.2): period,
+# exclamation/question mark, or an end quotation mark. One shared char
+# class so the engine's rlike and any SQL oracle can't drift (valid and
+# identical under Java regex and RE2/DuckDB — no escapes needed inside
+# the class except the literal quote handled by each host language).
+TERMINAL_PUNCT_CLASS = ".!?\"'”’"
 
 # Engine-agnostic PII patterns (valid and identical under Java regex AND
 # RE2/DuckDB — no lookarounds, no backrefs; \b is ASCII-word in both) so the
@@ -409,3 +417,61 @@ def corpus_report(df: DataFrame, by: "str | list[str]" = "lang",
                         F.round(F.col("n_docs") / F.col(rc), 6))
             .drop(rc)
             .orderBy(*by))
+
+
+def clean_lines(df: DataFrame, text_col: str = "text", min_words: int = 3,
+                require_terminal_punct: bool = True,
+                name: str = "text_clean") -> DataFrame:
+    """C4-style line-level cleaning (Raffel et al. 2020 §2.2), the
+    audit-preserving form: re-emit every input row with ``name`` = the
+    text rebuilt from only the lines that (a) are non-blank, (b) hold at
+    least ``min_words`` whitespace words, and (c) — when
+    ``require_terminal_punct`` — end in C4's terminal punctuation
+    (``TERMINAL_PUNCT_CLASS``, after right-trimming spaces). Adds
+    ``n_lines_kept`` / ``n_lines_dropped`` plus C4's two page-level
+    red flags as columns: ``has_lorem_ipsum`` (case-insensitive) and
+    ``has_curly_brace`` (code markup). Nothing is dropped here — this is
+    the observable stage; :func:`c4_filter` is the end-state that
+    actually removes rows.
+
+    All native array/regex expressions, zero shuffle — pipelines into
+    the same scan as :func:`quality_features`. Lines are split on
+    ``\\n`` only (normalize ``\\r\\n`` upstream); blank-only docs yield
+    an empty ``name`` with everything counted dropped.
+    """
+    t = F.col(text_col)
+    lines = F.split(t, "\n")
+    punct_re = "[" + TERMINAL_PUNCT_CLASS + "]$"
+
+    def _keep(l):
+        lt = F.trim(l)
+        cond = (lt != "") & (F.size(F.split(lt, r"\s+")) >= min_words)
+        if require_terminal_punct:
+            cond = cond & lt.rlike(punct_re)
+        return cond
+
+    kept = F.filter(lines, _keep)
+    return df.select(
+        "*",
+        F.array_join(kept, "\n").alias(name),
+        F.size(kept).alias("n_lines_kept"),
+        (F.size(lines) - F.size(kept)).alias("n_lines_dropped"),
+        F.lower(t).contains("lorem ipsum").alias("has_lorem_ipsum"),
+        t.contains("{").alias("has_curly_brace"))
+
+
+def c4_filter(df: DataFrame, text_col: str = "text", min_words: int = 3,
+              require_terminal_punct: bool = True,
+              min_lines_kept: int = 3) -> DataFrame:
+    """The C4 end-state: :func:`clean_lines`, then DROP documents that
+    trip a page-level flag (lorem ipsum, curly brace) or retain fewer
+    than ``min_lines_kept`` lines; surviving rows carry the cleaned text
+    in ``text_col`` (original schema preserved — audit columns removed).
+    Still one scan-side projection + filter: predicate pushdown and
+    column pruning pass straight through."""
+    cleaned = clean_lines(df, text_col, min_words, require_terminal_punct)
+    keep = (~F.col("has_lorem_ipsum") & ~F.col("has_curly_brace")
+            & (F.col("n_lines_kept") >= min_lines_kept))
+    out_cols = [F.col("text_clean").alias(text_col) if c == text_col
+                else F.col(c) for c in df.columns]
+    return cleaned.filter(keep).select(*out_cols)
