@@ -986,3 +986,37 @@ class TestCleanLines:
         plan = (textstats.c4_filter(df)._jdf.queryExecution()
                 .executedPlan().toString())
         assert "Exchange" not in plan and "EvalPython" not in plan
+
+
+class TestEmbeddingStreamingSink:
+    """stream_embedding_dedup_sink: the micro-batched union of pair
+    outputs equals the full-batch candidate set (same contract the
+    minhash sink pins)."""
+
+    def test_streaming_sink_covers_full_candidates(self, spark, tmp_path):
+        from trafaret_spark import streaming
+        from trafaret_spark.operators import similarity
+        vecs = _inc_vecs(spark)
+        src = str(tmp_path / "src")
+        for m in range(3):
+            vecs.filter(F.col("vec_id") % 3 == m).coalesce(1) \
+                .write.mode("overwrite").parquet(f"{src}/batch{m}")
+        idx = str(tmp_path / "idx")
+        pairs = str(tmp_path / "pairs")
+        kw = dict(nbits=6, bands=4, dim=16)
+        stream = (spark.readStream
+                  .schema("vec_id long, embedding array<double>")
+                  .option("maxFilesPerTrigger", 1)
+                  .parquet(src + "/batch*"))
+        q = (stream.writeStream
+             .foreachBatch(streaming.stream_embedding_dedup_sink(
+                 idx, pairs, **kw))
+             .option("checkpointLocation", str(tmp_path / "ckpt"))
+             .start())
+        q.processAllAvailable()
+        q.stop()
+        got = {(r.a, r.b) for r in
+               spark.read.parquet(pairs).select("a", "b").collect()}
+        full = {(r.a, r.b) for r in similarity.cosine_neardup(
+            vecs, threshold=-1.1, **{**kw, "seed": 7}).collect()}
+        assert got == full and got

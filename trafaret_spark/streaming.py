@@ -35,7 +35,8 @@ from trafaret_spark.schema import Schema
 from trafaret_spark.validate import apply_schema
 
 __all__ = ["validate_stream", "stream_sessionize", "running_turn_stats",
-           "stream_exact_dedup", "stream_minhash_dedup_sink"]
+           "stream_exact_dedup", "stream_minhash_dedup_sink",
+           "stream_embedding_dedup_sink"]
 
 
 def validate_stream(stream_df: DataFrame, schema: Schema,
@@ -104,10 +105,32 @@ def stream_minhash_dedup_sink(index_path: str, pairs_path: str, **kw):
              .option("checkpointLocation", ckpt).start())
     """
     from trafaret_spark.operators.dedup import minhash_index_ingest
+    return _ingest_sink(minhash_index_ingest, index_path, pairs_path, **kw)
 
+
+def stream_embedding_dedup_sink(index_path: str, pairs_path: str, **kw):
+    """The embedding twin of :func:`stream_minhash_dedup_sink`: each
+    micro-batch of ``(vec_id, embedding)`` rows is sign-LSH-bucketed
+    once, appended to the persisted band-index store
+    (``similarity.embedding_index_ingest``), and its incremental
+    candidate pairs vs all history land under
+    ``pairs_path/ingest_batch=<id>`` — same store layout, same
+    effectively-once replay contract, no state store. ``**kw`` forwards
+    to the ingest (LSH params must stay fixed per store); feed the pair
+    stream to an exact-cosine verify against the vector table when
+    scores are needed."""
+    from trafaret_spark.operators.similarity import embedding_index_ingest
+    return _ingest_sink(embedding_index_ingest, index_path, pairs_path,
+                        **kw)
+
+
+def _ingest_sink(ingest_fn, index_path: str, pairs_path: str, **kw):
+    """Shared foreachBatch body: ingest the micro-batch into the index
+    store, write its candidate pairs under the batch-id partition (both
+    dynamic overwrites keyed by micro-batch id — replay-idempotent)."""
     def _sink(batch_df: DataFrame, batch_id: int) -> None:
         bid = str(batch_id)
-        pairs = minhash_index_ingest(batch_df, index_path, bid, **kw)
+        pairs = ingest_fn(batch_df, index_path, bid, **kw)
         (pairs.withColumn("ingest_batch", F.lit(bid))
          .write.mode("overwrite")
          .option("partitionOverwriteMode", "dynamic")
