@@ -1569,6 +1569,19 @@ def q_text_clean_lines(spark, sf_dir):
         "has_lorem_ipsum", "has_curly_brace")
 
 
+def q_text_dup_spans(spark, sf_dir):
+    """Exact-substring duplication report (dedup.dup_span_report,
+    portable hash family): per-document fraction of tokens covered by
+    the union of corpus-duplicated 5-token runs — the Lee et al.
+    ExactSubstr signal at report level."""
+    docs = _t(spark, sf_dir, "documents")
+    out = dedup.dup_span_report(docs, k=5, portable=True)
+    return out.select("doc_id",
+                      F.col("n_tokens").cast("long").alias("n_tokens"),
+                      "n_grams", "n_dup_grams",
+                      "dup_gram_frac", "dup_token_coverage")
+
+
 R7_PENDING_QUERIES = {
     "dedup_exact_inc": q_dedup_exact_inc,
     "dedup_minhash_inc": q_dedup_minhash_inc,
@@ -1576,6 +1589,7 @@ R7_PENDING_QUERIES = {
     "text_repetition": q_text_repetition,
     "cur_chunk": q_cur_chunk,
     "text_clean_lines": q_text_clean_lines,
+    "text_dup_spans": q_text_dup_spans,
 }
 
 
@@ -2433,6 +2447,68 @@ def _text_repetition_oracle(top_ns=(2, 3, 4),
         FROM t {" ".join(joins)}"""
 
 
+def _dup_spans_oracle(k: int = 5, min_count: int = 2) -> str:
+    """Mirrors dedup.dup_span_report (portable family): positional
+    k-gram hashes, corpus-wide frequency cut, span-union coverage via a
+    per-doc window — spans all have length k, so the previous position's
+    capped end is the running coverage frontier (lag(pos)+k-1), exactly
+    the engine's sorted-position fold."""
+    toks = _NORM_TOKS.format(src="text")
+    gram = "th[i+1]"
+    for j in range(2, k + 1):
+        gram = f"(({gram}) * 1000003 + th[i+{j}]) % {_M31}"
+    fold = (f"list_reduce(list_prepend(CAST(0 AS BIGINT), th), "
+            f"(a, b) -> (a * 1000003 + b) % {_M31})")
+    return f"""
+        WITH toks AS (
+          SELECT doc_id,
+                 list_transform({toks}, t -> {_sql_tok31('t')}) AS th
+          FROM documents),
+        pg AS (
+          SELECT doc_id, len(th) AS n_tokens,
+                 CASE WHEN len(th) >= {k} THEN
+                   list_transform(range(len(th) - {k - 1}), i -> {gram})
+                 ELSE [{fold}] END AS pgs
+          FROM toks),
+        e AS (
+          SELECT doc_id, n_tokens, unnest(pgs) AS gram,
+                 generate_subscripts(pgs, 1) - 1 AS pos
+          FROM pg),
+        f AS (SELECT gram FROM e GROUP BY gram
+              HAVING count(*) >= {min_count}),
+        fl AS (SELECT e.*, f.gram IS NOT NULL AS isdup
+               FROM e LEFT JOIN f USING (gram)),
+        d AS (
+          SELECT doc_id, any_value(n_tokens) AS n_tokens,
+                 count(*) AS n_grams,
+                 count(*) FILTER (isdup) AS n_dup_grams
+          FROM fl GROUP BY doc_id),
+        lg AS (
+          SELECT doc_id, pos, n_tokens,
+                 lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS lp
+          FROM fl WHERE isdup),
+        c AS (
+          -- DuckDB least/greatest IGNORE NULLs (Spark's propagate), so
+          -- the no-previous-span case needs an explicit branch
+          SELECT doc_id,
+                 CASE WHEN lp IS NULL THEN pos
+                      ELSE greatest(least(lp + {k} - 1, n_tokens - 1) + 1,
+                                    pos) END AS s,
+                 least(pos + {k} - 1, n_tokens - 1) AS e
+          FROM lg),
+        cov AS (
+          SELECT doc_id,
+                 sum(CASE WHEN e >= s THEN e - s + 1 ELSE 0 END) AS covered
+          FROM c GROUP BY doc_id)
+        SELECT d.doc_id, d.n_tokens, d.n_grams, d.n_dup_grams,
+               round(d.n_dup_grams / greatest(d.n_grams, 1)::DOUBLE, 9)
+                 AS dup_gram_frac,
+               round(coalesce(cov.covered, 0)
+                     / greatest(d.n_tokens, 1)::DOUBLE, 9)
+                 AS dup_token_coverage
+        FROM d LEFT JOIN cov USING (doc_id)"""
+
+
 def _clean_lines_oracle(min_words: int = 3) -> str:
     """Mirrors q_text_clean_lines: same planted line structure, keep
     rules generated from textstats.TERMINAL_PUNCT_CLASS so the engine
@@ -2494,6 +2570,7 @@ def r7_pending_oracles() -> dict[str, str]:
               AND (a % 4 = 0 OR b % 4 = 0)""",
         "text_repetition": _text_repetition_oracle(),
         "text_clean_lines": _clean_lines_oracle(),
+        "text_dup_spans": _dup_spans_oracle(),
         "cur_chunk": r"""
             WITH t AS (
               SELECT doc_id,

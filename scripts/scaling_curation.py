@@ -368,6 +368,63 @@ def main() -> None:
             }
         out["inc_ingest"] = inc_out
 
+    if which == "incemb":
+        # The embedding twin of "inc": a fixed 10k-vector batch ingested
+        # via similarity.embedding_index_ingest against persisted
+        # sign-LSH band-index stores built from history prefixes of
+        # 1x / 2x / 4x size, vs the naive alternative — re-bucketing the
+        # whole (history ∪ batch) corpus and emitting all candidate
+        # pairs (expressed through the SAME probe with the union as one
+        # batch and empty history, so both legs end at the identical
+        # candidate-pair surface and differ only in what gets
+        # re-bucketed). Ingest time INCLUDES its index write.
+        from trafaret_spark import io as ts_io
+        vecs = spark.read.parquet(emb_path).select("vec_id", "embedding")
+        hist_full = N_VECS - INC_BATCH
+        batch = vecs.filter(F.col("vec_id") >= hist_full)
+        kw = dict(nbits=10, bands=4, dim=DIM)
+        sizes = [hist_full // 4, hist_full // 2, hist_full]
+        inc_out = {"batch_vecs": INC_BATCH, "by_history_size": {}}
+        for hs in sizes:
+            store = f"{CACHE}/incemb_store_{N_VECS}_{hs}"
+            if not os.path.exists(os.path.join(store, "band=0")):
+                hist_idx = similarity.embedding_band_index(
+                    vecs.filter(F.col("vec_id") < hs), **kw) \
+                    .withColumn("ingest_batch", F.lit("hist"))
+                ts_io.write_bucketed(hist_idx, store, bucket_col="band",
+                                     extra_partition_cols=["ingest_batch"])
+            # untimed counting pass ALSO audits the cap: the synthetic
+            # corpus is 64-cluster structured, so whole clusters cross
+            # max_bucket_size as history grows — candidate cardinality is
+            # cap-governed, and the drop counts make that observable
+            stats: dict = {}
+            with warnings.catch_warnings():
+                warnings.simplefilter("ignore", RuntimeWarning)
+                n_pairs = similarity.embedding_index_ingest(
+                    batch, store, "probe", on_drop="warn",
+                    drop_stats=stats, **kw).count()
+            stats.pop("unpersist")()
+            m_inc = measure(lambda: similarity.embedding_index_ingest(
+                batch, store, "probe", **kw))
+            union = vecs.filter((F.col("vec_id") < hs)
+                                | (F.col("vec_id") >= hist_full))
+
+            def full_batch():
+                u_idx = similarity.embedding_band_index(union, **kw)
+                return similarity.embedding_lsh_candidates_incremental(
+                    u_idx, u_idx.limit(0))
+
+            m_full = measure(full_batch)
+            inc_out["by_history_size"][str(hs)] = {
+                "ingest": m_inc, "full_batch": m_full,
+                "candidate_pairs": n_pairs,
+                "dropped_buckets": stats["dropped_buckets"],
+                "dropped_rows": stats["dropped_rows"],
+                "speedup": round(m_full["seconds_min"]
+                                 / m_inc["seconds_min"], 2),
+            }
+        out["incemb_ingest"] = inc_out
+
     print(json.dumps(out))
 
 

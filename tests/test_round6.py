@@ -1020,3 +1020,63 @@ class TestEmbeddingStreamingSink:
         full = {(r.a, r.b) for r in similarity.cosine_neardup(
             vecs, threshold=-1.1, **{**kw, "seed": 7}).collect()}
         assert got == full and got
+
+
+class TestDupSpanReport:
+    """Exact-substring duplication report: span-union coverage (overlaps
+    counted once), whole-text fold for short docs, corpus-wide counting."""
+
+    ROWS = [
+        (1, "a b c d e f g h"),    # every 3-gram shared with doc 4
+        (2, "x y c d e z w q"),    # one shared run "c d e"
+        (3, "unique words only here"),
+        (4, "a b c d e f g h"),    # exact dup of 1
+        (5, "pp qq"),              # short: whole-text gram
+        (6, "pp qq"),              # short exact dup
+    ]
+
+    def _report(self, spark, rows, **kw):
+        from trafaret_spark.operators import dedup
+        df = spark.createDataFrame(rows, "doc_id int, text string")
+        return {r.doc_id: r for r in
+                dedup.dup_span_report(df, **kw).collect()}
+
+    def test_values(self, spark):
+        got = self._report(spark, self.ROWS, k=3, portable=True)
+        assert got[1].dup_token_coverage == 1.0
+        assert got[1].dup_gram_frac == 1.0
+        # doc 2: the single shared 3-gram at position 2 covers 3 of 8
+        assert got[2].n_dup_grams == 1
+        assert abs(got[2].dup_token_coverage - 3 / 8) < 1e-9
+        assert got[3].n_dup_grams == 0
+        assert got[3].dup_token_coverage == 0.0
+        # short exact dups: whole-text gram, full coverage
+        assert got[5].n_grams == 1 and got[5].dup_token_coverage == 1.0
+
+    def test_overlapping_spans_count_once(self, spark):
+        # "m n o p" shared twice WITHIN one doc at overlapping offsets:
+        # spans [0..3] and [5..8] in doc 1 (both occurrences duplicated
+        # because the gram count is corpus-wide >= 2)
+        rows = [(1, "m n o p q m n o p"),
+                (2, "zz yy xx")]
+        got = self._report(spark, rows, k=4, portable=True)
+        # grams of doc 1: mnop(0) nopq(1) opqm(2) pqmn(3) qmno(4) mnop(5)
+        # -> only "m n o p" repeats; spans [0..3] + [5..8] = 8 of 9 tokens
+        assert got[1].n_dup_grams == 2
+        assert abs(got[1].dup_token_coverage - 8 / 9) < 1e-9
+
+    def test_adjacent_overlap_union(self, spark):
+        # duplicated grams at positions 0 and 1 overlap: union covers
+        # tokens 0..3 (4 of 5), not 6
+        rows = [(1, "a b c d e"), (2, "a b c d zz")]
+        got = self._report(spark, rows, k=3, portable=True)
+        assert got[1].n_dup_grams == 2  # abc, bcd shared
+        assert abs(got[1].dup_token_coverage - 4 / 5) < 1e-9
+
+    def test_param_validation(self, spark):
+        from trafaret_spark.operators import dedup
+        df = spark.createDataFrame([(1, "a")], "doc_id int, text string")
+        with pytest.raises(ValueError, match="k must"):
+            dedup.dup_span_report(df, k=0)
+        with pytest.raises(ValueError, match="min_count"):
+            dedup.dup_span_report(df, min_count=1)

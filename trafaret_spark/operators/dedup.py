@@ -57,6 +57,7 @@ __all__ = [
     "simhash", "simhash_dedup", "jaccard", "ngram_jaccard_pairs",
     "connected_components", "keep_canonical",
     "winnow_fingerprints", "winnow_dedup", "capped_blocks",
+    "dup_span_report",
 ]
 
 
@@ -1093,3 +1094,73 @@ def winnow_dedup(df: DataFrame, text_col: str = "text",
     return (pairs.groupBy("a", "b")
             .agg(F.count(F.lit(1)).alias("n_shared"))
             .filter(F.col("n_shared") >= min_shared))
+
+
+def dup_span_report(df: DataFrame, text_col: str = "text",
+                    id_col: str = "doc_id", k: int = 20,
+                    min_count: int = 2, portable: bool = False) -> DataFrame:
+    """Exact-substring duplication report (the per-document signal behind
+    Lee et al. 2022's ExactSubstr dedup): for every document, how much of
+    it is covered by runs of ``k`` consecutive tokens that appear at
+    least ``min_count`` times ACROSS THE CORPUS (its own repeats
+    included). One row per input row: ``n_tokens`` (normalized),
+    ``n_grams`` (positional k-grams), ``n_dup_grams``,
+    ``dup_gram_frac``, and ``dup_token_coverage`` — the fraction of
+    tokens inside the UNION of duplicated k-gram spans (overlaps counted
+    once, unlike per-occurrence gram fractions). Tokenization shares
+    :func:`normalize_text` with the minhash family, so "duplicated" here
+    agrees with what the dedup operators see; documents shorter than
+    ``k`` tokens fold to one whole-text gram (an exact short duplicate
+    reads coverage 1.0).
+
+    Plan shape at 100 TB: three exchanges, all on uniform keys — (1) the
+    gram-frequency groupBy, (2) a left join of the positional grams
+    against the DISTINCT duplicated-gram keys (one row per key, so the
+    join output is exactly the gram count — a hot boilerplate gram skews
+    the build side by one row, never the output), (3) the per-document
+    groupBy whose collect_list holds one document's duplicated-gram
+    positions only. The span-union fold is a linear pass over those
+    sorted positions (spans have equal length k, so a running capped end
+    suffices). ``portable=True`` selects the md5/mod-M31 gram family a
+    SQL oracle reproduces bit-for-bit.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    if min_count < 2:
+        raise ValueError(f"min_count must be >= 2, got {min_count}")
+    n_toks = F.size(F.split(normalize_text(F.col(text_col)), r"\s+"))
+    base = df.select(
+        F.col(id_col), n_toks.alias("n_tokens"),
+        F.posexplode(_positional_gram_hashes(F.col(text_col), k, portable))
+        .alias("pos", "gram"))
+    dup = (base.groupBy("gram").agg(F.count(F.lit(1)).alias("__c"))
+           .filter(F.col("__c") >= min_count)
+           .select("gram", F.lit(1).alias("__d")))
+    flagged = base.join(dup, "gram", "left")
+    per_doc = (flagged.groupBy(id_col)
+               .agg(F.max("n_tokens").alias("n_tokens"),
+                    F.count(F.lit(1)).alias("n_grams"),
+                    F.count("__d").alias("n_dup_grams"),
+                    F.sort_array(F.collect_list(
+                        F.when(F.col("__d").isNotNull(), F.col("pos"))))
+                    .alias("__ps")))
+    n1 = F.col("n_tokens").cast("long")
+    acc0 = F.struct(F.lit(-1).cast("long").alias("end"),
+                    F.lit(0).cast("long").alias("tot"))
+
+    def _step(acc, p):
+        s = F.greatest(acc["end"] + 1, p.cast("long"))
+        e = F.least(p.cast("long") + k - 1, n1 - 1)
+        add = F.when(e >= s, e - s + 1).otherwise(F.lit(0))
+        return F.struct(F.greatest(acc["end"], e).alias("end"),
+                        (acc["tot"] + add).alias("tot"))
+
+    covered = F.aggregate(F.col("__ps"), acc0, _step, lambda a: a["tot"])
+    safe_g = F.greatest(F.col("n_grams"), F.lit(1)).cast("double")
+    safe_t = F.greatest(n1, F.lit(1)).cast("double")
+    return per_doc.select(
+        id_col, "n_tokens",
+        F.col("n_grams").cast("long").alias("n_grams"),
+        F.col("n_dup_grams").cast("long").alias("n_dup_grams"),
+        F.round(F.col("n_dup_grams") / safe_g, 9).alias("dup_gram_frac"),
+        F.round(covered / safe_t, 9).alias("dup_token_coverage"))
