@@ -1582,6 +1582,19 @@ def q_text_dup_spans(spark, sf_dir):
                       "dup_gram_frac", "dup_token_coverage")
 
 
+def q_lm_dsir(spark, sf_dir):
+    """DSIR importance log-weights (lmscore.dsir_logweights): target
+    bigram LM trained on the in-domain exemplar slice (lang = 'en'),
+    source LM on the raw-corpus sample (doc_id % 5 == 0), every document
+    weighted by the exact quantized-integer log-probability difference."""
+    docs = _t(spark, sf_dir, "documents")
+    target = lmscore.train_bigram_lm(docs.filter(F.col("lang") == "en"))
+    source = lmscore.train_bigram_lm(docs.filter(F.col("doc_id") % 5 == 0))
+    out = lmscore.dsir_logweights(docs, target, source)
+    return out.select("doc_id", "n_bigrams",
+                      F.round("logw_bits", 6).alias("logw_bits"))
+
+
 R7_PENDING_QUERIES = {
     "dedup_exact_inc": q_dedup_exact_inc,
     "dedup_minhash_inc": q_dedup_minhash_inc,
@@ -1590,6 +1603,7 @@ R7_PENDING_QUERIES = {
     "cur_chunk": q_cur_chunk,
     "text_clean_lines": q_text_clean_lines,
     "text_dup_spans": q_text_dup_spans,
+    "lm_dsir": q_lm_dsir,
 }
 
 
@@ -2447,6 +2461,55 @@ def _text_repetition_oracle(top_ns=(2, 3, 4),
         FROM t {" ".join(joins)}"""
 
 
+def _dsir_oracle(alpha: float = 0.5) -> str:
+    """Mirror lmscore.dsir_logweights over q_lm_dsir's model recipe:
+    target trained on lang='en', source on doc_id%5=0, per-bigram
+    quantized log-prob DIFFERENCE (each model floor-quantized separately,
+    exactly the engine's integer arithmetic) summed per document."""
+    ln2 = __import__("math").log(2.0)
+    pairs = ("unnest(list_transform(range(greatest(len(tk) - 1, 0)), "
+             "i -> {'w1': tk[i + 1], 'w2': tk[i + 2]}))")
+    return f"""
+        WITH toks AS (SELECT doc_id, lang, {_TOKS_SQL} AS tk
+                      FROM documents),
+        tt AS (SELECT tk FROM toks WHERE lang = 'en'),
+        tp AS (SELECT p.w1, p.w2 FROM (SELECT {pairs} AS p FROM tt) x),
+        c2t AS (SELECT w1, w2, count(*) AS c2 FROM tp GROUP BY w1, w2),
+        c1t AS (SELECT w1, count(*) AS c1 FROM tp GROUP BY w1),
+        vt AS (SELECT count(DISTINCT u.w) + 1 AS vs
+               FROM tt, unnest(tk) AS u(w)),
+        ts AS (SELECT tk FROM toks WHERE doc_id % 5 = 0),
+        sp AS (SELECT p.w1, p.w2 FROM (SELECT {pairs} AS p FROM ts) x),
+        c2s AS (SELECT w1, w2, count(*) AS c2 FROM sp GROUP BY w1, w2),
+        c1s AS (SELECT w1, count(*) AS c1 FROM sp GROUP BY w1),
+        vs_ AS (SELECT count(DISTINCT u.w) + 1 AS vs
+                FROM ts, unnest(tk) AS u(w)),
+        dpairs AS (
+          SELECT doc_id, p.w1, p.w2 FROM (
+            SELECT doc_id, {pairs} AS p FROM toks) x),
+        lq AS (
+          SELECT d.doc_id,
+                 CAST(floor(ln((coalesce(c2t.c2, 0) + {alpha!r})
+                               / (coalesce(c1t.c1, 0) + {alpha!r} * vt.vs))
+                            * 1000000) AS BIGINT)
+                 - CAST(floor(ln((coalesce(c2s.c2, 0) + {alpha!r})
+                               / (coalesce(c1s.c1, 0) + {alpha!r} * vs_.vs))
+                              * 1000000) AS BIGINT) AS dq
+          FROM dpairs d
+          LEFT JOIN c2t ON d.w1 = c2t.w1 AND d.w2 = c2t.w2
+          LEFT JOIN c1t ON d.w1 = c1t.w1
+          LEFT JOIN c2s ON d.w1 = c2s.w1 AND d.w2 = c2s.w2
+          LEFT JOIN c1s ON d.w1 = c1s.w1
+          CROSS JOIN vt CROSS JOIN vs_),
+        agg AS (SELECT doc_id, count(*) AS n, CAST(sum(dq) AS BIGINT) AS s
+                FROM lq GROUP BY doc_id)
+        SELECT b.doc_id,
+               CAST(coalesce(agg.n, 0) AS BIGINT) AS n_bigrams,
+               round((agg.s / 1000000.0) / {ln2!r}, 6) AS logw_bits
+        FROM (SELECT DISTINCT doc_id FROM documents) b
+        LEFT JOIN agg USING (doc_id)"""
+
+
 def _dup_spans_oracle(k: int = 5, min_count: int = 2) -> str:
     """Mirrors dedup.dup_span_report (portable family): positional
     k-gram hashes, corpus-wide frequency cut, span-union coverage via a
@@ -2571,6 +2634,7 @@ def r7_pending_oracles() -> dict[str, str]:
         "text_repetition": _text_repetition_oracle(),
         "text_clean_lines": _clean_lines_oracle(),
         "text_dup_spans": _dup_spans_oracle(),
+        "lm_dsir": _dsir_oracle(),
         "cur_chunk": r"""
             WITH t AS (
               SELECT doc_id,

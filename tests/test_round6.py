@@ -1080,3 +1080,62 @@ class TestDupSpanReport:
             dedup.dup_span_report(df, k=0)
         with pytest.raises(ValueError, match="min_count"):
             dedup.dup_span_report(df, min_count=1)
+
+
+class TestDsir:
+    """DSIR importance weighting: sign/ordering of log-weights, NULL
+    evidence handling, and the Gumbel-top-k selection contract."""
+
+    def _corpora(self, spark):
+        from trafaret_spark.operators import lmscore
+        target_train = spark.createDataFrame(
+            [(100 + i, "alpha beta gamma delta") for i in range(4)],
+            "doc_id long, text string")
+        source_train = spark.createDataFrame(
+            [(200 + i, "omega psi chi phi") for i in range(4)],
+            "doc_id long, text string")
+        t = lmscore.train_bigram_lm(target_train)
+        s = lmscore.train_bigram_lm(source_train)
+        docs = spark.createDataFrame(
+            [(1, "alpha beta gamma"),     # target-like -> positive
+             (2, "omega psi chi"),        # source-like -> negative
+             (3, "zz"),                   # < 2 tokens -> NULL
+             (4, "alpha beta alpha beta")],
+            "doc_id long, text string")
+        return t, s, docs
+
+    def test_logweights_sign_and_null(self, spark):
+        from trafaret_spark.operators import lmscore
+        t, s, docs = self._corpora(spark)
+        got = {r.doc_id: r for r in
+               lmscore.dsir_logweights(docs, t, s).collect()}
+        assert got[1].logw_bits > 0 > got[2].logw_bits
+        assert got[3].logw_bits is None and got[3].n_bigrams == 0
+        assert got[4].n_bigrams == 3
+        # net target-leaning despite one unseen (beta, alpha) bigram
+        assert got[4].logw_bits > 0
+
+    def test_top_k_matches_bruteforce_and_salting(self, spark):
+        from trafaret_spark.operators import lmscore
+        t, s, docs = self._corpora(spark)
+        out = lmscore.dsir_top_k(docs, 2, t, s, seed=7)
+        # brute force: rank ALL eligible docs by the same audit key the
+        # operator emits; its kept set must be the key's true top-2
+        all_keys = {r.doc_id: r["dsir_key"] for r in
+                    lmscore.dsir_top_k(docs, 10, t, s, seed=7).collect()}
+        expect = set(sorted(all_keys, key=lambda d: -all_keys[d])[:2])
+        assert {r.doc_id for r in out.collect()} == expect
+        # NULL-evidence doc never selected even with room
+        assert 3 not in all_keys
+        # salted two-phase == plain window
+        salted = lmscore.dsir_top_k(docs, 2, t, s, seed=7,
+                                    salt_partitions=4)
+        assert {r.doc_id for r in salted.collect()} == expect
+
+    def test_portable_hash_family(self, spark):
+        from trafaret_spark.operators import lmscore
+        t, s, docs = self._corpora(spark)
+        rows = lmscore.dsir_top_k(docs, 3, t, s, seed=7,
+                                  portable=True).collect()
+        assert len(rows) == 3 and all(
+            r["dsir_key"] is not None for r in rows)

@@ -42,7 +42,8 @@ from trafaret_spark.operators.dedup import _ngram_fold
 from trafaret_spark.operators.retrieval import tokens
 
 __all__ = ["BigramLM", "train_bigram_lm", "lm_score", "lm_bucket",
-           "lm_bucket_edges", "lm_bucket_by_key", "LOGP_SCALE"]
+           "lm_bucket_edges", "lm_bucket_by_key", "LOGP_SCALE",
+           "dsir_logweights", "dsir_top_k"]
 
 LOGP_SCALE = 1_000_000
 
@@ -251,3 +252,99 @@ def lm_bucket_by_key(df: DataFrame, edges: DataFrame,
         lab = F.array(*[F.lit(s) for s in labels])
         b = F.try_element_at(lab, b + F.lit(1))  # ANSI-proof (see lm_bucket)
     return j.withColumn(out_col, b).drop(ec)
+
+
+def dsir_logweights(df: DataFrame, target: BigramLM, source: BigramLM,
+                    id_col: str = "doc_id", text_col: str = "text",
+                    broadcast_models: bool = False) -> DataFrame:
+    """DSIR importance log-weights (Xie et al. 2023, "Data Selection for
+    Language Models via Importance Resampling"): per document,
+    ``logw_bits`` = (Σ log p_target(bigram) − Σ log p_source(bigram)) in
+    bits — positive means the document looks more like the TARGET
+    distribution than the raw SOURCE corpus. The paper's hashed-n-gram
+    features become this module's bigram LM: train ``target`` on the
+    in-domain exemplar set (:func:`train_bigram_lm`) and ``source`` on a
+    sample of the raw corpus, then resample by weight
+    (:func:`dsir_top_k`).
+
+    One bigram explode joined against BOTH models' count tables (four
+    vocab-bounded left joins on the same exploded rows — no second pass
+    over the text); each model's log-prob is quantized with the same
+    ``floor(logp · 10^6)`` rule as :func:`lm_score`, so the weight is an
+    exact integer difference and any SQL oracle reproduces it
+    bit-for-bit. Docs with < 2 tokens get NULL ``logw_bits``
+    (no evidence either way — filter or treat as weight 1 downstream).
+    """
+    bg = _bigram_rows(df, id_col, text_col)
+    bt = target.bigrams.withColumnRenamed("c2", "__c2t")
+    ct = target.contexts.withColumnRenamed("c1", "__c1t")
+    bs = source.bigrams.withColumnRenamed("c2", "__c2s")
+    cs = source.contexts.withColumnRenamed("c1", "__c1s")
+    if broadcast_models:
+        bt, ct, bs, cs = (F.broadcast(t) for t in (bt, ct, bs, cs))
+    j = (bg.join(bt, ["w1", "w2"], "left").join(ct, ["w1"], "left")
+         .join(bs, ["w1", "w2"], "left").join(cs, ["w1"], "left"))
+
+    def _q(c2, c1, model):
+        logp = F.log((F.coalesce(F.col(c2), F.lit(0)) + F.lit(model.alpha))
+                     / (F.coalesce(F.col(c1), F.lit(0))
+                        + F.lit(model.alpha * model.vocab_size)))
+        return F.floor(logp * F.lit(LOGP_SCALE)).cast("long")
+
+    scored = j.withColumn("__dq", _q("__c2t", "__c1t", target)
+                          - _q("__c2s", "__c1s", source))
+    agg = scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.sum("__dq").alias("__sdq"))
+    base = df.select(id_col).distinct()
+    out = base.join(agg, [id_col], "left")
+    bits = (F.col("__sdq") / F.lit(float(LOGP_SCALE))
+            / F.lit(math.log(2.0)))
+    return out.select(
+        id_col,
+        F.coalesce(F.col("n_bigrams"), F.lit(0)).cast("long")
+         .alias("n_bigrams"),
+        bits.alias("logw_bits"))
+
+
+def dsir_top_k(df: DataFrame, n: int, target: BigramLM, source: BigramLM,
+               id_col: str = "doc_id", text_col: str = "text",
+               seed: int = 0, portable: bool = False,
+               salt_partitions: "int | None" = None,
+               broadcast_models: bool = False) -> DataFrame:
+    """DSIR's selection step: keep the ``n`` documents with the largest
+    Gumbel-perturbed importance weight — an exact sample WITHOUT
+    replacement with inclusion ∝ exp(logw) (the Gumbel-top-k trick), and
+    deterministic: the noise is hash-derived from (seed, id), so retries
+    and other engines reproduce the same selected set.
+
+    Returns the selected input rows plus ``logw_bits`` and ``dsir_key``
+    (the perturbed score, for audit). Docs with NULL ``logw_bits``
+    (< 2 tokens) are excluded — they carry no evidence. The global top-n
+    runs through :func:`curation.cap_per_key`'s machinery; at corpus
+    scale pass ``salt_partitions`` so a partial top-n bounds every
+    partition BEFORE the single-key exchange (the same two-phase shape
+    as the other exact top-k operators — without it the final window
+    funnels the corpus through one task). ``portable=True`` derives the
+    Gumbel uniform from the md5 hash family a SQL oracle reproduces.
+    """
+    from trafaret_spark.operators.curation import cap_per_key
+    from trafaret_spark.operators.hashing import M31
+    from trafaret_spark.operators.sampling import sample_hash
+    w = dsir_logweights(df, target, source, id_col, text_col,
+                        broadcast_models=broadcast_models)
+    joined = df.join(w.filter(F.col("logw_bits").isNotNull())
+                     .select(id_col, "logw_bits"), [id_col])
+    d = float(M31 if portable else (1 << 31))
+    u = (sample_hash([id_col], seed=seed, portable=portable) + F.lit(0.5)) \
+        / F.lit(d)
+    gumbel = -F.log(-F.log(u))
+    key = F.col("logw_bits") * F.lit(math.log(2.0)) + gumbel
+    marked = (joined.withColumn("dsir_key", key)
+              .withColumn("__dsir_all", F.lit(0)))
+    out = cap_per_key(
+        marked, "__dsir_all", n,
+        order_by=[F.col("dsir_key").desc(), F.col(id_col)],
+        salt_partitions=salt_partitions,
+        salt_col=id_col if salt_partitions else None)
+    return out.drop("__dsir_all")
