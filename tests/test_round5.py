@@ -534,7 +534,11 @@ class TestRangeJoinProbePersist:
                          on_long="warn")
         assert out.count() > 0
         del out
-        deadline = time.time() + 30
+        # generous deadline: ContextCleaner reclamation is async behind
+        # JVM GC weak-ref processing, which a loaded box (parallel Spark
+        # sessions on shared vCPUs) can delay well past 30 s — observed
+        # once in a full-suite run that passed in isolation
+        deadline = time.time() + 90
         while _persisted_ids(spark) - base and time.time() < deadline:
             gc.collect()                     # drop the py4j handle…
             spark._jvm.System.gc()           # …then let the JVM GC reach
