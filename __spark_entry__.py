@@ -1595,6 +1595,25 @@ def q_lm_dsir(spark, sf_dir):
                       F.round("logw_bits", 6).alias("logw_bits"))
 
 
+def q_conv_render_spans(spark, sf_dir):
+    """Loss-mask spans (conversations.render_with_spans): every turn's
+    [text_start, text_end) codepoint offsets inside the deterministic
+    render, attested by emitting BOTH the offsets and the substring they
+    select — the oracle recomputes the offsets by window arithmetic and
+    the substring from its own render, so a one-off error anywhere
+    breaks the value hash."""
+    t = _transcript(spark, sf_dir)
+    out = conversations.render_with_spans(t)
+    s = F.explode("spans").alias("s")
+    ex = out.select("conv_id", "rendered", s)
+    return ex.select(
+        "conv_id", F.col("s.o").alias("turn_o"), F.col("s.role").alias("role"),
+        F.col("s.text_start").alias("text_start"),
+        F.col("s.text_end").alias("text_end"),
+        F.expr("substring(rendered, s.text_start + 1, "
+               "s.text_end - s.text_start)").alias("span_text"))
+
+
 R7_PENDING_QUERIES = {
     "dedup_exact_inc": q_dedup_exact_inc,
     "dedup_minhash_inc": q_dedup_minhash_inc,
@@ -1604,6 +1623,7 @@ R7_PENDING_QUERIES = {
     "text_clean_lines": q_text_clean_lines,
     "text_dup_spans": q_text_dup_spans,
     "lm_dsir": q_lm_dsir,
+    "conv_render_spans": q_conv_render_spans,
 }
 
 
@@ -2635,6 +2655,35 @@ def r7_pending_oracles() -> dict[str, str]:
         "text_clean_lines": _clean_lines_oracle(),
         "text_dup_spans": _dup_spans_oracle(),
         "lm_dsir": _dsir_oracle(),
+        "conv_render_spans": f"""
+            WITH {_TRANSCRIPT_CTE},
+            seg AS (
+              SELECT conv_id, turn_idx,
+                     coalesce(role, '') AS role,
+                     coalesce(text, '') AS text,
+                     2 + length(coalesce(role, '')) + 2 AS header_len,
+                     length(coalesce(text, '')) AS text_len
+              FROM tr),
+            pos AS (
+              SELECT conv_id, turn_idx, role, header_len, text_len,
+                     coalesce(sum(header_len + text_len + 1) OVER (
+                       PARTITION BY conv_id ORDER BY turn_idx
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                       0) AS prefix
+              FROM seg),
+            r AS (
+              SELECT conv_id,
+                     string_agg('<|' || role || '|>' || text,
+                                chr(10) ORDER BY turn_idx) AS rendered
+              FROM seg GROUP BY conv_id)
+            SELECT p.conv_id, p.turn_idx AS turn_o, p.role,
+                   CAST(p.prefix + p.header_len AS BIGINT) AS text_start,
+                   CAST(p.prefix + p.header_len + p.text_len AS BIGINT)
+                     AS text_end,
+                   substring(r.rendered,
+                             CAST(p.prefix + p.header_len + 1 AS BIGINT),
+                             CAST(p.text_len AS BIGINT)) AS span_text
+            FROM pos p JOIN r USING (conv_id)""",
         "cur_chunk": r"""
             WITH t AS (
               SELECT doc_id,

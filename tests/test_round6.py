@@ -669,7 +669,7 @@ class TestR7PendingIncQueries:
         import __spark_entry__ as entry
         from check_contract import normalize
         con = duckdb.connect()
-        for t in ("documents", "embeddings"):
+        for t in ("documents", "embeddings", "events"):
             con.sql(f"CREATE VIEW {t} AS "
                     f"SELECT * FROM '{self.SF}/{t}.parquet'")
         oracles = entry.r7_pending_oracles()
@@ -1139,3 +1139,63 @@ class TestDsir:
                                   portable=True).collect()
         assert len(rows) == 3 and all(
             r["dsir_key"] is not None for r in rows)
+
+
+class TestRenderWithSpans:
+    """Span-annotated render: every span must reproduce its turn's text
+    by substring, and the render must equal render_conversation's."""
+
+    ROWS = [
+        ("c1", 0, "system", "be helpful"),
+        ("c1", 1, "user", "héllo ☃ unicode"),     # multi-codepoint
+        ("c1", 2, "assistant", None),              # NULL text -> empty span
+        ("c1", 3, None, "orphan"),                 # NULL role
+        ("c2", 0, "user", ""),                     # empty text
+        ("c2", 1, "assistant", "answer!"),
+    ]
+
+    def _out(self, spark):
+        from trafaret_spark.operators import conversations
+        df = spark.createDataFrame(
+            self.ROWS, "conv_id string, turn_idx long, role string, "
+                       "text string")
+        return df, conversations.render_with_spans(df)
+
+    def test_spans_substring_roundtrip(self, spark):
+        df, out = self._out(spark)
+        rows = {r.conv_id: r for r in out.collect()}
+        texts = {(c, o): (t if t is not None else "")
+                 for c, o, _, t in self.ROWS}
+        for cid, r in rows.items():
+            for s in r.spans:
+                got = r.rendered[s.text_start:s.text_end]
+                assert got == texts[(cid, s.o)], (cid, s.o, got)
+        # NULL text -> empty span, not a dropped turn
+        c1 = {s.o: s for s in rows["c1"].spans}
+        assert c1[2].text_start == c1[2].text_end
+        assert len(rows["c1"].spans) == 4
+
+    def test_render_matches_render_conversation(self, spark):
+        from trafaret_spark.operators import conversations
+        df, out = self._out(spark)
+        base = {r.conv_id: r.rendered for r in
+                conversations.render_conversation(df).collect()}
+        got = {r.conv_id: r.rendered for r in out.collect()}
+        assert got == base
+        # spans cover the text regions in order and stay inside bounds
+        for r in out.collect():
+            prev_end = -1
+            for s in r.spans:
+                assert 0 <= s.text_start <= s.text_end <= len(r.rendered)
+                assert s.text_start > prev_end
+                prev_end = s.text_end
+
+    def test_role_filter_mask(self, spark):
+        _, out = self._out(spark)
+        masked = out.select(
+            "conv_id",
+            F.filter(F.col("spans"),
+                     lambda s: s["role"] == "assistant").alias("m"))
+        got = {r.conv_id: [(s.text_start, s.text_end) for s in r.m]
+               for r in masked.collect()}
+        assert len(got["c1"]) == 1 and len(got["c2"]) == 1

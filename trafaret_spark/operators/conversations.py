@@ -53,7 +53,7 @@ from trafaret_spark.operators.colnames import temp_col
 __all__ = [
     "DEFAULT_TRANSITIONS", "DEFAULT_START_ROLES",
     "turn_errors", "conversation_report", "dedup_stutter",
-    "truncate_turns", "render_conversation",
+    "truncate_turns", "render_conversation", "render_with_spans",
     "dedup_conversations", "neardup_conversations",
     "conversation_features",
 ]
@@ -514,3 +514,64 @@ def neardup_conversations(df: DataFrame,
         # eagerly — the audit's bucket cache has served both consumers
         ds.pop("unpersist")()
     return out
+
+
+def render_with_spans(df: DataFrame,
+                      by: Union[str, Sequence[str]] = "conv_id",
+                      order: str = "turn_idx",
+                      role_col: str = "role",
+                      text_col: str = "text",
+                      open_tag: str = "<|",
+                      close_tag: str = "|>",
+                      sep: str = "\n",
+                      out_col: str = "rendered") -> DataFrame:
+    """:func:`render_conversation` plus the per-turn character spans an
+    SFT pipeline needs for LOSS MASKING: training on assistant text only
+    requires knowing where each turn's text lives in the rendered
+    string. Adds ``spans`` — one ``struct(o, role, text_start,
+    text_end)`` per turn in render order, where ``[text_start,
+    text_end)`` are 0-based CODEPOINT offsets of exactly the turn's text
+    (header excluded), i.e. ``substring(rendered, text_start + 1,
+    text_end - text_start)`` reproduces the turn text byte-for-byte.
+    Filter the array by role scan-side (``F.filter(F.col("spans"),
+    lambda s: s["role"] == "assistant")``) to get the mask regions.
+
+    ``rendered`` is byte-identical to :func:`render_conversation`'s
+    (same sort, tags, separator, NULL coalescing — NULL text renders
+    empty, giving an empty span). ``order`` values are cast to long in
+    ``spans.o``. Same single-exchange plan; the span fold appends one
+    struct per turn, so per-group cost is quadratic in TURNS PER
+    CONVERSATION only — conversations are KB-MB, never corpus-scale.
+    """
+    by = _listify(by)
+    turn = F.struct(F.col(order).cast("long").alias("o"),
+                    F.coalesce(F.col(role_col), F.lit("")).alias("r"),
+                    F.coalesce(F.col(text_col), F.lit("")).alias("t"))
+    sorted_turns = F.array_sort(F.collect_list(turn))
+    rendered = F.array_join(
+        F.transform(
+            sorted_turns,
+            lambda s: F.concat(F.lit(open_tag), s["r"], F.lit(close_tag),
+                               s["t"])),
+        sep)
+    ot, ct, ns = len(open_tag), len(close_tag), len(sep)
+    span_t = ("array<struct<o:bigint,role:string,"
+              "text_start:bigint,text_end:bigint>>")
+    acc0 = F.struct(F.lit(0).cast("long").alias("pos"),
+                    F.array().cast(span_t).alias("sp"))
+
+    def _step(acc, s):
+        t_start = acc["pos"] + F.lit(ot) + F.length(s["r"]) + F.lit(ct)
+        t_end = t_start + F.length(s["t"])
+        span = F.struct(s["o"].alias("o"), s["r"].alias("role"),
+                        t_start.cast("long").alias("text_start"),
+                        t_end.cast("long").alias("text_end"))
+        return F.struct((t_end + F.lit(ns)).cast("long").alias("pos"),
+                        F.concat(acc["sp"], F.array(span)).alias("sp"))
+
+    spans = F.aggregate(sorted_turns, acc0, _step, lambda a: a["sp"])
+    return df.groupBy(*by).agg(
+        F.count(F.lit(1)).alias("n_turns"),
+        rendered.alias(out_col),
+        spans.alias("spans"),
+    ).withColumn("n_chars", F.length(F.col(out_col)))
