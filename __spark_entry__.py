@@ -1595,6 +1595,16 @@ def q_lm_dsir(spark, sf_dir):
                       F.round("logw_bits", 6).alias("logw_bits"))
 
 
+def q_text_despanned(spark, sf_dir):
+    """ExactSubstr end-state (dedup.remove_dup_spans): documents rebuilt
+    with corpus-duplicated 5-token runs removed (every occurrence), raw
+    whitespace tokens preserved."""
+    docs = _t(spark, sf_dir, "documents")
+    out = dedup.remove_dup_spans(docs, k=5, portable=True)
+    return out.select("doc_id", "text_despanned", "n_tokens",
+                      "n_tokens_removed")
+
+
 def q_conv_render_spans(spark, sf_dir):
     """Loss-mask spans (conversations.render_with_spans): every turn's
     [text_start, text_end) codepoint offsets inside the deterministic
@@ -1624,6 +1634,7 @@ R7_PENDING_QUERIES = {
     "text_dup_spans": q_text_dup_spans,
     "lm_dsir": q_lm_dsir,
     "conv_render_spans": q_conv_render_spans,
+    "text_despanned": q_text_despanned,
 }
 
 
@@ -2530,6 +2541,63 @@ def _dsir_oracle(alpha: float = 0.5) -> str:
         LEFT JOIN agg USING (doc_id)"""
 
 
+def _despanned_oracle(k: int = 5, min_count: int = 2) -> str:
+    """Mirror dedup.remove_dup_spans: RAW whitespace tokens (no
+    normalize_text — case/punct-sensitive tok31), corpus-wide duplicated
+    k-gram positions, token i removed iff some duplicated gram starts in
+    [i-k+1, i] (the span-membership identity the engine's exists() uses),
+    rebuild by string_agg over kept tokens in order."""
+    gram = "th[i+1]"
+    for j in range(2, k + 1):
+        gram = f"(({gram}) * 1000003 + th[i+{j}]) % {_M31}"
+    fold = (f"list_reduce(list_prepend(CAST(0 AS BIGINT), th), "
+            f"(a, b) -> (a * 1000003 + b) % {_M31})")
+    return f"""
+        WITH raw AS (
+          SELECT doc_id,
+                 CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+                      ELSE string_split_regex(trim(text), '\\s+')
+                 END AS toks
+          FROM documents),
+        toksh AS (
+          SELECT doc_id, toks,
+                 list_transform(toks, t -> {_sql_tok31('t')}) AS th
+          FROM raw),
+        pg AS (
+          SELECT doc_id, toks,
+                 CASE WHEN len(th) = 0 THEN CAST([] AS BIGINT[])
+                      WHEN len(th) >= {k} THEN
+                   list_transform(range(len(th) - {k - 1}), i -> {gram})
+                 ELSE [{fold}] END AS pgs
+          FROM toksh),
+        e AS (
+          SELECT doc_id, unnest(pgs) AS gram,
+                 generate_subscripts(pgs, 1) - 1 AS pos
+          FROM pg),
+        f AS (SELECT gram FROM e GROUP BY gram
+              HAVING count(*) >= {min_count}),
+        dp AS (SELECT e.doc_id, e.pos FROM e JOIN f USING (gram)),
+        tok AS (
+          SELECT doc_id, unnest(toks) AS tk,
+                 generate_subscripts(toks, 1) - 1 AS i
+          FROM pg),
+        kept AS (
+          SELECT t.doc_id, t.tk, t.i FROM tok t
+          WHERE NOT EXISTS (
+            SELECT 1 FROM dp WHERE dp.doc_id = t.doc_id
+              AND dp.pos BETWEEN t.i - {k - 1} AND t.i)),
+        reb AS (
+          SELECT doc_id, string_agg(tk, ' ' ORDER BY i) AS text_despanned,
+                 count(*) AS n_kept
+          FROM kept GROUP BY doc_id)
+        SELECT pg.doc_id,
+               coalesce(reb.text_despanned, '') AS text_despanned,
+               CAST(len(pg.toks) AS BIGINT) AS n_tokens,
+               CAST(len(pg.toks) - coalesce(reb.n_kept, 0) AS BIGINT)
+                 AS n_tokens_removed
+        FROM pg LEFT JOIN reb USING (doc_id)"""
+
+
 def _dup_spans_oracle(k: int = 5, min_count: int = 2) -> str:
     """Mirrors dedup.dup_span_report (portable family): positional
     k-gram hashes, corpus-wide frequency cut, span-union coverage via a
@@ -2655,6 +2723,7 @@ def r7_pending_oracles() -> dict[str, str]:
         "text_clean_lines": _clean_lines_oracle(),
         "text_dup_spans": _dup_spans_oracle(),
         "lm_dsir": _dsir_oracle(),
+        "text_despanned": _despanned_oracle(),
         "conv_render_spans": f"""
             WITH {_TRANSCRIPT_CTE},
             seg AS (

@@ -1199,3 +1199,49 @@ class TestRenderWithSpans:
         got = {r.conv_id: [(s.text_start, s.text_end) for s in r.m]
                for r in masked.collect()}
         assert len(got["c1"]) == 1 and len(got["c2"]) == 1
+
+
+class TestRemoveDupSpans:
+    """ExactSubstr end-state: duplicated runs removed (every occurrence),
+    raw tokens preserved, short-dup docs emptied, unique docs intact."""
+
+    def _out(self, spark, rows, **kw):
+        from trafaret_spark.operators import dedup
+        df = spark.createDataFrame(rows, "doc_id int, text string")
+        return {r.doc_id: r for r in
+                dedup.remove_dup_spans(df, **kw).collect()}
+
+    def test_removal_semantics(self, spark):
+        got = self._out(spark, [
+            (1, "A b c d e f g h"),
+            (2, "x y c d e z w q"),
+            (3, "unique words only here"),
+            (4, "A b c d e f g h"),
+            (5, "pp qq"), (6, "pp qq"),
+        ], k=3, portable=True)
+        assert got[1].text_despanned == "" and got[1].n_tokens_removed == 8
+        # only the shared "c d e" run goes; raw case/order preserved
+        assert got[2].text_despanned == "x y z w q"
+        assert got[3].text_despanned == "unique words only here"
+        assert got[3].n_tokens_removed == 0
+        # short exact dup folds to one whole-text gram -> emptied
+        assert got[5].text_despanned == "" and got[5].n_tokens == 2
+
+    def test_case_sensitive_unlike_report(self, spark):
+        # raw-token hashing: "C d e" != "c d e", so no span is duplicated
+        got = self._out(spark, [(1, "a b C d e"), (2, "x y c d e")],
+                        k=3, portable=True)
+        assert got[1].n_tokens_removed == 0 == got[2].n_tokens_removed
+
+    def test_overlapping_runs_merge(self, spark):
+        # "a b c d" shared -> grams abc, bcd both dup; union covers 0..3
+        got = self._out(spark, [(1, "a b c d zz"), (2, "a b c d yy")],
+                        k=3, portable=True)
+        assert got[1].text_despanned == "zz"
+        assert got[1].n_tokens_removed == 4
+
+    def test_blank_text(self, spark):
+        got = self._out(spark, [(1, ""), (2, "   "), (3, "w1 w2 w3")],
+                        k=2, portable=True)
+        assert got[1].text_despanned == "" and got[1].n_tokens == 0
+        assert got[2].n_tokens == 0 and got[3].n_tokens_removed == 0

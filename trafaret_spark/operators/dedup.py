@@ -57,7 +57,7 @@ __all__ = [
     "simhash", "simhash_dedup", "jaccard", "ngram_jaccard_pairs",
     "connected_components", "keep_canonical",
     "winnow_fingerprints", "winnow_dedup", "capped_blocks",
-    "dup_span_report",
+    "dup_span_report", "remove_dup_spans",
 ]
 
 
@@ -1164,3 +1164,69 @@ def dup_span_report(df: DataFrame, text_col: str = "text",
         F.col("n_dup_grams").cast("long").alias("n_dup_grams"),
         F.round(F.col("n_dup_grams") / safe_g, 9).alias("dup_gram_frac"),
         F.round(covered / safe_t, 9).alias("dup_token_coverage"))
+
+
+def remove_dup_spans(df: DataFrame, text_col: str = "text",
+                     id_col: str = "doc_id", k: int = 20,
+                     min_count: int = 2, portable: bool = False,
+                     name: str = "text_despanned") -> DataFrame:
+    """The ExactSubstr END-STATE (Lee et al. 2022): rebuild every
+    document with the tokens covered by corpus-duplicated k-token runs
+    REMOVED — every occurrence goes, the paper's behavior (keeping one
+    canonical copy is a group-level decision out of scope here). Output
+    = the input rows plus ``name`` (the rebuilt text), ``n_tokens`` and
+    ``n_tokens_removed``.
+
+    Unlike :func:`dup_span_report` (which shares the minhash family's
+    normalize_text view), removal hashes RAW whitespace tokens
+    (case/punctuation-sensitive) so the rebuilt text preserves the
+    original tokens exactly; inter-token whitespace is normalized to
+    single spaces, the one lossy step. A document shorter than ``k``
+    tokens folds to one whole-text gram — an exact short duplicate is
+    removed entirely (empty ``name``).
+
+    Plan shape: the same three uniform-key exchanges as the report
+    (gram frequency, dup-key left join, per-document positions), then a
+    scan-side rebuild — token ``i`` is covered iff some duplicated gram
+    starts in ``[i-k+1, i]``, checked with ``exists`` over the doc's
+    sorted duplicate positions (O(tokens × dup-grams) per row, both
+    document-bounded).
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    if min_count < 2:
+        raise ValueError(f"min_count must be >= 2, got {min_count}")
+    t = F.trim(F.col(text_col))
+    raw_toks = F.when(t == "", F.array().cast("array<string>")) \
+        .otherwise(F.split(t, r"\s+"))
+    toks_h = F.transform(raw_toks, lambda x: tok_hash(x, portable))
+    comb = gram_combine(portable)
+    n_grams_possible = F.size(toks_h) - F.lit(k - 1)
+    grams = F.when(F.size(toks_h) == 0, F.array().cast("array<long>")) \
+        .when(n_grams_possible >= 1, _ngram_fold(toks_h, k, comb)) \
+        .otherwise(F.array(F.aggregate(
+            toks_h, F.lit(0).cast("long"), comb)))
+    base = df.select(F.col(id_col),
+                     F.posexplode(grams).alias("__pos", "__gram"))
+    dup = (base.groupBy("__gram").agg(F.count(F.lit(1)).alias("__c"))
+           .filter(F.col("__c") >= min_count)
+           .select("__gram", F.lit(1).alias("__d")))
+    per_doc = (base.join(dup, "__gram", "left")
+               .groupBy(id_col)
+               .agg(F.sort_array(F.collect_list(
+                   F.when(F.col("__d").isNotNull(), F.col("__pos"))))
+                   .alias("__dps")))
+    joined = df.join(per_doc, [id_col], "left")
+    dps = F.coalesce(F.col("__dps"), F.array().cast("array<int>"))
+    masked = F.transform(
+        raw_toks,
+        lambda x, i: F.when(
+            F.exists(dps, lambda p: (p <= i) & (i <= p + k - 1)),
+            F.lit(None).cast("string")).otherwise(x))
+    kept = F.filter(masked, lambda x: x.isNotNull())
+    return joined.select(
+        *[F.col(c) for c in df.columns],
+        F.array_join(kept, " ").alias(name),
+        F.size(raw_toks).cast("long").alias("n_tokens"),
+        (F.size(raw_toks) - F.size(kept)).cast("long")
+        .alias("n_tokens_removed"))
