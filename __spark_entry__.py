@@ -1595,6 +1595,30 @@ def q_lm_dsir(spark, sf_dir):
                       F.round("logw_bits", 6).alias("logw_bits"))
 
 
+def q_text_vocab(spark, sf_dir):
+    """Corpus vocabulary (vocab.build_vocab): deterministic token ids
+    ordered by (count desc, token asc) over the normalized token stream,
+    long tail cut at min_count=2."""
+    from trafaret_spark.operators import vocab
+    docs = _t(spark, sf_dir, "documents")
+    return vocab.build_vocab(docs, min_count=2).select(
+        "token", F.col("count").cast("long").alias("count"), "token_id")
+
+
+def q_text_encode(spark, sf_dir):
+    """Deterministic id encoding (vocab.encode_tokens) against the
+    top-64 vocabulary with oov_id=-1; the id sequence is emitted as a
+    comma-joined string so the value hash pins order AND content."""
+    from trafaret_spark.operators import vocab
+    docs = _t(spark, sf_dir, "documents")
+    v = vocab.build_vocab(docs).filter(F.col("token_id") < 64)
+    out = vocab.encode_tokens(docs, v, oov_id=-1)
+    ids = F.array_join(
+        F.transform(F.col("token_ids"), lambda x: x.cast("string")), ",")
+    return out.select("doc_id", "n_tokens", "n_oov",
+                      ids.alias("token_ids_csv"))
+
+
 def q_text_despanned(spark, sf_dir):
     """ExactSubstr end-state (dedup.remove_dup_spans): documents rebuilt
     with corpus-duplicated 5-token runs removed (every occurrence), raw
@@ -1635,6 +1659,8 @@ R7_PENDING_QUERIES = {
     "lm_dsir": q_lm_dsir,
     "conv_render_spans": q_conv_render_spans,
     "text_despanned": q_text_despanned,
+    "text_vocab": q_text_vocab,
+    "text_encode": q_text_encode,
 }
 
 
@@ -2724,6 +2750,40 @@ def r7_pending_oracles() -> dict[str, str]:
         "text_dup_spans": _dup_spans_oracle(),
         "lm_dsir": _dsir_oracle(),
         "text_despanned": _despanned_oracle(),
+        "text_vocab": f"""
+            WITH t AS (SELECT {_TOKS_SQL} AS tk FROM documents),
+            c AS (SELECT u.w AS token, count(*) AS count
+                  FROM t, unnest(tk) AS u(w)
+                  GROUP BY u.w HAVING count(*) >= 2)
+            SELECT token, CAST(count AS BIGINT) AS count,
+                   CAST(row_number() OVER (ORDER BY count DESC, token) - 1
+                        AS BIGINT) AS token_id
+            FROM c""",
+        "text_encode": f"""
+            WITH t AS (SELECT doc_id, {_TOKS_SQL} AS tk FROM documents),
+            c AS (SELECT u.w AS token, count(*) AS count
+                  FROM t, unnest(tk) AS u(w) GROUP BY u.w),
+            v AS (SELECT token,
+                         row_number() OVER (ORDER BY count DESC, token) - 1
+                           AS token_id
+                  FROM c QUALIFY token_id < 64),
+            e AS (SELECT doc_id, unnest(tk) AS token,
+                         generate_subscripts(tk, 1) AS pos
+                  FROM t),
+            j AS (SELECT e.doc_id, e.pos,
+                         coalesce(v.token_id, -1) AS tid,
+                         v.token_id IS NULL AS oov
+                  FROM e LEFT JOIN v USING (token)),
+            a AS (SELECT doc_id, count(*) AS n_tokens,
+                         sum(CASE WHEN oov THEN 1 ELSE 0 END) AS n_oov,
+                         string_agg(tid, ',' ORDER BY pos) AS ids
+                  FROM j GROUP BY doc_id)
+            SELECT d.doc_id,
+                   CAST(coalesce(a.n_tokens, 0) AS BIGINT) AS n_tokens,
+                   CAST(coalesce(a.n_oov, 0) AS BIGINT) AS n_oov,
+                   coalesce(a.ids, '') AS token_ids_csv
+            FROM (SELECT DISTINCT doc_id FROM documents) d
+            LEFT JOIN a USING (doc_id)""",
         "conv_render_spans": f"""
             WITH {_TRANSCRIPT_CTE},
             seg AS (

@@ -1245,3 +1245,42 @@ class TestRemoveDupSpans:
                         k=2, portable=True)
         assert got[1].text_despanned == "" and got[1].n_tokens == 0
         assert got[2].n_tokens == 0 and got[3].n_tokens_removed == 0
+
+
+class TestVocab:
+    """Vocabulary extraction + deterministic encoding."""
+
+    ROWS = [(1, "b b a c"), (2, "a b X!"), (3, ""), (4, "zz a")]
+
+    def _df(self, spark):
+        return spark.createDataFrame(self.ROWS, "doc_id int, text string")
+
+    def test_deterministic_ids(self, spark):
+        from trafaret_spark.operators import vocab
+        v = {r.token: (r["count"], r.token_id) for r in
+             vocab.build_vocab(self._df(spark)).collect()}
+        # count desc, token asc: a and b tie at 3 -> a gets 0
+        assert v["a"] == (3, 0) and v["b"] == (3, 1)
+        assert v["x"][0] == 1  # normalized (lowercase, punct stripped)
+        assert len({tid for _, tid in v.values()}) == len(v)
+
+    def test_min_count_and_max_size(self, spark):
+        from trafaret_spark.operators import vocab
+        df = self._df(spark)
+        top = vocab.build_vocab(df, min_count=2)
+        assert {r.token for r in top.collect()} == {"a", "b"}
+        capped = vocab.build_vocab(df, max_size=3)
+        assert capped.count() == 3
+
+    def test_encode_positions_and_oov(self, spark):
+        from trafaret_spark.operators import vocab
+        df = self._df(spark)
+        v = vocab.build_vocab(df).filter("token_id < 3")
+        with_oov = {r.doc_id: (r.token_ids, r.n_oov) for r in
+                    vocab.encode_tokens(df, v, oov_id=-1).collect()}
+        assert with_oov[1] == ([1, 1, 0, 2], 0)   # order-faithful
+        assert with_oov[4] == ([-1, 0], 1)
+        assert with_oov[3] == ([], 0)             # blank doc restored
+        dropped = {r.doc_id: r.token_ids for r in
+                   vocab.encode_tokens(df, v).collect()}
+        assert dropped[4] == [0]
