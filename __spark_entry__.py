@@ -1595,6 +1595,18 @@ def q_lm_dsir(spark, sf_dir):
                       F.round("logw_bits", 6).alias("logw_bits"))
 
 
+def q_dedup_keep_best(spark, sf_dir):
+    """Quality-pick dedup end-state (dedup.keep_best): per minhash
+    near-dup component the LONGEST document survives (ties -> smallest
+    id), instead of keep_canonical's min-id pick."""
+    docs = _t(spark, sf_dir, "documents")
+    pairs = (dedup.minhash_dedup(docs, threshold=0.3, portable=True)
+             .select("a", "b"))
+    scored = docs.withColumn("__len", F.length("text"))
+    out = dedup.keep_best(scored, pairs, "__len")
+    return out.select("doc_id", "lang")
+
+
 def q_text_vocab(spark, sf_dir):
     """Corpus vocabulary (vocab.build_vocab): deterministic token ids
     ordered by (count desc, token asc) over the normalized token stream,
@@ -1661,6 +1673,7 @@ R7_PENDING_QUERIES = {
     "text_despanned": q_text_despanned,
     "text_vocab": q_text_vocab,
     "text_encode": q_text_encode,
+    "dedup_keep_best": q_dedup_keep_best,
 }
 
 
@@ -2750,6 +2763,19 @@ def r7_pending_oracles() -> dict[str, str]:
         "text_dup_spans": _dup_spans_oracle(),
         "lm_dsir": _dsir_oracle(),
         "text_despanned": _despanned_oracle(),
+        "dedup_keep_best": f"""
+            WITH RECURSIVE {_minhash_body()},
+            {_closure_sql(0.3)},
+            comp AS (SELECT x AS node, min(label) AS component
+                     FROM reach GROUP BY x),
+            ranked AS (
+              SELECT c.node,
+                     row_number() OVER (
+                       PARTITION BY c.component
+                       ORDER BY length(d.text) DESC, c.node) AS rn
+              FROM comp c JOIN documents d ON d.doc_id = c.node)
+            SELECT doc_id, lang FROM documents
+            WHERE doc_id NOT IN (SELECT node FROM ranked WHERE rn > 1)""",
         "text_vocab": f"""
             WITH t AS (SELECT {_TOKS_SQL} AS tk FROM documents),
             c AS (SELECT u.w AS token, count(*) AS count

@@ -1284,3 +1284,33 @@ class TestVocab:
         dropped = {r.doc_id: r.token_ids for r in
                    vocab.encode_tokens(df, v).collect()}
         assert dropped[4] == [0]
+
+
+class TestKeepBest:
+    """Quality-pick dedup end-state: highest score survives per
+    component, min-id only breaks ties; NULL scores always lose."""
+
+    def test_quality_pick(self, spark):
+        from trafaret_spark.operators import dedup
+        # components: {1,2,3} and {10,11}; 20 unpaired
+        pairs = spark.createDataFrame(
+            [(1, 2), (2, 3), (10, 11)], "a long, b long")
+        docs = spark.createDataFrame(
+            [(1, 0.5), (2, 0.9), (3, 0.9), (10, None), (11, 0.1),
+             (20, 0.0)],
+            "doc_id long, q double")
+        kept = {r.doc_id for r in
+                dedup.keep_best(docs, pairs, "q").collect()}
+        # 2 beats 3 on the id tiebreak at q=0.9; 11's 0.1 beats 10's NULL
+        assert kept == {2, 11, 20}
+
+    def test_matches_keep_canonical_on_constant_score(self, spark):
+        from trafaret_spark.operators import dedup
+        pairs = spark.createDataFrame([(5, 3), (3, 9)], "a long, b long")
+        docs = spark.createDataFrame([(i, 1.0) for i in (3, 5, 9, 7)],
+                                     "doc_id long, q double")
+        best = {r.doc_id for r in
+                dedup.keep_best(docs, pairs, "q").collect()}
+        canon = {r.doc_id for r in
+                 dedup.keep_canonical(docs, pairs).collect()}
+        assert best == canon == {3, 7}

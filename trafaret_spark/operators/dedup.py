@@ -55,7 +55,7 @@ __all__ = [
     "minhash_band_index", "minhash_lsh_candidates_incremental",
     "minhash_dedup_incremental", "minhash_index_ingest",
     "simhash", "simhash_dedup", "jaccard", "ngram_jaccard_pairs",
-    "connected_components", "keep_canonical",
+    "connected_components", "keep_canonical", "keep_best",
     "winnow_fingerprints", "winnow_dedup", "capped_blocks",
     "dup_span_report", "remove_dup_spans",
 ]
@@ -1037,6 +1037,37 @@ def keep_canonical(df: DataFrame, pairs: DataFrame, id_col: str = "doc_id",
     comp = connected_components(pairs, a_col, b_col, max_iter,
                                 checkpoint_dir=checkpoint_dir)
     losers = (comp.filter(F.col("node") != F.col("component"))
+              .select(F.col("node").alias(id_col)))
+    return df.join(losers, [id_col], "left_anti")
+
+
+def keep_best(df: DataFrame, pairs: DataFrame, score_col: str,
+              id_col: str = "doc_id", a_col: str = "a", b_col: str = "b",
+              max_iter: int = 25,
+              checkpoint_dir: Optional[str] = None) -> DataFrame:
+    """:func:`keep_canonical` with a QUALITY pick: per near-dup
+    component, the row with the highest ``score_col`` survives (ties →
+    smallest id) — the production choice when a quality signal exists
+    (``textstats.quality_score``, ``lmscore.lm_score`` bits negated,
+    length), instead of the arbitrary min-id canonical.
+
+    NULL scores sort last (Spark's desc default), so a scored member
+    always beats an unscored one; a component whose ids are missing from
+    ``df`` entirely contributes nothing. Plan: the ranking window runs
+    over the COMPONENTS table joined to (id, score) — bounded by the
+    number of duplicated docs, ≪ |corpus| at 100 TB — then one anti-join
+    of the losers, exactly keep_canonical's shape plus one bounded join.
+    """
+    from pyspark.sql import Window
+    comp = connected_components(pairs, a_col, b_col, max_iter,
+                                checkpoint_dir=checkpoint_dir)
+    scored = comp.join(
+        df.select(F.col(id_col).alias("node"),
+                  F.col(score_col).alias("__s")), "node")
+    w = Window.partitionBy("component").orderBy(F.col("__s").desc(),
+                                                F.col("node"))
+    losers = (scored.withColumn("__rn", F.row_number().over(w))
+              .filter(F.col("__rn") > 1)
               .select(F.col("node").alias(id_col)))
     return df.join(losers, [id_col], "left_anti")
 
