@@ -1430,14 +1430,26 @@ def _attestation_rounds() -> dict[str, int]:
     return rounds
 
 
-# ---- r7-pending registry entries (incremental dedup, SURVEY §7.5 #8) ----
+# ---- r7-pending registry entries (SURVEY §7.5 #8-10 families) ----
 # Written and DuckDB-validated in round 6 (tests/test_round6.py::
-# TestR7PendingIncQueries runs both against their oracles value-level) but
+# TestR7PendingIncQueries runs every one against its oracle value-level,
+# and each was additionally hand-checked at sf0.01 under ANSI-on) but
 # NOT registered in queries()/oracle_sql() yet: the r6 50-row attestation
 # window is exactly consumed (sem_dedup + 3 touched + all 46 r4-stale
 # rows), so a new tier-0 entry would push an r4 row two rounds stale.
 # ROUND 7: move R7_PENDING_QUERIES / R7_PENDING_ORACLES into the registry
 # dicts — they enter as tier 0 (never attested).
+#
+# STALENESS BOUND CHANGES AT REGISTRATION: 97 current + 13 pending = 110
+# registered queries vs a 50-row window means two consecutive windows
+# cover at most 100 — the r3-r6 invariant "no green row older than one
+# round" is arithmetically impossible from round 7 on. The rotation
+# (stalest-first, tier-0 first, touched second) keeps the bound tight:
+# every query re-attests at least every ceil(110/50) = 3 rounds, and a
+# row older than two rounds can only be one the last two windows both
+# could not fit (≤ 10 queries per round, always the MOST RECENTLY
+# attested ones). State the new bound in round 7's SURVEY delta rather
+# than silently missing the old one.
 
 _INC_IDX_ROOT: list = []  # [path] once created; atexit-removed
 
