@@ -1440,14 +1440,14 @@ def _attestation_rounds() -> dict[str, int]:
 # ROUND 7: move R7_PENDING_QUERIES / R7_PENDING_ORACLES into the registry
 # dicts — they enter as tier 0 (never attested).
 #
-# STALENESS BOUND CHANGES AT REGISTRATION: 97 current + 13 pending = 110
+# STALENESS BOUND CHANGES AT REGISTRATION: 97 current + 14 pending = 111
 # registered queries vs a 50-row window means two consecutive windows
 # cover at most 100 — the r3-r6 invariant "no green row older than one
 # round" is arithmetically impossible from round 7 on. The rotation
 # (stalest-first, tier-0 first, touched second) keeps the bound tight:
-# every query re-attests at least every ceil(110/50) = 3 rounds, and a
+# every query re-attests at least every ceil(111/50) = 3 rounds, and a
 # row older than two rounds can only be one the last two windows both
-# could not fit (≤ 10 queries per round, always the MOST RECENTLY
+# could not fit (≤ 11 queries per round, always the MOST RECENTLY
 # attested ones). State the new bound in round 7's SURVEY delta rather
 # than silently missing the old one.
 
@@ -1607,6 +1607,25 @@ def q_lm_dsir(spark, sf_dir):
                       F.round("logw_bits", 6).alias("logw_bits"))
 
 
+def q_mm_phash_dedup(spark, sf_dir):
+    """Multimodal image dedup plumbing: fake-path pHash (md5-derived
+    60-bit, DuckDB-reproducible) over the documents-as-payloads corpus,
+    paired through the generic fingerprint band join
+    (dedup.fingerprint_neardup, 15-bit bands) at Hamming 0 — exact
+    payload duplicates collide, which is what the fake path guarantees.
+    The synthetic corpus has no raw-byte duplicate texts, so duplicates
+    are PLANTED: every doc_id % 7 == 0 payload re-enters under
+    doc_id + 100000 — each planted pair must surface at Hamming 0."""
+    base = _t(spark, sf_dir, "documents") \
+        .select("doc_id", F.encode("text", "utf-8").alias("payload"))
+    clones = base.filter(F.col("doc_id") % 7 == 0) \
+        .select((F.col("doc_id") + 100000).alias("doc_id"), "payload")
+    fp = multimodal.phash_images(base.unionByName(clones), fake=True)
+    out = dedup.fingerprint_neardup(fp, "phash", bits=60, band_bits=15,
+                                    max_hamming=0)
+    return out.select("a", "b", F.col("hamming").cast("long").alias("hamming"))
+
+
 def q_dedup_keep_best(spark, sf_dir):
     """Quality-pick dedup end-state (dedup.keep_best): per minhash
     near-dup component the LONGEST document survives (ties -> smallest
@@ -1686,6 +1705,7 @@ R7_PENDING_QUERIES = {
     "text_vocab": q_text_vocab,
     "text_encode": q_text_encode,
     "dedup_keep_best": q_dedup_keep_best,
+    "mm_phash_dedup": q_mm_phash_dedup,
 }
 
 
@@ -2775,6 +2795,27 @@ def r7_pending_oracles() -> dict[str, str]:
         "text_dup_spans": _dup_spans_oracle(),
         "lm_dsir": _dsir_oracle(),
         "text_despanned": _despanned_oracle(),
+        "mm_phash_dedup": f"""
+            WITH u AS (
+              SELECT doc_id, text FROM documents
+              UNION ALL
+              SELECT doc_id + 100000, text FROM documents
+              WHERE doc_id % 7 = 0),
+            fp AS (
+              SELECT doc_id, {_sql_hash60('text')} AS phash
+              FROM u),
+            banded AS (
+              SELECT doc_id, phash, b.band,
+                     (phash >> (b.band * 15)) & 32767 AS bucket
+              FROM fp CROSS JOIN (SELECT unnest(range(4)) AS band) b),
+            pairs AS (
+              SELECT DISTINCT l.doc_id AS a, r.doc_id AS b,
+                     l.phash AS fa, r.phash AS fb
+              FROM banded l JOIN banded r
+                ON l.band = r.band AND l.bucket = r.bucket
+               AND l.doc_id < r.doc_id)
+            SELECT a, b, CAST(bit_count(xor(fa, fb)) AS BIGINT) AS hamming
+            FROM pairs WHERE bit_count(xor(fa, fb)) = 0""",
         "dedup_keep_best": f"""
             WITH RECURSIVE {_minhash_body()},
             {_closure_sql(0.3)},

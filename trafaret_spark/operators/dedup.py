@@ -54,7 +54,8 @@ __all__ = [
     "minhash_lsh_candidates", "minhash_dedup",
     "minhash_band_index", "minhash_lsh_candidates_incremental",
     "minhash_dedup_incremental", "minhash_index_ingest",
-    "simhash", "simhash_dedup", "jaccard", "ngram_jaccard_pairs",
+    "simhash", "simhash_dedup", "fingerprint_neardup",
+    "jaccard", "ngram_jaccard_pairs",
     "connected_components", "keep_canonical", "keep_best",
     "winnow_fingerprints", "winnow_dedup", "capped_blocks",
     "dup_span_report", "remove_dup_spans",
@@ -882,6 +883,48 @@ def simhash_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
              .select("a", "b", "__fa", "__fb").distinct())
     hamming = F.bit_count(F.col("__fa").bitwiseXOR(F.col("__fb")))
     return pairs.withColumn("hamming", hamming).drop("__fa", "__fb")
+
+
+def fingerprint_neardup(df: DataFrame, fp_col: str,
+                        id_col: str = "doc_id", bits: int = 64,
+                        band_bits: int = 16,
+                        max_hamming: Optional[int] = None) -> DataFrame:
+    """Near-dup pairs over ANY integer fingerprint column (SimHash,
+    pHash, any 64-bit sketch): band the fingerprint into
+    ``bits // band_bits`` slices, bucket-join on (band, slice), verify
+    with exact Hamming distance — rows within Hamming ≤
+    ``bits/band_bits - 1`` are GUARANTEED to share a band (pigeonhole).
+    Returns oriented (a, b, hamming), optionally filtered to
+    ``max_hamming``. NULL fingerprints (e.g. failed decodes) produce no
+    pairs. Shuffle key is the band slice — uniform for hash-like
+    fingerprints; the same shape as :func:`simhash_dedup`'s inner join,
+    exposed for externally computed fingerprints
+    (``multimodal.phash_images``).
+    """
+    if bits % band_bits != 0:
+        raise ValueError(f"band_bits must divide bits, got {band_bits}/{bits}")
+    nbands = bits // band_bits
+    mask = (1 << band_bits) - 1
+    fp = df.filter(F.col(fp_col).isNotNull()).select(
+        F.col(id_col), F.col(fp_col).cast("long").alias("__fp"))
+    banded = fp.select(
+        id_col, "__fp",
+        F.posexplode(F.array(*[
+            F.shiftright(F.col("__fp"), b * band_bits).bitwiseAND(F.lit(mask))
+            for b in range(nbands)])).alias("band", "bucket"))
+    a = banded.select(F.col(id_col).alias("a"), F.col("__fp").alias("__fa"),
+                      "band", "bucket")
+    b = banded.select(F.col(id_col).alias("b"), F.col("__fp").alias("__fb"),
+                      "band", "bucket")
+    pairs = (a.join(b, ["band", "bucket"]).filter(F.col("a") < F.col("b"))
+             .select("a", "b", "__fa", "__fb").distinct())
+    out = pairs.withColumn(
+        "hamming",
+        F.bit_count(F.col("__fa").bitwiseXOR(F.col("__fb")))
+        .cast("int")).drop("__fa", "__fb")
+    if max_hamming is not None:
+        out = out.filter(F.col("hamming") <= max_hamming)
+    return out
 
 
 def connected_components(pairs: DataFrame, a_col: str = "a", b_col: str = "b",

@@ -40,7 +40,7 @@ from pyspark.sql import types as T
 
 __all__ = [
     "MEDIA_META_TYPE", "with_media_meta", "decode_image_features",
-    "sample_video_frames", "audio_features",
+    "sample_video_frames", "audio_features", "phash_images",
 ]
 
 MEDIA_META_TYPE = T.StructType([
@@ -346,5 +346,82 @@ def audio_features(df: DataFrame, payload_col: str = "payload",
                     out["n_samples"].append(res[2])
                     out["decode_ok"].append(True)
             yield pd.DataFrame(out)
+
+    return df.select(id_col, payload_col).mapInPandas(kernel, out_schema)
+
+
+def phash_images(df: DataFrame, payload_col: str = "payload",
+                 id_col: str = "doc_id", fake: bool = False) -> DataFrame:
+    """Perceptual hash per image payload → ``(id, phash bigint,
+    decode_ok)`` — the standard multimodal dedup fingerprint: visually
+    near-identical images (recompression, mild resize) hash within a few
+    bits, so corpus-scale image dedup becomes
+    :func:`dedup.fingerprint_neardup` over this column — banded bucket
+    join + Hamming verify, never pixels against pixels.
+
+    Real path (Pillow on the executors): decode → grayscale → 32×32 →
+    2-D DCT-II (numpy basis matmul — no scipy) → top-left 8×8 low-
+    frequency block → bit_i = coeff_i > median of the 63 non-DC coeffs,
+    packed big-endian into one signed int64 (Hamming distance via
+    ``bit_count(a XOR b)`` is sign-agnostic). Undecodable bytes yield
+    ``decode_ok=False`` + NULL hash, not a task failure.
+
+    ``fake=True`` (no Pillow in this container): a deterministic
+    md5-derived 60-bit value per payload (the `_sql_hash60` convention,
+    so a DuckDB oracle reproduces it bit-for-bit) — identical schema and
+    batching; exact payload duplicates still collide, which is what the
+    plumbing tests and the driver oracle exercise.
+    """
+    out_schema = T.StructType([
+        df.schema[id_col],
+        T.StructField("phash", T.LongType()),
+        T.StructField("decode_ok", T.BooleanType()),
+    ])
+
+    def _fake_hash(payload: bytes) -> int:
+        return int(hashlib.md5(payload).hexdigest()[:15], 16)
+
+    def _real_hash(image_mod, payload: bytes):
+        import io
+        try:
+            img = image_mod.open(io.BytesIO(payload)).convert("L")
+            img = img.resize((32, 32))
+            px = np.asarray(img, dtype=np.float64)
+        except Exception:
+            return None, False
+        n = 32
+        k = np.arange(n)
+        basis = np.cos(np.pi * (2 * k[None, :] + 1) * k[:, None] / (2 * n))
+        low = (basis @ px @ basis.T)[:8, :8].ravel()
+        med = np.median(low[1:])
+        bits = (low > med).astype(np.uint64)
+        h = 0
+        for b in bits:
+            h = (h << 1) | int(b)
+        # two's-complement fold into signed int64
+        return h - (1 << 64) if h >= (1 << 63) else h, True
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        image_mod = None if fake else _probe_pil()
+        for pdf in batches:
+            if fake:
+                yield pd.DataFrame({
+                    id_col: pdf[id_col],
+                    "phash": [None if p is None else _fake_hash(p)
+                              for p in pdf[payload_col]],
+                    "decode_ok": [p is not None for p in pdf[payload_col]],
+                })
+                continue
+            if image_mod is None:
+                raise NotImplementedError(
+                    "pHash requires Pillow on the executors — not in this "
+                    "container; pass fake=True for plumbing tests")
+            hs, oks = [], []
+            for p in pdf[payload_col]:
+                h, ok = (None, False) if p is None else _real_hash(image_mod, p)
+                hs.append(h)
+                oks.append(ok)
+            yield pd.DataFrame({id_col: pdf[id_col], "phash": hs,
+                                "decode_ok": oks})
 
     return df.select(id_col, payload_col).mapInPandas(kernel, out_schema)
