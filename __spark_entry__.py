@@ -1440,14 +1440,14 @@ def _attestation_rounds() -> dict[str, int]:
 # ROUND 7: move R7_PENDING_QUERIES / R7_PENDING_ORACLES into the registry
 # dicts — they enter as tier 0 (never attested).
 #
-# STALENESS BOUND CHANGES AT REGISTRATION: 97 current + 14 pending = 111
+# STALENESS BOUND CHANGES AT REGISTRATION: 97 current + 15 pending = 112
 # registered queries vs a 50-row window means two consecutive windows
 # cover at most 100 — the r3-r6 invariant "no green row older than one
 # round" is arithmetically impossible from round 7 on. The rotation
 # (stalest-first, tier-0 first, touched second) keeps the bound tight:
-# every query re-attests at least every ceil(111/50) = 3 rounds, and a
+# every query re-attests at least every ceil(112/50) = 3 rounds, and a
 # row older than two rounds can only be one the last two windows both
-# could not fit (≤ 11 queries per round, always the MOST RECENTLY
+# could not fit (≤ 12 queries per round, always the MOST RECENTLY
 # attested ones). State the new bound in round 7's SURVEY delta rather
 # than silently missing the old one.
 
@@ -1607,6 +1607,20 @@ def q_lm_dsir(spark, sf_dir):
                       F.round("logw_bits", 6).alias("logw_bits"))
 
 
+def q_split_groups(spark, sf_dir):
+    """Leakage-safe splits (sampling.assign_splits_by_group): the 80/10/10
+    assignment keyed on each document's minhash near-dup COMPONENT, so a
+    duplicate family never straddles the train/val/test boundary;
+    un-duplicated docs keep their plain split_assign split (same hash,
+    same seed — directly comparable to the attested split_assign rows)."""
+    docs = _t(spark, sf_dir, "documents")
+    pairs = (dedup.minhash_dedup(docs, threshold=0.3, portable=True)
+             .select("a", "b"))
+    out = sampling.assign_splits_by_group(
+        docs, pairs, _SPLIT_WEIGHTS, seed=_SPLIT_SEED, portable=True)
+    return out.select("doc_id", "lang", "split")
+
+
 def q_mm_phash_dedup(spark, sf_dir):
     """Multimodal image dedup plumbing: fake-path pHash (md5-derived
     60-bit, DuckDB-reproducible) over the documents-as-payloads corpus,
@@ -1706,6 +1720,7 @@ R7_PENDING_QUERIES = {
     "text_encode": q_text_encode,
     "dedup_keep_best": q_dedup_keep_best,
     "mm_phash_dedup": q_mm_phash_dedup,
+    "split_groups": q_split_groups,
 }
 
 
@@ -2216,6 +2231,34 @@ def _stop_case_sql(lang_col: str) -> str:
 
     whens = " ".join(f"WHEN '{l}' THEN {lst(l)}" for l in _LANG_MARKERS)
     return f"(CASE {lang_col} {whens} ELSE {lst('en')} END)"
+
+
+def _split_groups_oracle() -> str:
+    """Mirror q_split_groups: min-label closure over the verified minhash
+    pairs, group key = coalesce(component, doc_id), then the exact
+    assign_splits hash CASE (same seed/weights/threshold ints as the
+    attested split_assign oracle) over the GROUP key string."""
+    weights = _SPLIT_WEIGHTS
+    names = list(weights)
+    key = (f"concat_ws(chr(31), '{_SPLIT_SEED}', "
+           f"coalesce(CAST(grp AS VARCHAR), chr(30)))")
+    h = _sql_tok31(key)
+    cum, whens = 0.0, []
+    for name in names[:-1]:
+        cum += weights[name]
+        whens.append(f"WHEN {h} < {int(cum * _M31)} THEN '{name}'")
+    return f"""
+        WITH RECURSIVE {_minhash_body()},
+        {_closure_sql(0.3)},
+        comp AS (SELECT x AS node, min(label) AS component
+                 FROM reach GROUP BY x),
+        keyed AS (
+          SELECT d.doc_id, d.lang,
+                 coalesce(c.component, d.doc_id) AS grp
+          FROM documents d LEFT JOIN comp c ON c.node = d.doc_id)
+        SELECT doc_id, lang,
+               CASE {' '.join(whens)} ELSE '{names[-1]}' END AS split
+        FROM keyed"""
 
 
 def _split_assign_oracle() -> str:
@@ -2795,6 +2838,7 @@ def r7_pending_oracles() -> dict[str, str]:
         "text_dup_spans": _dup_spans_oracle(),
         "lm_dsir": _dsir_oracle(),
         "text_despanned": _despanned_oracle(),
+        "split_groups": _split_groups_oracle(),
         "mm_phash_dedup": f"""
             WITH u AS (
               SELECT doc_id, text FROM documents

@@ -1366,3 +1366,40 @@ class TestPhashAndFingerprintNeardup:
         expect = {(a, b) for m in range(3)
                   for a in range(m, 9, 3) for b in range(m, 9, 3) if a < b}
         assert got == expect
+
+
+class TestSplitsByGroup:
+    """Leakage-safe splits: near-dup families never straddle a split;
+    un-duplicated docs keep their plain assign_splits split."""
+
+    W = {"train": 0.6, "val": 0.2, "test": 0.2}
+
+    def test_families_stay_together_singletons_stable(self, spark):
+        from trafaret_spark.operators import sampling
+        pairs = spark.createDataFrame(
+            [(1, 2), (2, 3), (10, 11)], "a long, b long")
+        docs = spark.createDataFrame(
+            [(i,) for i in (1, 2, 3, 10, 11, 20, 21, 22, 23, 24)],
+            "doc_id long")
+        got = {r.doc_id: r.split for r in sampling.assign_splits_by_group(
+            docs, pairs, self.W, seed=3, portable=True).collect()}
+        assert got[1] == got[2] == got[3]
+        assert got[10] == got[11]
+        plain = {r.doc_id: r.split for r in sampling.assign_splits(
+            docs, "doc_id", self.W, seed=3, portable=True).collect()}
+        for d in (20, 21, 22, 23, 24):   # singletons: identical split
+            assert got[d] == plain[d]
+        # the component keys on its min id -> family split == the min
+        # member's plain split
+        assert got[1] == plain[1] and got[10] == plain[10]
+
+    def test_all_rows_assigned(self, spark):
+        from trafaret_spark.operators import sampling
+        pairs = spark.createDataFrame([(1, 2)], "a long, b long")
+        docs = spark.createDataFrame([(i,) for i in range(50)],
+                                     "doc_id long")
+        out = sampling.assign_splits_by_group(docs, pairs, self.W)
+        rows = out.collect()
+        assert len(rows) == 50
+        assert {r.split for r in rows} <= set(self.W)
+        assert all(r.split is not None for r in rows)

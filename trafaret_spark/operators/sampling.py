@@ -26,7 +26,7 @@ from pyspark.sql import functions as F
 from trafaret_spark.operators.hashing import M31, tok31
 
 __all__ = ["sample_hash", "sample_by_hash", "stratified_sample_by_hash",
-           "assign_splits",
+           "assign_splits", "assign_splits_by_group",
            "mixture_thresholds", "mixture_sample"]
 
 _SEP = "\x1f"        # unit separator: never appears in normal text/keys
@@ -227,3 +227,36 @@ def assign_splits(df: DataFrame, key_cols: Union[str, Sequence[str]],
     last = F.lit(names[-1])
     expr = last if expr is None else expr.otherwise(last)
     return df.withColumn(out_col, expr)
+
+
+def assign_splits_by_group(df: DataFrame, pairs: DataFrame,
+                           weights: Mapping[str, float], seed: int = 0,
+                           id_col: str = "doc_id", out_col: str = "split",
+                           portable: bool = False, max_iter: int = 25,
+                           checkpoint_dir: "str | None" = None) -> DataFrame:
+    """LEAKAGE-SAFE split assignment: :func:`assign_splits` keyed on each
+    row's near-dup COMPONENT instead of its own id, so a duplicate
+    family can never straddle the train/val/test boundary — the classic
+    eval-contamination hole id-keyed splitting leaves open (a near-dup
+    of a training doc lands in val and inflates the score).
+
+    ``pairs`` is any dedup family's (a, b) output; rows in no pair key
+    on their own id, and every component keys on its MIN member id — so
+    a doc that is not duplicated gets exactly the split plain
+    :func:`assign_splits` would give it (same hash, same seed), and
+    growing a component only ever re-keys the non-minimal members.
+    Adds ``out_col``; one components pass + one broadcast-able join over
+    the duplicated-doc set, then the usual scan-side hash CASE.
+    """
+    from trafaret_spark.operators.colnames import temp_col
+    from trafaret_spark.operators.dedup import connected_components
+    comp = connected_components(pairs, max_iter=max_iter,
+                                checkpoint_dir=checkpoint_dir)
+    joined = df.join(comp.withColumnRenamed("node", id_col),
+                     [id_col], "left")
+    grp = temp_col(df, "__split_grp")
+    keyed = joined.withColumn(
+        grp, F.coalesce(F.col("component"), F.col(id_col)))
+    out = assign_splits(keyed, grp, weights, seed=seed, out_col=out_col,
+                        portable=portable)
+    return out.drop(grp, "component")
