@@ -60,6 +60,111 @@ def cosine(a: Column, b: Column) -> Column:
     return F.try_divide(dot(a, b), l2_norm(a) * l2_norm(b))
 
 
+def _vec_is_double(df: DataFrame, vec_col: str) -> bool:
+    from pyspark.sql import types as T
+    dt = df.schema[vec_col].dataType
+    return (isinstance(dt, T.ArrayType)
+            and isinstance(dt.elementType, T.DoubleType))
+
+
+def _pair_dot(a: Column, b: Column) -> Column:
+    """Exact dot product of two array<double> columns, fused into ONE
+    Arrow kernel — bit-identical to ``dot(a, b)``'s strict left fold.
+
+    The JVM expression ``aggregate(zip_with(a,b,(x,y)->x*y), 0.0, +)``
+    evaluates ~2·dim interpreted higher-order-function lambdas PER ROW —
+    the dominant cost of every pair-verify stage once candidates number
+    in the millions (round-7 profile: 25.7M LSH candidate pairs × dim 64
+    ≈ 3.3G lambda evals). Here each Arrow batch is two (rows × dim)
+    float64 matrices; the fold runs as ``dim`` vectorized column adds in
+    ASCENDING index order — the same IEEE-754 operation sequence
+    (products first, then left-to-right accumulation from +0.0) the JVM
+    fold performs, so results are bit-exact, not just close.
+
+    Boundary contract (callers must reconstruct NULL/NaN JVM semantics —
+    see :func:`_fused_cosine`): rows where either side is absent or
+    lengths differ return NULL; Arrow masks a genuine NaN result to NULL
+    on the way back, and array-element NULLs arrive as NaN, so the
+    kernel alone cannot distinguish those cases — the reconstruction
+    does, from cheap native ``size``/``isNull`` predicates.
+    """
+    @F.pandas_udf("double")
+    def _dot(va: pd.Series, vb: pd.Series) -> pd.Series:
+        n = len(va)
+        if n == 0:
+            return pd.Series([], dtype="float64")
+        ra, rb = va.tolist(), vb.tolist()
+        out = np.full(n, np.nan, dtype=np.float64)
+        keep = np.zeros(n, dtype=bool)
+        groups: dict[int, list[int]] = {}
+        for i in range(n):
+            x, y = ra[i], rb[i]
+            if x is None or y is None or len(x) != len(y):
+                continue
+            groups.setdefault(len(x), []).append(i)
+        for d, idxs in groups.items():
+            ix = np.asarray(idxs, dtype=np.int64)
+            keep[ix] = True
+            if d == 0:
+                out[ix] = 0.0          # fold over an empty array -> 0.0
+                continue
+            A = np.vstack([np.asarray(ra[i], dtype=np.float64)
+                           for i in idxs])
+            B = np.vstack([np.asarray(rb[i], dtype=np.float64)
+                           for i in idxs])
+            prod = A * B
+            acc = np.zeros(len(ix), dtype=np.float64)
+            for j in range(d):                  # strict left fold — the
+                acc += prod[:, j]               # JVM aggregate()'s order
+            out[ix] = acc
+        res = pd.Series(out)
+        res[~keep] = None
+        return res
+
+    # the optimizer may not push a `sim >= t` filter below the Arrow node
+    # and re-evaluate the kernel twice (guide §4.4 duplication trap)
+    return _dot.asNondeterministic()(a, b)
+
+
+def attach_fused_cosine(df: DataFrame, a: str, b: str, na: str, nb: str,
+                        out: str = "sim") -> DataFrame:
+    """Attach ``out`` = ``cosine(df[a], df[b])`` with the dot in the
+    fused Arrow kernel and the norms precomputed ONCE PER VECTOR
+    (``na``/``nb`` = ``l2_norm`` of each side, attached at corpus
+    cardinality, not per pair).
+
+    Bit-exact reconstruction of ``try_divide(dot, l2a*l2b)`` including
+    every NULL/NaN case the HOF expression produces:
+
+      * absent side / length mismatch → the first WHEN yields NULL dot
+        (zip_with pads the shorter side with NULL → NULL fold);
+      * a NULL *element* → that side's norm is NULL → try_divide by a
+        NULL denominator → NULL, regardless of the kernel's NaN-masked
+        dot — exactly the HOF result;
+      * a genuine NaN dot (NaN/Inf elements) is masked to NULL at the
+        Arrow boundary; since the row is same-length/non-absent, kernel
+        NULL ⇔ NaN there, and the second WHEN restores it;
+      * zero denominator → try_divide → NULL in both ANSI modes.
+
+    The kernel column is materialized in its own projection and
+    referenced (not re-evaluated) by the WHEN branches; the UDF is
+    nondeterministic, so CollapseProject cannot inline it into multiple
+    uses and the plan carries exactly one ArrowEvalPython node.
+    """
+    dk = "__fdot"
+    i = 0
+    while dk in df.columns:
+        dk, i = f"__fdot{i}", i + 1
+    df2 = df.withColumn(dk, _pair_dot(F.col(a), F.col(b)))
+    mismatch = (F.col(a).isNull() | F.col(b).isNull()
+                | (F.size(F.col(a)) != F.size(F.col(b))))
+    dot_rec = (F.when(mismatch, F.lit(None).cast("double"))
+               .when(F.col(dk).isNull(), F.lit(float("nan")))
+               .otherwise(F.col(dk)))
+    return df2.withColumn(
+        out, F.try_divide(dot_rec, F.col(na) * F.col(nb))).drop(dk)
+
+
 def cosine_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
                 id_col: str = "vec_id", vec_col: str = "embedding",
                 query_id_col: str = "query_id",
@@ -83,11 +188,24 @@ def cosine_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
     (sim DESC NULLS LAST, id ASC), NaN greatest — identical to the old
     single-window semantics.
     """
-    q = queries.select(F.col(query_id_col), F.col(vec_col).alias("__qv"))
-    c = corpus.select(F.col(id_col), F.col(vec_col).alias("__cv"))
-    scored = (c.join(F.broadcast(q))
-              .withColumn("sim", cosine(F.col("__qv"), F.col("__cv")))
-              .drop("__qv", "__cv"))
+    fused = _vec_is_double(corpus, vec_col) and _vec_is_double(queries, vec_col)
+    if fused:
+        # norms once per vector scan-side; the per-(query × corpus-row)
+        # work is then one fused Arrow dot instead of ~4·dim interpreted
+        # HOF lambda evals (dot + both norms re-derived per scored row)
+        q = queries.select(F.col(query_id_col), F.col(vec_col).alias("__qv"),
+                           l2_norm(F.col(vec_col)).alias("__qn"))
+        c = corpus.select(F.col(id_col), F.col(vec_col).alias("__cv"),
+                          l2_norm(F.col(vec_col)).alias("__cn"))
+        scored = attach_fused_cosine(c.join(F.broadcast(q)),
+                                     "__qv", "__cv", "__qn", "__cn") \
+            .drop("__qv", "__cv", "__qn", "__cn")
+    else:
+        q = queries.select(F.col(query_id_col), F.col(vec_col).alias("__qv"))
+        c = corpus.select(F.col(id_col), F.col(vec_col).alias("__cv"))
+        scored = (c.join(F.broadcast(q))
+                  .withColumn("sim", cosine(F.col("__qv"), F.col("__cv")))
+                  .drop("__qv", "__cv"))
 
     # Natural-order sort key reproducing (sim DESC NULLS LAST, NaN
     # greatest, id ASC) under ascending struct comparison — a plain CASE
@@ -144,16 +262,42 @@ def cosine_neardup(df: DataFrame, threshold: float = 0.9,
     vector inconsistently in a mixed-dimension corpus (advice r2) — pass
     it whenever dimensions may vary.
     """
+    fused = _vec_is_double(df, vec_col)
     if block_cols:
         from trafaret_spark.operators.dedup import capped_blocks
         blocks = [F.col(c) for c in block_cols]
         v = df.select(F.col(id_col), *blocks, F.col(vec_col).alias("__v"))
         if max_block_size is not None:
             v = capped_blocks(v, block_cols, max_block_size, on_drop=on_drop)
-        a = v.select(F.col(id_col).alias("a"), *blocks, F.col("__v").alias("__va"))
-        b = v.select(F.col(id_col).alias("b"), *blocks, F.col("__v").alias("__vb"))
+        if fused:
+            # norm ONCE per vector (corpus cardinality) — the verify below
+            # then only needs the fused dot kernel per pair, not 2·dim HOF
+            # lambda evals for dot plus 2·dim more re-deriving each norm
+            v = v.withColumn("__n", l2_norm(F.col("__v")))
+            a = v.select(F.col(id_col).alias("a"), *blocks,
+                         F.col("__v").alias("__va"), F.col("__n").alias("__na"))
+            b = v.select(F.col(id_col).alias("b"), *blocks,
+                         F.col("__v").alias("__vb"), F.col("__n").alias("__nb"))
+        else:
+            a = v.select(F.col(id_col).alias("a"), *blocks,
+                         F.col("__v").alias("__va"))
+            b = v.select(F.col(id_col).alias("b"), *blocks,
+                         F.col("__v").alias("__vb"))
         pairs = a.join(b, list(block_cols)).filter(F.col("a") < F.col("b"))
     else:
+        if fused:
+            # In-bucket verify (guide §2.3/§8: decide with batches, never
+            # materialize candidate-pair payloads): the old shape joined
+            # banded rows CARRYING both vectors and dropDuplicates'd
+            # ~Σ|bucket|² wide rows (arrays aren't hash-aggregable → a
+            # sort-based distinct over the quadratic candidate set — the
+            # round-7 profile's 83 s). Now ONE exchange moves each banded
+            # vector once (|rows|·bands narrow rows); each (band, bucket)
+            # group computes every intra-bucket pair sim in a bit-exact
+            # numpy fold and returns only survivors, so the quadratic
+            # cardinality never leaves the kernel.
+            return _lsh_bucket_verify(df, threshold, id_col, vec_col,
+                                      nbits, bands, seed, dim)
         banded = df.select(
             F.col(id_col), F.col(vec_col).alias("__v"),
             F.posexplode(lsh_band_buckets(F.col(vec_col), nbits, bands,
@@ -165,9 +309,130 @@ def cosine_neardup(df: DataFrame, threshold: float = 0.9,
                           "band", "bucket")
         pairs = (a.join(b, ["band", "bucket"]).filter(F.col("a") < F.col("b"))
                  .dropDuplicates(["a", "b"]).drop("band", "bucket"))
+    if fused:
+        verified = attach_fused_cosine(pairs, "__va", "__vb", "__na", "__nb")
+        return (verified.filter(F.col("sim") >= threshold)
+                .drop("__va", "__vb", "__na", "__nb"))
     return (pairs.withColumn("sim", cosine(F.col("__va"), F.col("__vb")))
             .filter(F.col("sim") >= threshold)
             .drop("__va", "__vb"))
+
+
+def _lsh_bucket_verify(df: DataFrame, threshold: float, id_col: str,
+                       vec_col: str, nbits: int, bands: int, seed: int,
+                       dim: int | None) -> DataFrame:
+    """LSH near-dup pairs with the quadratic verify INSIDE each (band,
+    bucket) group — the 100 TB shape for :func:`cosine_neardup`'s LSH path
+    over ``array<double>`` vectors.
+
+    Plan: band scan-side (narrow ``(id, vec, l2norm)`` rows fanned out
+    ``bands``×), ONE exchange on the uniform (band, bucket) key, then a
+    grouped Arrow kernel emits each bucket's surviving pairs directly.
+    The Σ|bucket|² candidate set exists only as numpy temporaries inside
+    the kernel — no join output, no wide distinct, and the Python
+    boundary moves |rows|·bands vectors in and ~|survivors| narrow rows
+    out. Cross-band duplicates collapse in a final narrow hash distinct.
+
+    Exactness vs the expression form ``try_divide(dot(a,b),
+    l2(a)*l2(b)) >= threshold``:
+
+      * dot is a strict left fold over element products (ascending-index
+        vectorized adds) — bit-identical to ``aggregate``'s order;
+      * norms are the JVM ``l2_norm`` values computed once per banded row
+        and shipped in, so the denominator is the same two doubles;
+      * a NULL norm (NULL element somewhere in the vector) marks the row
+        invalid — every pair touching it has a NULL denominator → NULL
+        sim → dropped, exactly the JVM filter's fate for it. The flag
+        must be computed JVM-side because pandas folds NULL and NaN
+        together;
+      * a NaN sim (NaN element) passes Spark's ``>= threshold`` (NaN is
+        greatest), so the kernel keeps it and flags ``__isnan`` — the
+        NaN is re-materialized JVM-side because Arrow masks a returned
+        NaN to NULL;
+      * pairs of different dims → NULL sim (zip_with pads) → dropped:
+        the kernel only pairs within equal-length groups;
+      * duplicate ids never pair (the old ``a < b`` is strict).
+
+    Memory: one bucket's vectors plus ~``_PAIR_CHUNK``·dim pair rows per
+    task — bound bucket sizes via ``nbits`` (the same dial that bounds
+    the old formulation's join fan-out).
+    """
+    id_t = df.schema[id_col].dataType.simpleString()
+    out_schema = f"a {id_t}, b {id_t}, sim double, __isnan boolean"
+    thr = float(threshold)
+    _PAIR_CHUNK = 262_144
+
+    def _bucket_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+        ids = pdf["__id"].to_numpy()
+        vs = pdf["__v"].tolist()
+        norms = pdf["__n"].to_numpy(dtype=np.float64, na_value=np.nan)
+        bad = pdf["__bad"].to_numpy(dtype=bool)
+        by_len: dict[int, list[int]] = {}
+        for i, v in enumerate(vs):
+            if not bad[i]:
+                by_len.setdefault(len(v), []).append(i)
+        out_a, out_b, out_s, out_nan = [], [], [], []
+        for d, idxs in by_len.items():
+            m = len(idxs)
+            if m < 2:
+                continue
+            ix = np.asarray(idxs, dtype=np.int64)
+            A = (np.vstack([vs[i] for i in idxs]) if d
+                 else np.zeros((m, 0), dtype=np.float64))
+            # dim-major layout: the fold gathers from one cache-resident
+            # m-vector per dimension instead of materializing (pairs × d)
+            # matrices (~8 KB hot set vs ~100 MB of strided traffic)
+            AT = np.ascontiguousarray(A.T)
+            nn = norms[ix]
+            gids = ids[ix]
+            ii, jj = np.triu_indices(m, 1)
+            for lo in range(0, len(ii), _PAIR_CHUNK):
+                ci, cj = ii[lo:lo + _PAIR_CHUNK], jj[lo:lo + _PAIR_CHUNK]
+                acc = np.zeros(len(ci), dtype=np.float64)
+                for k in range(d):          # strict left fold — the JVM
+                    col = AT[k]             # aggregate()'s order: products
+                    acc += col[ci] * col[cj]  # per dim, added ascending
+                den = nn[ci] * nn[cj]
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    sims = acc / den
+                isn = np.isnan(sims)
+                keep = ((den != 0.0) & ((sims >= thr) | isn)
+                        & (gids[ci] != gids[cj]))
+                if not keep.any():
+                    continue
+                ga, gb = gids[ci[keep]], gids[cj[keep]]
+                swap = gb < ga
+                ga, gb = np.where(swap, gb, ga), np.where(swap, ga, gb)
+                out_a.append(ga)
+                out_b.append(gb)
+                out_s.append(sims[keep])
+                out_nan.append(isn[keep])
+        if not out_a:
+            return pd.DataFrame({"a": pd.Series([], dtype=object),
+                                 "b": pd.Series([], dtype=object),
+                                 "sim": pd.Series([], dtype="float64"),
+                                 "__isnan": pd.Series([], dtype=bool)})
+        return pd.DataFrame({"a": np.concatenate(out_a),
+                             "b": np.concatenate(out_b),
+                             "sim": np.concatenate(out_s),
+                             "__isnan": np.concatenate(out_nan)})
+
+    banded = df.select(
+        F.col(id_col).alias("__id"), F.col(vec_col).alias("__v"),
+        l2_norm(F.col(vec_col)).alias("__n"),
+        l2_norm(F.col(vec_col)).isNull().alias("__bad"),
+        F.posexplode(lsh_band_buckets(F.col(vec_col), nbits, bands,
+                                      seed, dim=dim))
+        .alias("band", "bucket"))
+    verified = banded.groupBy("band", "bucket").applyInPandas(
+        _bucket_pairs, out_schema)
+    return (verified
+            .withColumn("sim", F.when(F.col("__isnan"),
+                                      F.lit(float("nan")))
+                        .otherwise(F.col("sim")))
+            .drop("__isnan")
+            .dropDuplicates(["a", "b"])
+            .filter(F.col("sim") >= threshold))
 
 
 def embedding_band_index(df: DataFrame, id_col: str = "vec_id",
