@@ -94,22 +94,28 @@ def main() -> None:
                 vec_col=args.content_col or "embedding",
                 nbits=args.nbits, bands=args.bands, seed=args.seed,
                 dim=args.dim, **kw)
+        pairs = pairs.persist()
         (pairs.withColumn("ingest_batch", F.lit(bid))
          .write.mode("overwrite")
          .option("partitionOverwriteMode", "dynamic")
          .partitionBy("ingest_batch").parquet(args.pairs_out))
-    out_pairs = spark.read.parquet(args.pairs_out) \
-        .filter(F.col("ingest_batch") == bid)
+    # Audit-count the returned frame, NOT a read-back of --pairs-out: a
+    # batch with zero candidate pairs writes no partition files, and if
+    # the root holds no prior batch either, the read-back raises
+    # UNABLE_TO_INFER_SCHEMA after the index store was already appended
+    # (advice r6). The persist above shares one materialization between
+    # the write and the count.
     audit = {
         "batch_id": bid,
         "mode": args.mode,
-        "candidate_pairs": out_pairs.count(),
+        "candidate_pairs": pairs.count(),
         "dropped_buckets": stats.get("dropped_buckets", 0),
         "dropped_rows": stats.get("dropped_rows", 0),
     }
     unpersist = stats.get("unpersist")
     if unpersist:
         unpersist()
+    pairs.unpersist()
     print(json.dumps(audit, sort_keys=True))
 
 

@@ -252,11 +252,16 @@ def assign_splits_by_group(df: DataFrame, pairs: DataFrame,
     from trafaret_spark.operators.dedup import connected_components
     comp = connected_components(pairs, max_iter=max_iter,
                                 checkpoint_dir=checkpoint_dir)
-    joined = df.join(comp.withColumnRenamed("node", id_col),
+    # alias the components column through temp_col like `grp`: an input
+    # frame that already carries a `component` column would otherwise hit
+    # an ambiguous reference / wrong drop below (advice r6)
+    cmp_col = temp_col(df, "__split_cmp")
+    joined = df.join(comp.select(F.col("node").alias(id_col),
+                                 F.col("component").alias(cmp_col)),
                      [id_col], "left")
     grp = temp_col(df, "__split_grp")
     keyed = joined.withColumn(
-        grp, F.coalesce(F.col("component"), F.col(id_col)))
+        grp, F.coalesce(F.col(cmp_col), F.col(id_col)))
     out = assign_splits(keyed, grp, weights, seed=seed, out_col=out_col,
                         portable=portable)
-    return out.drop(grp, "component")
+    return out.drop(grp, cmp_col)

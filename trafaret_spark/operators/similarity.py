@@ -847,10 +847,28 @@ def ivf_cosine_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
     q = assign(queries.select(F.col(query_id_col),
                               F.col(vec_col).alias("__qv")),
                query_id_col, "__qv", nprobe)
-    cand = (q.join(c, "__cid")
-            .dropDuplicates([query_id_col, id_col]))
-    scored = (cand.withColumn("sim", cosine(F.col("__qv"), F.col("__cvv")))
-              .drop("__qv", "__cvv", "__cid"))
+    if _vec_is_double(corpus, vec_col) and _vec_is_double(queries, vec_col):
+        # distinct over narrow id pairs, not vector-carrying rows (array
+        # payloads force a sort-based aggregate); vectors and their
+        # once-per-vector norms re-attach at candidate cardinality and
+        # the verify runs in the fused Arrow dot kernel
+        cand = (q.select(query_id_col, "__cid").join(
+                    c.select(id_col, "__cid"), "__cid")
+                .dropDuplicates([query_id_col, id_col]))
+        qn = q.dropDuplicates([query_id_col]).select(
+            query_id_col, "__qv", l2_norm(F.col("__qv")).alias("__qn"))
+        cn = c.dropDuplicates([id_col]).select(
+            id_col, "__cvv", l2_norm(F.col("__cvv")).alias("__cn"))
+        scored = attach_fused_cosine(
+            cand.join(qn, query_id_col).join(cn, id_col),
+            "__qv", "__cvv", "__qn", "__cn") \
+            .select(query_id_col, id_col, "sim")
+    else:
+        cand = (q.join(c, "__cid")
+                .dropDuplicates([query_id_col, id_col]))
+        scored = (cand.withColumn("sim", cosine(F.col("__qv"),
+                                                F.col("__cvv")))
+                  .drop("__qv", "__cvv", "__cid"))
     w = Window.partitionBy(query_id_col).orderBy(F.desc("sim"), F.asc(id_col))
     return (scored.withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= k))
@@ -870,22 +888,47 @@ def lsh_cosine_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
     masking dimension globally — pass it when corpus/query dimensions may
     vary, else each Arrow batch infers its own (advice r2).
     """
-    def banded(df, idc):
+    fused = _vec_is_double(corpus, vec_col) and _vec_is_double(queries, vec_col)
+
+    def banded(df, idc, with_vec):
+        cols = [F.col(idc)]
+        if with_vec:
+            cols.append(F.col(vec_col).alias("__v_" + idc))
         return df.select(
-            F.col(idc), F.col(vec_col).alias("__v_" + idc),
+            *cols,
             F.posexplode(lsh_band_buckets(F.col(vec_col), nbits, bands,
                                           seed, dim=dim))
             .alias("band", "bucket"))
 
-    c = banded(corpus, id_col)
-    q = banded(queries, query_id_col)
-    cand = (c.join(q, ["band", "bucket"])
-            .select(query_id_col, id_col,
-                    F.col("__v_" + query_id_col).alias("__qv"),
-                    F.col("__v_" + id_col).alias("__cv"))
-            .dropDuplicates([query_id_col, id_col]))
-    scored = (cand.withColumn("sim", cosine(F.col("__qv"), F.col("__cv")))
-              .drop("__qv", "__cv"))
+    if fused:
+        # narrow band join + narrow (query, id) distinct — the multi-band
+        # duplicate collapse never moves or sorts vector payloads; vectors
+        # and once-per-vector norms re-attach at candidate cardinality and
+        # the verify runs in the fused Arrow dot kernel
+        c = banded(corpus, id_col, False)
+        q = banded(queries, query_id_col, False)
+        cand = (c.join(q, ["band", "bucket"])
+                .select(query_id_col, id_col)
+                .dropDuplicates([query_id_col, id_col]))
+        qn = queries.select(F.col(query_id_col),
+                            F.col(vec_col).alias("__qv"),
+                            l2_norm(F.col(vec_col)).alias("__qn"))
+        cn = corpus.select(F.col(id_col), F.col(vec_col).alias("__cv"),
+                           l2_norm(F.col(vec_col)).alias("__cn"))
+        scored = attach_fused_cosine(
+            cand.join(qn, query_id_col).join(cn, id_col),
+            "__qv", "__cv", "__qn", "__cn") \
+            .select(query_id_col, id_col, "sim")
+    else:
+        c = banded(corpus, id_col, True)
+        q = banded(queries, query_id_col, True)
+        cand = (c.join(q, ["band", "bucket"])
+                .select(query_id_col, id_col,
+                        F.col("__v_" + query_id_col).alias("__qv"),
+                        F.col("__v_" + id_col).alias("__cv"))
+                .dropDuplicates([query_id_col, id_col]))
+        scored = (cand.withColumn("sim", cosine(F.col("__qv"), F.col("__cv")))
+                  .drop("__qv", "__cv"))
     w = Window.partitionBy(query_id_col).orderBy(F.desc("sim"), F.asc(id_col))
     return (scored.withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= k))
