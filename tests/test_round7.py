@@ -162,6 +162,45 @@ class TestLshBucketVerify:
                 assert s is not None and math.isnan(s)
         assert isinstance(nan_pairs, list)
 
+    def test_blocked_path_equals_expression_pipeline(self, spark):
+        """The blocked (block_cols) grouped-kernel path returns exactly
+        the pair set, sims, AND column layout of the pre-fusion blocked
+        self-join + HOF verify — including NULL block keys (which a
+        USING-join never matches) and the max_block_size cap."""
+        import random
+        rnd = random.Random(11)
+        rows = []
+        for i in range(60):
+            rows.append((i, i % 4 if i % 13 else None,
+                         [rnd.gauss(0, 1) for _ in range(8)]))
+        rows += [(100, 0, None), (101, 0, [1.0, None] + [0.0] * 6),
+                 (102, 1, [NAN] * 8), (103, 1, [0.0] * 8)]
+        df = spark.createDataFrame(
+            rows, "vec_id long, label int, embedding array<double>")
+        got = similarity.cosine_neardup(
+            df, threshold=0.1, block_cols=["label"], max_block_size=30,
+            on_drop="ignore").collect()
+
+        from trafaret_spark.operators.dedup import capped_blocks
+        v = df.select(F.col("vec_id"), F.col("label"),
+                      F.col("embedding").alias("__v"))
+        v = capped_blocks(v, ["label"], 30, on_drop="ignore")
+        a = v.select(F.col("vec_id").alias("a"), "label",
+                     F.col("__v").alias("__va"))
+        b = v.select(F.col("vec_id").alias("b"), "label",
+                     F.col("__v").alias("__vb"))
+        ref = (a.join(b, ["label"]).filter(F.col("a") < F.col("b"))
+               .withColumn("sim", cosine(F.col("__va"), F.col("__vb")))
+               .filter(F.col("sim") >= 0.1)
+               .drop("__va", "__vb")).collect()
+        assert got and [r.__fields__ for r in got[:1]] == \
+            [r.__fields__ for r in ref[:1]]
+        g = {(r["label"], r["a"], r["b"]): r["sim"] for r in got}
+        r_ = {(r["label"], r["a"], r["b"]): r["sim"] for r in ref}
+        assert set(g) == set(r_)
+        for k in r_:
+            assert _same(g[k], r_[k]), (k, g[k], r_[k])
+
     def test_duplicate_ids_never_pair(self, spark):
         df = spark.createDataFrame(
             [(1, [1.0, 0.0]), (1, [1.0, 0.0]), (2, [1.0, 0.0])],
@@ -170,6 +209,87 @@ class TestLshBucketVerify:
                                         bands=2).collect()
         assert all(r["a"] != r["b"] for r in out)
         assert {(r["a"], r["b"]) for r in out} == {(1, 2)}
+
+
+class TestGroupedJaccard:
+    def _ref(self, df, thr, cap=None):
+        """Pre-fusion expression pipeline, inline."""
+        from trafaret_spark.operators.dedup import capped_blocks, shingles
+        sh = df.select(F.col("doc_id"), F.col("lang"),
+                       shingles(F.col("text"), n=1).alias("__sh"))
+        if cap is not None:
+            sh = capped_blocks(sh, ["lang"], cap, on_drop="ignore")
+        a = sh.select(F.col("doc_id").alias("a"), "lang",
+                      F.col("__sh").alias("__sa"))
+        b = sh.select(F.col("doc_id").alias("b"), "lang",
+                      F.col("__sh").alias("__sb"))
+        pairs = a.join(b, ["lang"]).filter(F.col("a") < F.col("b"))
+        inter = pairs.select(
+            "a", "b", "__sa", "__sb",
+            F.size(F.array_intersect("__sa", "__sb")).alias("__i"))
+        union = F.size("__sa") + F.size("__sb") - F.col("__i")
+        return (inter.withColumn("jaccard",
+                                 F.col("__i").cast("double") / union)
+                .filter(F.col("jaccard") >= thr)
+                .drop("__sa", "__sb", "__i"))
+
+    def test_bitset_path_equals_expression(self, spark):
+        """Small vocabulary → bitset strategy; NULL text ([NULL] shingle
+        matches [NULL]), empty text ([''] shingles), NULL block keys
+        (never pair), near-dups, and the cap all behave as the old
+        self-join + array_intersect."""
+        from trafaret_spark.operators.dedup import ngram_jaccard_pairs
+        import random
+        rnd = random.Random(3)
+        words = [f"w{i}" for i in range(20)]
+        rows = []
+        for i in range(80):
+            k = rnd.randint(3, 10)
+            rows.append((i, "en" if i % 3 else "de",
+                         " ".join(rnd.sample(words, k))))
+        rows += [(100, "en", None), (101, "en", None), (102, "en", ""),
+                 (103, "en", ""), (104, None, "w1 w2 w3"),
+                 (105, None, "w1 w2 w3"), (106, "de", "w1! w2, w3")]
+        df = spark.createDataFrame(rows,
+                                   "doc_id long, lang string, text string")
+        got = {(r["a"], r["b"]): r["jaccard"] for r in
+               ngram_jaccard_pairs(df, ["lang"], threshold=0.3, n=1,
+                                   max_block_size=60,
+                                   on_drop="ignore").collect()}
+        ref = {(r["a"], r["b"]): r["jaccard"] for r in
+               self._ref(df, 0.3, cap=60).collect()}
+        assert set(got) == set(ref)
+        for k in ref:
+            assert _same(got[k], ref[k]), (k, got[k], ref[k])
+        assert (100, 101) in got and got[(100, 101)] == 1.0   # NULL text
+        assert (102, 103) in got and got[(102, 103)] == 1.0   # '' shingle
+        assert not any(104 in k or 105 in k for k in got)      # NULL block
+
+    def test_postings_path_equals_expression(self, spark):
+        """> 65 536 distinct shingles in one block → the token-postings
+        strategy; same results as the expression pipeline."""
+        from trafaret_spark.operators.dedup import ngram_jaccard_pairs
+        import random
+        rnd = random.Random(9)
+        # 48 docs × ~2900 distinct words from a 70k vocabulary, with
+        # planted near-dup pairs sharing most of their words
+        rows = []
+        for i in range(24):
+            base = rnd.sample(range(70_000), 2_900)
+            rows.append((i, "en", " ".join(f"t{w}" for w in base)))
+            drop = set(rnd.sample(base, 100))
+            rows.append((1000 + i, "en",
+                         " ".join(f"t{w}" for w in base if w not in drop)))
+        df = spark.createDataFrame(rows,
+                                   "doc_id long, lang string, text string")
+        got = {(r["a"], r["b"]): r["jaccard"] for r in
+               ngram_jaccard_pairs(df, ["lang"], threshold=0.9,
+                                   n=1).collect()}
+        ref = {(r["a"], r["b"]): r["jaccard"] for r in
+               self._ref(df, 0.9).collect()}
+        assert set(got) == set(ref) and len(got) == 24
+        for k in ref:
+            assert _same(got[k], ref[k]), (k, got[k], ref[k])
 
 
 class TestTopkFusedPaths:
