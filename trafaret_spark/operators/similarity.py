@@ -264,25 +264,39 @@ def cosine_neardup(df: DataFrame, threshold: float = 0.9,
     """
     fused = _vec_is_double(df, vec_col)
     if block_cols:
-        from trafaret_spark.operators.dedup import capped_blocks
+        if fused:
+            # In-block verify (guide §2.3/§8: decide with batches, never
+            # materialize candidate-pair payloads): the quadratic pair
+            # set exists only inside the grouped kernel — no self-join
+            # output carrying two vectors per candidate row, no 2·dim
+            # interpreted HOF lambda evals per pair. Same kernel as the
+            # LSH path; the group key is the block instead of the bucket.
+            from trafaret_spark.operators.dedup import capped_blocks
+            v = df.select(F.col(id_col).alias("__id"),
+                          *[F.col(c) for c in block_cols],
+                          F.col(vec_col).alias("__v"))
+            if max_block_size is not None:
+                v = capped_blocks(v, list(block_cols), max_block_size,
+                                  on_drop=on_drop)
+            # a USING-join never matches NULL block keys; the groupBy
+            # below would, so drop them to keep pair sets identical
+            for c in block_cols:
+                v = v.filter(F.col(c).isNotNull())
+            v = v.select("*", l2_norm(F.col("__v")).alias("__n"),
+                         l2_norm(F.col("__v")).isNull().alias("__bad"))
+            return _grouped_pair_verify(
+                v, list(block_cols), threshold,
+                df.schema[id_col].dataType,
+                emit_group_cols=True, dedup_pairs=False)
         blocks = [F.col(c) for c in block_cols]
         v = df.select(F.col(id_col), *blocks, F.col(vec_col).alias("__v"))
         if max_block_size is not None:
+            from trafaret_spark.operators.dedup import capped_blocks
             v = capped_blocks(v, block_cols, max_block_size, on_drop=on_drop)
-        if fused:
-            # norm ONCE per vector (corpus cardinality) — the verify below
-            # then only needs the fused dot kernel per pair, not 2·dim HOF
-            # lambda evals for dot plus 2·dim more re-deriving each norm
-            v = v.withColumn("__n", l2_norm(F.col("__v")))
-            a = v.select(F.col(id_col).alias("a"), *blocks,
-                         F.col("__v").alias("__va"), F.col("__n").alias("__na"))
-            b = v.select(F.col(id_col).alias("b"), *blocks,
-                         F.col("__v").alias("__vb"), F.col("__n").alias("__nb"))
-        else:
-            a = v.select(F.col(id_col).alias("a"), *blocks,
-                         F.col("__v").alias("__va"))
-            b = v.select(F.col(id_col).alias("b"), *blocks,
-                         F.col("__v").alias("__vb"))
+        a = v.select(F.col(id_col).alias("a"), *blocks,
+                     F.col("__v").alias("__va"))
+        b = v.select(F.col(id_col).alias("b"), *blocks,
+                     F.col("__v").alias("__vb"))
         pairs = a.join(b, list(block_cols)).filter(F.col("a") < F.col("b"))
     else:
         if fused:
@@ -309,13 +323,29 @@ def cosine_neardup(df: DataFrame, threshold: float = 0.9,
                           "band", "bucket")
         pairs = (a.join(b, ["band", "bucket"]).filter(F.col("a") < F.col("b"))
                  .dropDuplicates(["a", "b"]).drop("band", "bucket"))
-    if fused:
-        verified = attach_fused_cosine(pairs, "__va", "__vb", "__na", "__nb")
-        return (verified.filter(F.col("sim") >= threshold)
-                .drop("__va", "__vb", "__na", "__nb"))
+    # non-double element types only (float32 multiplies differ from the
+    # float64 kernel): the pre-round expression pipeline, unchanged
     return (pairs.withColumn("sim", cosine(F.col("__va"), F.col("__vb")))
             .filter(F.col("sim") >= threshold)
             .drop("__va", "__vb"))
+
+
+def _pair_index_blocks(m: int, chunk: int):
+    """Yield (i, j) index blocks covering all i < j < m, never holding
+    more than ~``chunk`` pairs in memory — the streaming replacement for
+    ``np.triu_indices`` (which materializes all m·(m-1)/2 indices at
+    once: 3 GB for a single 20k-row hot bucket)."""
+    ci_parts, cj_parts, cnt = [], [], 0
+    for i in range(m - 1):
+        n_i = m - 1 - i
+        ci_parts.append(np.full(n_i, i, dtype=np.int64))
+        cj_parts.append(np.arange(i + 1, m, dtype=np.int64))
+        cnt += n_i
+        if cnt >= chunk:
+            yield np.concatenate(ci_parts), np.concatenate(cj_parts)
+            ci_parts, cj_parts, cnt = [], [], 0
+    if cnt:
+        yield np.concatenate(ci_parts), np.concatenate(cj_parts)
 
 
 def _lsh_bucket_verify(df: DataFrame, threshold: float, id_col: str,
@@ -357,12 +387,43 @@ def _lsh_bucket_verify(df: DataFrame, threshold: float, id_col: str,
     task — bound bucket sizes via ``nbits`` (the same dial that bounds
     the old formulation's join fan-out).
     """
-    id_t = df.schema[id_col].dataType.simpleString()
-    out_schema = f"a {id_t}, b {id_t}, sim double, __isnan boolean"
+    banded = df.select(
+        F.col(id_col).alias("__id"), F.col(vec_col).alias("__v"),
+        l2_norm(F.col(vec_col)).alias("__n"),
+        l2_norm(F.col(vec_col)).isNull().alias("__bad"),
+        F.posexplode(lsh_band_buckets(F.col(vec_col), nbits, bands,
+                                      seed, dim=dim))
+        .alias("band", "bucket"))
+    return _grouped_pair_verify(banded, ["band", "bucket"], threshold,
+                                df.schema[id_col].dataType,
+                                emit_group_cols=False, dedup_pairs=True)
+
+
+def _grouped_pair_verify(src: DataFrame, group_cols: "list[str]",
+                         threshold: float, id_dtype,
+                         emit_group_cols: bool,
+                         dedup_pairs: bool) -> DataFrame:
+    """Shared grouped-kernel pair verify: ``src`` has columns
+    [*group_cols, __id, __v, __n, __bad]; one exchange on the group key,
+    then each group's all-pairs exact-cosine runs inside the Arrow
+    kernel, emitting only pairs that survive ``sim >= threshold`` (NaN
+    sims kept, Spark-style). See :func:`_lsh_bucket_verify` for the
+    exactness contract. ``emit_group_cols`` prepends the group's key
+    values to each output row (the blocked path's output contract);
+    ``dedup_pairs`` collapses cross-group duplicates (the multi-band
+    LSH path)."""
+    from pyspark.sql import types as T
+    gcols = list(group_cols)
+    fields = ([src.schema[c] for c in gcols] if emit_group_cols else [])
+    fields += [T.StructField("a", id_dtype), T.StructField("b", id_dtype),
+               T.StructField("sim", T.DoubleType()),
+               T.StructField("__isnan", T.BooleanType())]
+    out_schema = T.StructType(fields)
     thr = float(threshold)
+    emit = emit_group_cols
     _PAIR_CHUNK = 262_144
 
-    def _bucket_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+    def _group_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
         ids = pdf["__id"].to_numpy()
         vs = pdf["__v"].tolist()
         norms = pdf["__n"].to_numpy(dtype=np.float64, na_value=np.nan)
@@ -385,9 +446,7 @@ def _lsh_bucket_verify(df: DataFrame, threshold: float, id_col: str,
             AT = np.ascontiguousarray(A.T)
             nn = norms[ix]
             gids = ids[ix]
-            ii, jj = np.triu_indices(m, 1)
-            for lo in range(0, len(ii), _PAIR_CHUNK):
-                ci, cj = ii[lo:lo + _PAIR_CHUNK], jj[lo:lo + _PAIR_CHUNK]
+            for ci, cj in _pair_index_blocks(m, _PAIR_CHUNK):
                 acc = np.zeros(len(ci), dtype=np.float64)
                 for k in range(d):          # strict left fold — the JVM
                     col = AT[k]             # aggregate()'s order: products
@@ -408,31 +467,28 @@ def _lsh_bucket_verify(df: DataFrame, threshold: float, id_col: str,
                 out_s.append(sims[keep])
                 out_nan.append(isn[keep])
         if not out_a:
-            return pd.DataFrame({"a": pd.Series([], dtype=object),
-                                 "b": pd.Series([], dtype=object),
-                                 "sim": pd.Series([], dtype="float64"),
-                                 "__isnan": pd.Series([], dtype=bool)})
-        return pd.DataFrame({"a": np.concatenate(out_a),
-                             "b": np.concatenate(out_b),
-                             "sim": np.concatenate(out_s),
-                             "__isnan": np.concatenate(out_nan)})
+            data = {g: pdf[g].iloc[0:0] for g in gcols} if emit else {}
+            data.update({"a": pd.Series([], dtype=object),
+                         "b": pd.Series([], dtype=object),
+                         "sim": pd.Series([], dtype="float64"),
+                         "__isnan": pd.Series([], dtype=bool)})
+            return pd.DataFrame(data)
+        a_all, n_out = np.concatenate(out_a), sum(len(x) for x in out_a)
+        data = ({g: pd.Series([pdf[g].iloc[0]] * n_out) for g in gcols}
+                if emit else {})
+        data.update({"a": a_all, "b": np.concatenate(out_b),
+                     "sim": np.concatenate(out_s),
+                     "__isnan": np.concatenate(out_nan)})
+        return pd.DataFrame(data)
 
-    banded = df.select(
-        F.col(id_col).alias("__id"), F.col(vec_col).alias("__v"),
-        l2_norm(F.col(vec_col)).alias("__n"),
-        l2_norm(F.col(vec_col)).isNull().alias("__bad"),
-        F.posexplode(lsh_band_buckets(F.col(vec_col), nbits, bands,
-                                      seed, dim=dim))
-        .alias("band", "bucket"))
-    verified = banded.groupBy("band", "bucket").applyInPandas(
-        _bucket_pairs, out_schema)
-    return (verified
-            .withColumn("sim", F.when(F.col("__isnan"),
-                                      F.lit(float("nan")))
-                        .otherwise(F.col("sim")))
-            .drop("__isnan")
-            .dropDuplicates(["a", "b"])
-            .filter(F.col("sim") >= threshold))
+    verified = src.groupBy(*gcols).applyInPandas(_group_pairs, out_schema)
+    out = (verified
+           .withColumn("sim", F.when(F.col("__isnan"), F.lit(float("nan")))
+                       .otherwise(F.col("sim")))
+           .drop("__isnan"))
+    if dedup_pairs:
+        out = out.dropDuplicates(["a", "b"])
+    return out.filter(F.col("sim") >= threshold)
 
 
 def embedding_band_index(df: DataFrame, id_col: str = "vec_id",
@@ -855,10 +911,14 @@ def ivf_cosine_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
         cand = (q.select(query_id_col, "__cid").join(
                     c.select(id_col, "__cid"), "__cid")
                 .dropDuplicates([query_id_col, id_col]))
-        qn = q.dropDuplicates([query_id_col]).select(
-            query_id_col, "__qv", l2_norm(F.col("__qv")).alias("__qn"))
-        cn = c.dropDuplicates([id_col]).select(
-            id_col, "__cvv", l2_norm(F.col("__cvv")).alias("__cn"))
+        # vectors + norms re-attach from the ORIGINAL inputs (one row per
+        # id — the nprobe explode only fans out the assign side), so no
+        # wide dedup of vector-carrying rows is ever needed
+        qn = queries.select(F.col(query_id_col),
+                            F.col(vec_col).alias("__qv"),
+                            l2_norm(F.col(vec_col)).alias("__qn"))
+        cn = corpus.select(F.col(id_col), F.col(vec_col).alias("__cvv"),
+                           l2_norm(F.col(vec_col)).alias("__cn"))
         scored = attach_fused_cosine(
             cand.join(qn, query_id_col).join(cn, id_col),
             "__qv", "__cvv", "__qn", "__cn") \
