@@ -140,6 +140,46 @@ class TestLshBucketVerify:
             assert _same(got[k], ref[k]), (k, got[k], ref[k])
         assert len(got) >= 10      # the planted near-dups survive
 
+    def test_blas_prefilter_margin_survives_cancellation(self, spark):
+        """Vectors with catastrophic cancellation (|Σ aᵢbᵢ| ≪ Σ|aᵢbᵢ|)
+        maximize the BLAS-vs-fold divergence the prefilter margin must
+        cover; near-threshold sims force the boundary. Results must stay
+        bit-identical to the expression pipeline."""
+        import random
+        rnd = random.Random(21)
+        rows = []
+        for i in range(30):
+            big = [rnd.choice([-1e15, 1e15]) for _ in range(8)]
+            small = [rnd.gauss(0, 1) for _ in range(8)]
+            rows.append((i, [b + s for b, s in zip(big, small)]))
+            # near-dup with flipped signs in half the big components →
+            # heavy cancellation in the dot
+            rows.append((100 + i,
+                         [(-b if j % 2 else b) + rnd.gauss(0, 1)
+                          for j, (b, s) in enumerate(zip(big, small))]))
+        df = _mk(spark, rows)
+        got = {(r["a"], r["b"]): r["sim"] for r in
+               similarity.cosine_neardup(df, threshold=-0.1, nbits=3,
+                                         bands=4, seed=2).collect()}
+        banded = df.select(
+            F.col("vec_id"), F.col("embedding").alias("__v"),
+            F.posexplode(similarity.lsh_band_buckets(
+                F.col("embedding"), 3, 4, 2)).alias("band", "bucket"))
+        a = banded.select(F.col("vec_id").alias("a"),
+                          F.col("__v").alias("__va"), "band", "bucket")
+        b = banded.select(F.col("vec_id").alias("b"),
+                          F.col("__v").alias("__vb"), "band", "bucket")
+        ref = {(r["a"], r["b"]): r["sim"] for r in
+               (a.join(b, ["band", "bucket"])
+                .filter(F.col("a") < F.col("b"))
+                .dropDuplicates(["a", "b"])
+                .withColumn("sim", cosine(F.col("__va"), F.col("__vb")))
+                .filter(F.col("sim") >= -0.1)
+                .select("a", "b", "sim")).collect()}
+        assert set(got) == set(ref) and len(got) > 50
+        for k in ref:
+            assert _same(got[k], ref[k]), (k, got[k], ref[k])
+
     def test_nan_element_pair_is_kept_with_nan_sim(self, spark):
         """A NaN-element vector pairs with sim = NaN (Spark's NaN passes
         `>= threshold`) — the Arrow boundary masks NaN to NULL, so this

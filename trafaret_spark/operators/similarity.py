@@ -440,18 +440,51 @@ def _grouped_pair_verify(src: DataFrame, group_cols: "list[str]",
             ix = np.asarray(idxs, dtype=np.int64)
             A = (np.vstack([vs[i] for i in idxs]) if d
                  else np.zeros((m, 0), dtype=np.float64))
-            # dim-major layout: the fold gathers from one cache-resident
-            # m-vector per dimension instead of materializing (pairs × d)
-            # matrices (~8 KB hot set vs ~100 MB of strided traffic)
+            # dim-major layout: the exact fold gathers from one
+            # cache-resident m-vector per dimension instead of
+            # materializing (pairs × d) matrices
             AT = np.ascontiguousarray(A.T)
+            absA = np.abs(A)
             nn = norms[ix]
             gids = ids[ix]
-            for ci, cj in _pair_index_blocks(m, _PAIR_CHUNK):
+            # BLAS prefilter with a RIGOROUS error margin (~30× less
+            # work than folding every pair): a dgemm dot G and the exact
+            # left-fold X both differ from the true dot by at most
+            # γ_d·Σ|aᵢbᵢ| (standard fp summation bound, γ_d ≈ d·u), so
+            # |G − X| ≤ 2γ_d·S with S = Σ|aᵢbᵢ| — computed as a second
+            # matmul on |A|. A pair can only satisfy fl(X/den) ≥ t (or
+            # be NaN) if G + margin ≥ t·den, with the margin inflated 2×
+            # for the fp error of S/t·den themselves and a 4-ulp slack
+            # on the comparison; non-finite G/S/den are always sent to
+            # the exact path (NaN/Inf semantics live there). Only the
+            # provable-superset survivors get the bit-exact fold.
+            gamma4 = 4.0 * d * 1.1102230246251565e-16  # 4·d·u
+            rb = max(1, _PAIR_CHUNK // m)
+            for r0 in range(0, m - 1, rb):
+                r1 = min(r0 + rb, m - 1)
+                rows = np.arange(r0, r1, dtype=np.int64)
+                G = A[r0:r1] @ A.T
+                S = absA[r0:r1] @ absA.T
+                counts = m - 1 - rows
+                ci = np.repeat(rows, counts)
+                cj = np.concatenate(
+                    [np.arange(r + 1, m, dtype=np.int64) for r in rows])
+                gi = ci - r0
+                g, s = G[gi, cj], S[gi, cj]
+                den = nn[ci] * nn[cj]
+                rhs = thr * den
+                with np.errstate(invalid="ignore", over="ignore"):
+                    sel = (g + gamma4 * s
+                           >= rhs - 9.0e-16 * np.abs(rhs))
+                    sel |= (~np.isfinite(g) | ~np.isfinite(s)
+                            | ~np.isfinite(den))
+                if not sel.any():
+                    continue
+                ci, cj, den = ci[sel], cj[sel], den[sel]
                 acc = np.zeros(len(ci), dtype=np.float64)
                 for k in range(d):          # strict left fold — the JVM
                     col = AT[k]             # aggregate()'s order: products
                     acc += col[ci] * col[cj]  # per dim, added ascending
-                den = nn[ci] * nn[cj]
                 with np.errstate(divide="ignore", invalid="ignore"):
                     sims = acc / den
                 isn = np.isnan(sims)
